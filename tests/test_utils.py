@@ -1,0 +1,164 @@
+"""M0 tests: binary io round-trips, table io, wav, options, WER, data dirs."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from old_kaldi_git_tpu.utils import io_funcs as iof
+from old_kaldi_git_tpu.utils.table import (
+    RandomAccessTableReader,
+    SequentialTableReader,
+    TableWriter,
+    read_table,
+)
+from old_kaldi_git_tpu.utils.parse_options import ParseOptions, options_dataclass
+from old_kaldi_git_tpu.utils.wav import WaveData, read_wav, write_wav
+from old_kaldi_git_tpu.utils.data_dir import DataDir
+from old_kaldi_git_tpu.utils.edit_distance import compute_wer, edit_distance
+
+
+def test_matrix_roundtrip():
+    rng = np.random.default_rng(0)
+    for shape in [(3, 5), (1, 1), (10, 13)]:
+        m = rng.normal(size=shape).astype(np.float32)
+        buf = io.BytesIO()
+        iof.write_matrix(buf, m)
+        buf.seek(0)
+        out = iof.read_matrix(buf)
+        np.testing.assert_array_equal(m, out)
+
+
+def test_vector_and_intvec_roundtrip():
+    v = np.arange(7, dtype=np.float32) * 0.5
+    buf = io.BytesIO()
+    iof.write_vector(buf, v)
+    buf.seek(0)
+    np.testing.assert_array_equal(v, iof.read_vector(buf))
+
+    iv = np.array([3, 1, 4, 1, 5, 9], dtype=np.int32)
+    buf = io.BytesIO()
+    iof.write_int_vector(buf, iv)
+    buf.seek(0)
+    np.testing.assert_array_equal(iv, iof.read_int_vector(buf))
+
+
+def test_token_framing():
+    buf = io.BytesIO()
+    iof.write_token(buf, "<TransitionModel>")
+    iof.write_int32(buf, 42)
+    iof.write_token(buf, "</TransitionModel>")
+    buf.seek(0)
+    iof.expect_token(buf, "<TransitionModel>")
+    assert iof.read_int32(buf) == 42
+    iof.expect_token(buf, "</TransitionModel>")
+
+
+def test_text_matrix_roundtrip():
+    m = np.array([[1.5, -2.0], [0.25, 3.0]], dtype=np.float32)
+    text = iof.format_matrix_text(m)
+    np.testing.assert_allclose(iof.parse_matrix_text(text), m, rtol=1e-6)
+
+
+def test_ark_scp_table(tmp_path):
+    rng = np.random.default_rng(1)
+    mats = {f"utt{i:02d}": rng.normal(size=(4 + i, 6)).astype(np.float32) for i in range(5)}
+    ark = tmp_path / "feats.ark"
+    scp = tmp_path / "feats.scp"
+    with TableWriter(f"ark,scp:{ark},{scp}", "mat") as w:
+        for k, v in mats.items():
+            w[k] = v
+
+    seq = dict(SequentialTableReader(f"ark:{ark}", "mat"))
+    assert list(seq) == list(mats)
+    for k in mats:
+        np.testing.assert_array_equal(seq[k], mats[k])
+
+    ra = RandomAccessTableReader(f"scp:{scp}", "mat")
+    np.testing.assert_array_equal(ra["utt03"], mats["utt03"])
+    assert "nope" not in ra
+
+
+def test_text_archive_int_vectors(tmp_path):
+    ali = {"a": np.array([1, 2, 3], np.int32), "b": np.array([], np.int32)}
+    p = tmp_path / "ali.txt"
+    with TableWriter(f"ark,t:{p}", "ivec") as w:
+        for k, v in ali.items():
+            w[k] = v
+    back = read_table(f"ark:{p}", "ivec")
+    np.testing.assert_array_equal(back["a"], ali["a"])
+    assert back["b"].size == 0
+
+
+def test_pipe_rspecifier(tmp_path):
+    m = np.ones((2, 3), np.float32)
+    ark = tmp_path / "x.ark"
+    with TableWriter(f"ark:{ark}", "mat") as w:
+        w["u1"] = m
+    got = read_table(f"ark:cat {ark} |", "mat")
+    np.testing.assert_array_equal(got["u1"], m)
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    samples = (rng.normal(size=16000) * 1000).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(str(p), samples, 8000.0)
+    wave = read_wav(str(p))
+    assert wave.samp_freq == 8000.0
+    assert wave.data.shape == (1, 16000)
+    np.testing.assert_allclose(wave.data[0], np.round(samples), atol=0.51)
+
+
+def test_parse_options():
+    @options_dataclass
+    class Opts:
+        beam: float = 16.0
+        max_active: int = 7000
+        use_energy: bool = True
+
+    po = ParseOptions("test")
+    opts = Opts()
+    po.register_dataclass(opts)
+    pos = po.parse(["--beam=11.0", "--max-active=200", "--use-energy=false", "in.ark", "out.ark"])
+    assert pos == ["in.ark", "out.ark"]
+    assert opts.beam == 11.0 and opts.max_active == 200 and opts.use_energy is False
+
+
+def test_parse_options_prefix_and_config(tmp_path):
+    @options_dataclass
+    class Sub:
+        dim: int = 13
+
+    conf = tmp_path / "x.conf"
+    conf.write_text("--mfcc-dim=23\n")
+    po = ParseOptions("t")
+    sub = Sub()
+    po.register_dataclass(sub, prefix="mfcc")
+    po.parse([f"--config={conf}"])
+    assert sub.dim == 23
+
+
+def test_edit_distance():
+    s = edit_distance("a b c d".split(), "a x c".split())
+    assert s.errors == 2 and s.sub == 1 and s.dele == 1 and s.ins == 0
+    total = compute_wer({"u": "yes no".split()}, {"u": "yes no".split()})
+    assert total.wer == 0.0
+    assert "%WER" in total.report()
+
+
+def test_data_dir(tmp_path):
+    d = DataDir.create(
+        str(tmp_path / "data"),
+        wav_scp={"s1_u1": "/x/1.wav", "s1_u2": "/x/2.wav", "s2_u1": "/x/3.wav"},
+        text={"s1_u1": "yes", "s1_u2": "no", "s2_u1": "yes yes"},
+        utt2spk={"s1_u1": "s1", "s1_u2": "s1", "s2_u1": "s2"},
+    )
+    assert d.utts == ["s1_u1", "s1_u2", "s2_u1"]
+    assert d.spk2utt == {"s1": ["s1_u1", "s1_u2"], "s2": ["s2_u1"]}
+    shards = d.split(2)
+    assert sum(len(s) for s in shards) == 3
+    # speakers not split across shards
+    for s in shards:
+        assert all(d.utt2spk[u] in {d.utt2spk[x] for x in s} for u in s)
