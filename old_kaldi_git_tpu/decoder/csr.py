@@ -1,0 +1,150 @@
+"""CSR arc-tensor form of a decoding/training graph.
+
+The TPU decoder consumes graphs as padded CSR arrays (SURVEY.md §7.1:
+"HCLG in padded CSR").  Epsilon arcs are eliminated up front by forwarding:
+every state's outgoing arc set becomes { eps-closure ∘ emitting arc }, with
+closure weights folded in and the closure's output labels remembered on the
+CPU side for word recovery (the reference's ProcessNonemitting done once at
+compile time instead of per frame).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from old_kaldi_git_tpu.fst.vector_fst import EPS, INF, VectorFst
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
+
+log = get_logger("csr")
+
+
+@dataclasses.dataclass
+class CsrGraph:
+    """Eps-free emitting-arc CSR. Device arrays are plain numpy here; the
+    decoder moves them to the device once per graph."""
+
+    start: int
+    row_ptr: np.ndarray  # [S+1] int32
+    tid: np.ndarray  # [A] int32 (transition-id, input label)
+    pdf: np.ndarray  # [A] int32 (acoustic gather index)
+    weight: np.ndarray  # [A] float32 (graph cost incl. folded eps prefix)
+    nextstate: np.ndarray  # [A] int32
+    final_weight: np.ndarray  # [S] float32 (+inf = not final)
+    arc_olabels: List[Tuple[int, ...]]  # per arc: word ids along eps prefix + arc
+    final_olabels: List[Tuple[int, ...]]  # per state: words on best eps path to final
+
+    @property
+    def num_states(self) -> int:
+        return len(self.row_ptr) - 1
+
+    @property
+    def num_arcs(self) -> int:
+        return len(self.tid)
+
+    @property
+    def max_out_degree(self) -> int:
+        return int(np.max(self.row_ptr[1:] - self.row_ptr[:-1])) if self.num_states else 0
+
+    def out_degree(self) -> np.ndarray:
+        return (self.row_ptr[1:] - self.row_ptr[:-1]).astype(np.int32)
+
+
+def _eps_closure(
+    fst: VectorFst, s: int
+) -> List[Tuple[int, float, Tuple[int, ...]]]:
+    """Dijkstra over eps-input arcs from s: [(state, weight, olabels)] with
+    min weight per reachable state; olabels follow the argmin path."""
+    dist: Dict[int, float] = {s: 0.0}
+    lab: Dict[int, Tuple[int, ...]] = {s: ()}
+    heap: List[Tuple[float, int]] = [(0.0, s)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u] + 1e-12:
+            continue
+        for a in fst.arcs[u]:
+            if a.ilabel != EPS:
+                continue
+            nd = d + a.weight
+            if nd < dist.get(a.nextstate, INF) - 1e-12:
+                dist[a.nextstate] = nd
+                lab[a.nextstate] = lab[u] + ((a.olabel,) if a.olabel != EPS else ())
+                heapq.heappush(heap, (nd, a.nextstate))
+    return [(u, dist[u], lab[u]) for u in dist]
+
+
+def fst_to_csr(fst: VectorFst, tid_to_pdf: np.ndarray) -> CsrGraph:
+    """Convert an HCLG/training graph (input labels = tids, 0 = eps) to
+    eps-forwarded CSR.  tid_to_pdf: int32 [num_tids+1] (from TransitionModel).
+    """
+    if fst.start < 0:
+        raise KaldiError("fst has no start state")
+    S = fst.num_states
+    rows: List[List[Tuple[int, int, float, int, Tuple[int, ...]]]] = []
+    final_weight = np.full(S, np.inf, dtype=np.float32)
+    final_olabels: List[Tuple[int, ...]] = [()] * S
+    for s in range(S):
+        closure = _eps_closure(fst, s)
+        arcs_out: Dict[Tuple[int, int], Tuple[float, Tuple[int, ...]]] = {}
+        best_final = INF
+        best_final_lab: Tuple[int, ...] = ()
+        for u, w_eps, olab in closure:
+            if fst.finals[u] != INF and w_eps + fst.finals[u] < best_final:
+                best_final = w_eps + fst.finals[u]
+                best_final_lab = olab
+            for a in fst.arcs[u]:
+                if a.ilabel == EPS:
+                    continue
+                w = w_eps + a.weight
+                labs = olab + ((a.olabel,) if a.olabel != EPS else ())
+                key = (a.ilabel, a.nextstate)
+                # keep best-weight duplicate (same tid & dest via different
+                # eps prefixes)
+                if key not in arcs_out or w < arcs_out[key][0]:
+                    arcs_out[key] = (w, labs)
+        rows.append(
+            [(il, int(tid_to_pdf[il]), w, ns, labs)
+             for (il, ns), (w, labs) in sorted(arcs_out.items())]
+        )
+        if best_final != INF:
+            final_weight[s] = best_final
+            final_olabels[s] = best_final_lab
+
+    row_ptr = np.zeros(S + 1, dtype=np.int32)
+    for s in range(S):
+        row_ptr[s + 1] = row_ptr[s] + len(rows[s])
+    A = int(row_ptr[-1])
+    tid = np.zeros(A, dtype=np.int32)
+    pdf = np.zeros(A, dtype=np.int32)
+    weight = np.zeros(A, dtype=np.float32)
+    nextstate = np.zeros(A, dtype=np.int32)
+    arc_olabels: List[Tuple[int, ...]] = [()] * A
+    i = 0
+    for s in range(S):
+        for il, p, w, ns, labs in rows[s]:
+            tid[i] = il
+            pdf[i] = p
+            weight[i] = w
+            nextstate[i] = ns
+            arc_olabels[i] = labs
+            i += 1
+    csr = CsrGraph(
+        start=fst.start,
+        row_ptr=row_ptr,
+        tid=tid,
+        pdf=pdf,
+        weight=weight,
+        nextstate=nextstate,
+        final_weight=final_weight,
+        arc_olabels=arc_olabels,
+        final_olabels=final_olabels,
+    )
+    log.debug(
+        "csr: %d states, %d arcs (max out-degree %d)",
+        csr.num_states, csr.num_arcs, csr.max_out_degree,
+    )
+    return csr

@@ -1,0 +1,139 @@
+"""HCLG construction and per-utterance training graphs.
+
+Parity with reference utils/mkgraph.sh (SURVEY.md §3.1) and
+src/decoder/training-graph-compiler.{h,cc}:
+
+  LG   = pushspecial(minimizeencoded(determinizestar(L_disambig ∘ G, log)))
+  CLG  = composecontext(LG, N, P)            [+ ilabel_info]
+  Ha   = make-h-transducer(ilabel_info, tree, model)
+  HCLGa= minimizeencoded(rmepslocal(rmsymbols(determinizestar(Ha ∘ CLG))))
+  HCLG = add-self-loops(HCLGa, self_loop_scale)
+
+Training graphs run the same pipeline with G = linear acceptor over the
+transcript (optional silence comes from L), with transition_scale=1.0 and
+self_loop_scale defaulting to the training convention.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from old_kaldi_git_tpu.fst.algorithms import (
+    compose,
+    determinize_star,
+    minimize_encoded,
+    push_special,
+    remove_eps_local,
+    rm_symbols,
+)
+from old_kaldi_git_tpu.fst.context import compose_context
+from old_kaldi_git_tpu.fst.lang import Lang
+from old_kaldi_git_tpu.fst.vector_fst import VectorFst, linear_fst
+from old_kaldi_git_tpu.hmm.hmm_utils import add_self_loops, make_h_transducer
+from old_kaldi_git_tpu.hmm.transition_model import TransitionModel
+from old_kaldi_git_tpu.tree.context_dep import ContextDependency
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
+
+log = get_logger("graph")
+
+
+def _build_lg(lang: Lang, g: VectorFst, use_push: bool = True) -> VectorFst:
+    l_fst = lang.L_disambig.copy()
+    l_fst.arcsort("olabel")
+    g2 = g.copy()
+    g2.arcsort("ilabel")
+    lg = compose(l_fst, g2)
+    lg = determinize_star(lg, use_log=True)
+    lg = minimize_encoded(lg)
+    if use_push:
+        push_special(lg)
+    return lg
+
+
+def _build_hclg_from_lg(
+    lg: VectorFst,
+    lang: Lang,
+    ctx_dep: ContextDependency,
+    tm: TransitionModel,
+    transition_scale: float,
+    self_loop_scale: float,
+) -> VectorFst:
+    subseq = max(lang.phones.ids()) + 1
+    clg, ilabel_info = compose_context(
+        lg, ctx_dep.N, ctx_dep.P, lang.disambig_phone_ids, subseq
+    )
+    clg.arcsort("ilabel")
+    # translate disambig entries [-ordinal] to window form the H builder
+    # understands (single negative id); it only checks len==1 and <0
+    ha, disambig_tids = make_h_transducer(
+        ilabel_info, ctx_dep, tm, transition_scale
+    )
+    ha.arcsort("olabel")
+    hclga = compose(ha, clg)
+    hclga = determinize_star(hclga)
+    rm_symbols(hclga, disambig_tids, side="input")
+    remove_eps_local(hclga)
+    hclga = minimize_encoded(hclga)
+    hclg = add_self_loops(hclga, tm, self_loop_scale, disambig_tids=())
+    hclg.connect()
+    return hclg
+
+
+def mkgraph(
+    lang: Lang,
+    g: VectorFst,
+    ctx_dep: ContextDependency,
+    tm: TransitionModel,
+    transition_scale: float = 1.0,
+    self_loop_scale: float = 0.1,
+) -> VectorFst:
+    """Full decode-graph build (reference utils/mkgraph.sh)."""
+    lg = _build_lg(lang, g)
+    log.info("mkgraph: LG has %d states / %d arcs", lg.num_states, lg.num_arcs)
+    hclg = _build_hclg_from_lg(lg, lang, ctx_dep, tm, transition_scale, self_loop_scale)
+    log.info("mkgraph: HCLG has %d states / %d arcs", hclg.num_states, hclg.num_arcs)
+    return hclg
+
+
+class GraphCompiler:
+    """Per-utterance training graphs (reference TrainingGraphCompiler)."""
+
+    def __init__(
+        self,
+        lang: Lang,
+        ctx_dep: ContextDependency,
+        tm: TransitionModel,
+        transition_scale: float = 1.0,
+        self_loop_scale: float = 0.1,
+    ):
+        self.lang = lang
+        self.ctx_dep = ctx_dep
+        self.tm = tm
+        self.transition_scale = transition_scale
+        self.self_loop_scale = self_loop_scale
+
+    def compile_graph_from_text(self, words: Sequence[str]) -> VectorFst:
+        missing = [w for w in words if w not in self.lang.words]
+        if missing:
+            raise KaldiError(f"words not in lexicon: {missing}")
+        word_ids = [self.lang.words[w] for w in words]
+        g = linear_fst(word_ids)
+        g.arcsort("ilabel")
+        lg = _build_lg(self.lang, g, use_push=False)
+        return _build_hclg_from_lg(
+            lg, self.lang, self.ctx_dep, self.tm,
+            self.transition_scale, self.self_loop_scale,
+        )
+
+    def compile_graphs(self, transcripts) -> List[VectorFst]:
+        return [self.compile_graph_from_text(t) for t in transcripts]
+
+
+def compile_training_graphs(
+    lang: Lang,
+    ctx_dep: ContextDependency,
+    tm: TransitionModel,
+    transcripts,
+    **kw,
+) -> List[VectorFst]:
+    return GraphCompiler(lang, ctx_dep, tm, **kw).compile_graphs(transcripts)

