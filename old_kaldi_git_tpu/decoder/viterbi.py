@@ -166,70 +166,65 @@ def align_batch(
 # top-K beam decode over a shared graph
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("K", "MD"))
-def _decode_scan(row_ptr, out_deg, tid, pdf, w, ns, start, loglikes,
-                 num_frames, acoustic_scale, beam, K, MD):
-    """Returns (tok_state [B,K], tok_cost [B,K], bp_slot [T,B,K],
-    bp_arc [T,B,K])."""
+@partial(jax.jit, static_argnames=("K", "S"))
+def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
+                 acoustic_scale, beam, K, S):
+    """Dense frame-synchronous beam search: alpha [B, S] over ALL graph
+    states, per frame scatter-min over ALL arcs, then top-K + beam gating.
+
+    No sorts: the expand/dedup of the token-list formulation becomes a
+    dense scatter-min (exactly the alignment kernel) and max-active becomes
+    lax.top_k over states.  Work per frame is O(B·A + B·S), independent of
+    the word-loop fan-out that makes padded per-token expansion blow up.
+    Scales to medium HCLGs (S up to ~1M); huge-LM graphs need the
+    token-sparse variant with flat arc expansion (future work, cf. the GPU
+    decoder literature).
+
+    Returns (tok_state [B,K], tok_cost [B,K], bp_state [T,B,K],
+    bp_arc [T,B,K]): per frame the top-K surviving states, their costs and
+    winning arcs.
+    """
     B, T, P = loglikes.shape
-    tok_state0 = jnp.full((B, K), 0, jnp.int32).at[:, 0].set(start)
-    tok_cost0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
+    A = frm.shape[0]
+    alpha0 = jnp.full((B, S), BIG, jnp.float32).at[:, start].set(0.0)
+    arc_ids = jnp.arange(A, dtype=jnp.int32)
 
-    arange_md = jnp.arange(MD)[None, None, :]  # [1,1,MD]
-
-    def step(carry, inputs):
-        tok_state, tok_cost = carry
+    def step(alpha, inputs):
         ll_t, t = inputs  # [B, P]
-        base = row_ptr[tok_state]  # [B,K]
-        deg = out_deg[tok_state]
-        arc = base[:, :, None] + arange_md  # [B,K,MD]
-        valid = (arange_md < deg[:, :, None]) & (tok_cost < BIG)[:, :, None]
-        arc = jnp.where(valid, arc, 0)
-        a_pdf = pdf[arc]
-        a_w = w[arc]
-        a_ns = ns[arc]
-        ac = acoustic_scale * jnp.take_along_axis(
-            ll_t, a_pdf.reshape(B, -1), axis=1
-        ).reshape(B, K, MD)
-        cand = tok_cost[:, :, None] + a_w - ac
-        cand = jnp.where(valid, cand, BIG)
-        cand_f = cand.reshape(B, K * MD)
-        ns_f = a_ns.reshape(B, K * MD)
-        slot_f = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, MD)).reshape(B, K * MD)
-        arc_f = arc.reshape(B, K * MD)
-        # beam prune
-        best = jnp.min(cand_f, axis=1, keepdims=True)
-        cand_f = jnp.where(cand_f <= best + beam, cand_f, BIG)
-        # dedup by next state: sort by (ns, cost)
-        order = jnp.lexsort((cand_f, jnp.where(cand_f < BIG, ns_f, jnp.int32(2**30))), axis=1)
-        ns_s = jnp.take_along_axis(ns_f, order, axis=1)
-        cand_s = jnp.take_along_axis(cand_f, order, axis=1)
-        slot_s = jnp.take_along_axis(slot_f, order, axis=1)
-        arc_s = jnp.take_along_axis(arc_f, order, axis=1)
-        first = jnp.concatenate(
-            [jnp.ones((B, 1), bool), ns_s[:, 1:] != ns_s[:, :-1]], axis=1
-        )
-        cand_s = jnp.where(first, cand_s, BIG)
-        # top-K by cost
-        neg, idx = jax.lax.top_k(-cand_s, K)
-        new_cost = -neg
-        new_state = jnp.take_along_axis(ns_s, idx, axis=1)
-        new_slot = jnp.take_along_axis(slot_s, idx, axis=1)
-        new_arc = jnp.take_along_axis(arc_s, idx, axis=1)
-        new_state = jnp.where(new_cost < BIG, new_state, 0)
+        ac = acoustic_scale * ll_t[:, pdf]  # [B, A]
+        cand = alpha[:, frm] + w[None, :] - ac
+        cand = jnp.minimum(cand, BIG)
+        new_alpha = jax.vmap(
+            lambda c: jnp.full((S,), BIG, jnp.float32).at[ns].min(c)
+        )(cand)
+        # winning arc per state
+        hit = cand <= new_alpha[:, ns] + 1e-6
+        arc_src = jnp.where(hit & (cand < BIG), arc_ids[None, :], -1)
+        best_arc = jax.vmap(
+            lambda ai: jnp.full((S,), -1, jnp.int32).at[ns].max(ai)
+        )(arc_src)
+        # beam + max-active gating
+        neg_top, top_idx = jax.lax.top_k(-new_alpha, K)  # [B, K]
+        top_cost = -neg_top
+        best = top_cost[:, :1]
+        keep = top_cost <= best + beam
+        top_cost = jnp.where(keep, top_cost, BIG)
+        gated = jax.vmap(
+            lambda ti, tc: jnp.full((S,), BIG, jnp.float32).at[ti].set(tc)
+        )(top_idx, top_cost)
         active = (t < num_frames)[:, None]
-        out_state = jnp.where(active, new_state, tok_state)
-        out_cost = jnp.where(active, new_cost, tok_cost)
-        bp_slot = jnp.where(active, new_slot, -1)
-        bp_arc = jnp.where(active, new_arc, -1)
-        return (out_state, out_cost), (bp_slot.astype(jnp.int32), bp_arc.astype(jnp.int32))
+        alpha_out = jnp.where(active, gated, alpha)
+        bp_state = jnp.where(active & keep, top_idx, -1)
+        bp_arc = jnp.where(
+            active & keep, jnp.take_along_axis(best_arc, top_idx, axis=1), -1
+        )
+        return alpha_out, (bp_state.astype(jnp.int32), bp_arc.astype(jnp.int32))
 
-    (tok_state, tok_cost), (bp_slot, bp_arc) = jax.lax.scan(
-        step,
-        (tok_state0, tok_cost0),
-        (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T)),
+    alpha, (bp_state, bp_arc) = jax.lax.scan(
+        step, alpha0, (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T))
     )
-    return tok_state, tok_cost, bp_slot, bp_arc
+    neg_top, top_idx = jax.lax.top_k(-alpha, K)
+    return top_idx.astype(jnp.int32), -neg_top, bp_state, bp_arc
 
 
 @dataclasses.dataclass
@@ -248,25 +243,25 @@ def decode_batch(
     """Beam-decode a batch of utterances against a shared HCLG."""
     opts = opts or ViterbiOptions()
     B, T, P = loglikes.shape
-    K = min(opts.max_active, graph.num_states)
-    K = max(K, 4)
-    MD = graph.max_out_degree
+    K = max(4, min(opts.max_active, graph.num_states))
     num_frames = np.asarray(num_frames, np.int32)
-    tok_state, tok_cost, bp_slot, bp_arc = _decode_scan(
-        jnp.asarray(graph.row_ptr[:-1]), jnp.asarray(graph.out_degree()),
-        jnp.asarray(graph.tid), jnp.asarray(graph.pdf),
+    frm = np.repeat(
+        np.arange(graph.num_states, dtype=np.int32), graph.out_degree()
+    )
+    fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
+    tok_state, tok_cost, bp_state, bp_arc = _decode_scan(
+        jnp.asarray(frm), jnp.asarray(graph.pdf),
         jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
-        jnp.int32(graph.start), jnp.asarray(loglikes, jnp.float32),
+        graph.start, jnp.asarray(loglikes, jnp.float32),
         jnp.asarray(num_frames), float(opts.acoustic_scale), float(opts.beam),
-        K, MD,
+        K, graph.num_states,
     )
     tok_state = np.asarray(tok_state)
     tok_cost = np.asarray(tok_cost)
-    bp_slot = np.asarray(bp_slot)
+    bp_state = np.asarray(bp_state)
     bp_arc = np.asarray(bp_arc)
 
     results: List[Optional[DecodeResult]] = []
-    fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
     for b in range(B):
         total = tok_cost[b] + fw[tok_state[b]]
         if total.min() >= BIG:
@@ -281,18 +276,31 @@ def decode_batch(
             results.append(None)
             continue
         end_state = int(tok_state[b, slot])
+        state = end_state
         tids: List[int] = []
         words: List[int] = []
+        failed = False
         for t in range(int(num_frames[b]) - 1, -1, -1):
-            arc = int(bp_arc[t, b, slot])
+            slots = bp_state[t, b]
+            matches = np.nonzero(slots == state)[0]
+            if len(matches) == 0:
+                failed = True
+                break
+            arc = int(bp_arc[t, b, matches[0]])
             if arc < 0:
+                failed = True
                 break
             tids.append(int(graph.tid[arc]))
             words.extend(reversed(graph.arc_olabels[arc]))
-            slot = int(bp_slot[t, b, slot])
+            state = int(frm[arc])
+        if failed:
+            results.append(None)
+            continue
         tids.reverse()
         words.reverse()
         if use_final:
             words.extend(graph.final_olabels[end_state])
-        results.append(DecodeResult(words=words, alignment=np.asarray(tids, np.int32), cost=cost))
+        results.append(
+            DecodeResult(words=words, alignment=np.asarray(tids, np.int32), cost=cost)
+        )
     return results

@@ -1,0 +1,88 @@
+"""Neural acoustic-model wrapper with priors.
+
+Parity with reference src/nnet3/am-nnet-simple.h (AmNnetSimple) +
+nnet-am-decodable-simple: holds (model, params, batch stats, priors,
+left/right context); produces pseudo-loglikelihoods
+log p(x|pdf) ∝ log softmax(logits) - log prior for the decoder, batched
+[B, T, num_pdfs] (the array-first decodable contract, SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from old_kaldi_git_tpu.models.tdnn import TdnnConfig, TdnnModel
+from old_kaldi_git_tpu.utils.log import get_logger
+
+log = get_logger("amnnet")
+
+
+@dataclasses.dataclass
+class AmNnet:
+    config: TdnnConfig
+    variables: Dict[str, Any]  # {'params': ..., 'batch_stats': ...}
+    log_priors: Optional[np.ndarray] = None  # [num_pdfs]
+
+    def model(self) -> TdnnModel:
+        return TdnnModel(self.config)
+
+    @staticmethod
+    def init(config: TdnnConfig, seed: int = 0) -> "AmNnet":
+        model = TdnnModel(config)
+        variables = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 8, config.input_dim), jnp.float32),
+            train=False,
+        )
+        return AmNnet(config, jax.tree.map(np.asarray, dict(variables)))
+
+    def set_priors_from_alignment_counts(
+        self, counts: np.ndarray, prior_floor_frac: float = 0.01
+    ) -> None:
+        """Reference sets priors from the train-data pdf occupancy.
+
+        Priors are floored at prior_floor_frac/num_pdfs: dividing by a
+        near-zero prior for a pdf the alignments never visited would hand it
+        an arbitrarily large pseudo-loglike boost (observed: undertrained
+        nets + unvisited silence skip-states decode everything as silence).
+        """
+        p = np.asarray(counts, np.float64) + 0.5
+        p = p / p.sum()
+        p = np.maximum(p, prior_floor_frac / len(p))
+        self.log_priors = np.log(p).astype(np.float32)
+
+    def logits(self, feats: jnp.ndarray) -> jnp.ndarray:
+        model = self.model()
+        return model.apply(self.variables, feats, train=False)
+
+    def loglikes_batch(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, D] → [B, T, num_pdfs] pseudo-loglikes (log-softmax − prior)."""
+        logits = self.logits(jnp.asarray(feats, jnp.float32))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if self.log_priors is not None:
+            logp = logp - jnp.asarray(self.log_priors)
+        return logp
+
+    # -- serialization (framework-native; models are pytrees) -----------------
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "config": self.config,
+                    "variables": jax.tree.map(np.asarray, self.variables),
+                    "log_priors": self.log_priors,
+                },
+                f,
+            )
+
+    @staticmethod
+    def load(path: str) -> "AmNnet":
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        return AmNnet(d["config"], d["variables"], d["log_priors"])

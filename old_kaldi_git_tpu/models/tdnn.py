@@ -1,0 +1,234 @@
+"""TDNN and factored TDNN (TDNN-F) acoustic models.
+
+Parity with reference src/nnet3 component zoo as used by the standard
+recipes (SURVEY.md §2.6): Append/Offset splicing (nnet-descriptor.h) is a
+static time-gather; relu-batchnorm layers (RectifiedLinear + Batchnorm
+components); TDNN-F factorized layers with semi-orthogonal constraint
+(nnet-utils.cc ConstrainOrthonormal) and scaled bypass; LogSoftmax output.
+
+Everything is a flax.linen module over [B, T, D] with static splice offsets;
+XLA fuses the gathers into the matmuls (no nnet3 computation compiler —
+SURVEY.md §7.2 M6 note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def splice(x: jnp.ndarray, offsets: Sequence[int]) -> jnp.ndarray:
+    """Append(Offset(x, o) for o in offsets): [B, T, D] → [B, T, D*len]."""
+    T = x.shape[-2]
+    pieces = []
+    for o in offsets:
+        idx = np.clip(np.arange(T) + o, 0, T - 1)
+        pieces.append(x[..., idx, :])
+    return jnp.concatenate(pieces, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class TdnnLayerSpec:
+    kind: str  # "tdnn" | "tdnnf"
+    dim: int
+    offsets: Tuple[int, ...] = (0,)
+    bottleneck_dim: int = 0  # tdnnf only
+    time_stride: int = 1  # tdnnf: context of the two factors
+    bypass_scale: float = 0.66  # tdnnf
+    dropout: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TdnnConfig:
+    input_dim: int
+    num_outputs: int  # pdfs
+    layers: Tuple[TdnnLayerSpec, ...]
+    final_hidden_dim: int = 0  # prefinal layer (0 = none)
+
+    @property
+    def left_context(self) -> int:
+        return -sum(min(0, min(self._offs(l))) for l in self.layers)
+
+    @property
+    def right_context(self) -> int:
+        return sum(max(0, max(self._offs(l))) for l in self.layers)
+
+    @staticmethod
+    def _offs(l: TdnnLayerSpec) -> Tuple[int, ...]:
+        if l.kind == "tdnnf" and l.time_stride:
+            return (-l.time_stride, 0, l.time_stride)
+        return l.offsets
+
+
+class ReluBatchNorm(nn.Module):
+    """relu-batchnorm-layer: Affine → ReLU → BatchNorm (no scale/offset,
+    like the reference BatchNormComponent)."""
+
+    dim: int
+    offsets: Tuple[int, ...] = (0,)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = splice(x, self.offsets)
+        x = nn.Dense(self.dim, name="affine")(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            use_bias=False,
+            use_scale=False,
+            momentum=0.99,
+            axis_name=None,
+            name="batchnorm",
+        )(x)
+        return x
+
+
+class TdnnfLayer(nn.Module):
+    """Factored TDNN layer (reference TdnnComponent pairs in tdnnf recipes):
+    linear-to-bottleneck with time context (semi-orthogonal), linear back up
+    with time context, ReLU+BatchNorm, scaled residual bypass."""
+
+    dim: int
+    bottleneck_dim: int
+    time_stride: int = 1
+    bypass_scale: float = 0.66
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, dropout_rng=None):
+        ts = self.time_stride
+        down_offsets = (-ts, 0) if ts else (0,)
+        up_offsets = (0, ts) if ts else (0,)
+        y = splice(x, down_offsets)
+        # the "linear" factor, constrained semi-orthogonal during training
+        y = nn.Dense(self.bottleneck_dim, use_bias=False, name="linear")(y)
+        y = splice(y, up_offsets)
+        y = nn.Dense(self.dim, name="affine")(y)
+        y = nn.relu(y)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            use_bias=False,
+            use_scale=False,
+            momentum=0.99,
+            name="batchnorm",
+        )(y)
+        if self.dropout > 0 and train:
+            y = nn.Dropout(self.dropout, deterministic=False)(
+                y, rng=dropout_rng
+            )
+        if x.shape[-1] == self.dim:
+            y = y + self.bypass_scale * x
+        return y
+
+
+class TdnnModel(nn.Module):
+    config: TdnnConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False, dropout_rng=None):
+        x = feats
+        for i, spec in enumerate(self.config.layers):
+            if spec.kind == "tdnn":
+                x = ReluBatchNorm(spec.dim, spec.offsets, name=f"tdnn{i}")(
+                    x, train=train
+                )
+            elif spec.kind == "tdnnf":
+                x = TdnnfLayer(
+                    spec.dim,
+                    spec.bottleneck_dim,
+                    spec.time_stride,
+                    spec.bypass_scale,
+                    spec.dropout,
+                    name=f"tdnnf{i}",
+                )(x, train=train, dropout_rng=dropout_rng)
+            else:
+                raise ValueError(f"unknown layer kind {spec.kind}")
+        if self.config.final_hidden_dim:
+            x = ReluBatchNorm(self.config.final_hidden_dim, (0,), name="prefinal")(
+                x, train=train
+            )
+        x = nn.Dense(self.config.num_outputs, name="output")(x)
+        return x  # raw logits; log-softmax applied by the loss / decodable
+
+
+def make_tdnn(
+    input_dim: int,
+    num_outputs: int,
+    hidden_dim: int = 512,
+    num_layers: int = 5,
+    splice_context: int = 1,
+) -> TdnnConfig:
+    """Plain TDNN à la steps/nnet3 tdnn recipes: interleaved ±context."""
+    layers = []
+    for i in range(num_layers):
+        offs = tuple(range(-splice_context, splice_context + 1)) if i % 2 == 0 else (0,)
+        layers.append(TdnnLayerSpec("tdnn", hidden_dim, offs))
+    return TdnnConfig(input_dim, num_outputs, tuple(layers))
+
+
+def make_tdnnf(
+    input_dim: int,
+    num_outputs: int,
+    hidden_dim: int = 768,
+    bottleneck_dim: int = 96,
+    num_layers: int = 9,
+    time_stride: int = 1,
+) -> TdnnConfig:
+    """TDNN-F stack à la the chain tdnn_1d recipes (first layer time-stride 1,
+    layer 2 stride 0 in some recipes — we keep uniform stride for simplicity)."""
+    layers = [TdnnLayerSpec("tdnn", hidden_dim, (-1, 0, 1))]
+    for _ in range(num_layers - 1):
+        layers.append(
+            TdnnLayerSpec(
+                "tdnnf", hidden_dim, offsets=(0,), bottleneck_dim=bottleneck_dim,
+                time_stride=time_stride,
+            )
+        )
+    return TdnnConfig(input_dim, num_outputs, tuple(layers), final_hidden_dim=hidden_dim)
+
+
+# ---------------------------------------------------------------------------
+# semi-orthogonal constraint (reference nnet-utils.cc ConstrainOrthonormal)
+# ---------------------------------------------------------------------------
+
+def constrain_orthonormal(w: jnp.ndarray, scale: float = 0.0) -> jnp.ndarray:
+    """One step of the constrained-orthonormal update: for M [rows ≤ cols],
+    M ← M - 1/(2σ²) (MMᵀ - σ²I) M where σ² = tr(MMᵀMMᵀ)/tr(MMᵀ) ("floating"
+    scale, reference scale < 0 case used by tdnnf)."""
+    transpose = w.shape[0] > w.shape[1]
+    m = w.T if transpose else w
+    mmt = m @ m.T
+    if scale <= 0.0:
+        trace_mmt = jnp.trace(mmt)
+        trace_mmt2 = jnp.sum(mmt * mmt)
+        sigma2 = trace_mmt2 / jnp.maximum(trace_mmt, 1e-10)
+    else:
+        sigma2 = jnp.asarray(scale * scale, w.dtype)
+    ident = jnp.eye(mmt.shape[0], dtype=w.dtype) * sigma2
+    update = (mmt - ident) @ m
+    m = m - (0.25 / sigma2) * update
+    return m.T if transpose else m
+
+
+def apply_orthonormal_constraints(params, every_name: str = "linear") -> object:
+    """Apply constrain_orthonormal to every kernel under a module named
+    `every_name` (the tdnnf bottleneck factors)."""
+
+    def walk(tree, under_linear=False):
+        if isinstance(tree, dict):
+            return {
+                k: walk(
+                    v, under_linear=(k == every_name) or under_linear
+                )
+                for k, v in tree.items()
+            }
+        if under_linear and hasattr(tree, "ndim") and tree.ndim == 2:
+            return constrain_orthonormal(tree)
+        return tree
+
+    return walk(params)

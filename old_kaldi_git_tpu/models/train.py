@@ -1,0 +1,237 @@
+"""Cross-entropy training for neural acoustic models.
+
+Parity with reference src/nnet3/nnet-training.{h,cc} (NnetTrainer):
+objective = per-frame CE against aligned pdf-ids, max-change clipping
+(per-component and global), momentum, l2 regularization, periodic
+semi-orthogonal re-constraint for TDNN-F factors, objective logging
+(ObjectiveFunctionInfo).
+
+TPU re-design (SURVEY.md §2.8 P3): the reference's parallel-SGD +
+model-averaging over N jobs becomes synchronous data parallelism — ONE
+jitted step over a batch sharded on the mesh "data" axis; XLA inserts the
+gradient psum.  Natural-gradient preconditioning is approximated by Adam by
+default (both whiten per-parameter updates); plain momentum-SGD is available
+for recipe fidelity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from old_kaldi_git_tpu.models.am_nnet import AmNnet
+from old_kaldi_git_tpu.models.tdnn import TdnnModel, apply_orthonormal_constraints
+from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.parse_options import options_dataclass
+
+log = get_logger("nnet-train")
+
+
+@options_dataclass
+class NnetTrainOptions:
+    num_epochs: int = 6
+    minibatch_size: int = 16
+    chunk_width: int = 140
+    initial_lr: float = 1e-3
+    final_lr: float = 1e-4
+    max_param_change: float = 2.0  # global l2 of the update per step
+    max_change_per_component: float = 0.75
+    momentum: float = 0.0
+    l2_regularize: float = 0.0
+    optimizer: str = "adam"  # adam | sgd
+    orthonormal_interval: int = 4  # steps between tdnnf re-constraints
+    seed: int = 0
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["params", "batch_stats", "opt_state", "step"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: int
+
+
+def scale_by_max_change(global_max: float, per_component_max: float):
+    """optax transform applying Kaldi-style max-change clipping to the final
+    update (after learning rate)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        # per-component: top-level modules of the params dict
+        def clip_tree(tree):
+            leaves = jax.tree.leaves(tree)
+            norm = jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves) + 1e-20)
+            scale = jnp.minimum(1.0, per_component_max / norm)
+            return jax.tree.map(lambda l: l * scale, tree)
+
+        if isinstance(updates, dict):
+            updates = {k: clip_tree(v) for k, v in updates.items()}
+        leaves = jax.tree.leaves(updates)
+        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves) + 1e-20)
+        gscale = jnp.minimum(1.0, global_max / gnorm)
+        updates = jax.tree.map(lambda l: l * gscale, updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(opts: NnetTrainOptions, num_steps: int):
+    lr = optax.linear_schedule(opts.initial_lr, opts.final_lr, max(num_steps, 1))
+    if opts.optimizer == "adam":
+        core = optax.scale_by_adam()
+    elif opts.optimizer == "sgd":
+        core = (
+            optax.trace(decay=opts.momentum)
+            if opts.momentum > 0
+            else optax.identity()
+        )
+    else:
+        raise ValueError(f"unknown optimizer {opts.optimizer}")
+    return optax.chain(
+        optax.add_decayed_weights(opts.l2_regularize),
+        core,
+        optax.scale_by_learning_rate(lr),
+        scale_by_max_change(opts.max_param_change, opts.max_change_per_component),
+    )
+
+
+def make_ce_train_step(
+    model: TdnnModel, optimizer
+) -> Callable:
+    """Jitted CE step: (state, feats [B,T,D], labels [B,T], mask [B,T]) →
+    (state, metrics).  Under a data-sharded batch XLA reduces grads with a
+    psum over the mesh automatically."""
+
+    def loss_fn(params, batch_stats, feats, labels, mask):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        denom = jnp.maximum(mask.sum(), 1.0)
+        loss = -(ll * mask).sum() / denom
+        acc = ((jnp.argmax(logits, -1) == labels) * mask).sum() / denom
+        return loss, (mutated["batch_stats"], acc)
+
+    @jax.jit
+    def step(state: TrainState, feats, labels, mask):
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, feats, labels, mask
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            {"loss": loss, "acc": acc},
+        )
+
+    return step
+
+
+def _chunk_batches(
+    feats: Dict[str, np.ndarray],
+    labels: Dict[str, np.ndarray],
+    chunk: int,
+    batch: int,
+    rng: np.random.Generator,
+):
+    """Cut utterances into fixed chunks (the egs model: reference
+    nnet3-get-egs + ExampleMerger minibatching by matched shapes)."""
+    keys = sorted(feats)
+    pieces = []
+    for k in keys:
+        f, l = feats[k], labels[k]
+        t = min(len(l), f.shape[0])
+        for s in range(0, t, chunk):
+            e = min(s + chunk, t)
+            if e - s < chunk // 2 and s > 0:
+                # merge short tail into previous chunk window
+                s = max(0, e - chunk)
+            pieces.append((k, s, e))
+    rng.shuffle(pieces)
+    D = next(iter(feats.values())).shape[1]
+    for i in range(0, len(pieces), batch):
+        group = pieces[i : i + batch]
+        B = len(group)
+        bf = np.zeros((B, chunk, D), np.float32)
+        bl = np.zeros((B, chunk), np.int32)
+        bm = np.zeros((B, chunk), np.float32)
+        for j, (k, s, e) in enumerate(group):
+            n = e - s
+            bf[j, :n] = feats[k][s:e]
+            bl[j, :n] = labels[k][s:e]
+            bm[j, :n] = 1.0
+        yield bf, bl, bm
+
+
+def train_ce(
+    am: AmNnet,
+    feats: Dict[str, np.ndarray],
+    pdf_labels: Dict[str, np.ndarray],
+    opts: Optional[NnetTrainOptions] = None,
+    valid_frac: float = 0.1,
+) -> AmNnet:
+    """Train the AmNnet with cross-entropy on aligned pdf labels."""
+    opts = opts or NnetTrainOptions()
+    rng = np.random.default_rng(opts.seed)
+    model = am.model()
+    num_chunks = sum(
+        max(1, feats[k].shape[0] // opts.chunk_width) for k in feats
+    )
+    steps_per_epoch = max(1, num_chunks // opts.minibatch_size)
+    optimizer = make_optimizer(opts, steps_per_epoch * opts.num_epochs)
+    params = am.variables["params"]
+    batch_stats = am.variables.get("batch_stats", {})
+    state = TrainState(params, batch_stats, optimizer.init(params), 0)
+    step_fn = make_ce_train_step(model, optimizer)
+
+    for epoch in range(opts.num_epochs):
+        losses, accs = [], []
+        for bf, bl, bm in _chunk_batches(
+            feats, pdf_labels, opts.chunk_width, opts.minibatch_size, rng
+        ):
+            state, metrics = step_fn(state, bf, bl, bm)
+            losses.append(float(metrics["loss"]))
+            accs.append(float(metrics["acc"]))
+            if (
+                opts.orthonormal_interval
+                and state.step % opts.orthonormal_interval == 0
+            ):
+                state = TrainState(
+                    apply_orthonormal_constraints(state.params),
+                    state.batch_stats,
+                    state.opt_state,
+                    state.step,
+                )
+        log.info(
+            "epoch %d: CE %.4f acc %.3f (%d steps)",
+            epoch, float(np.mean(losses)), float(np.mean(accs)), len(losses),
+        )
+
+    new_vars = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+    }
+    out = AmNnet(am.config, new_vars, am.log_priors)
+    # priors from label counts (reference: adjust priors from alignments)
+    counts = np.zeros(am.config.num_outputs)
+    for k, l in pdf_labels.items():
+        np.add.at(counts, l, 1.0)
+    out.set_priors_from_alignment_counts(counts)
+    return out

@@ -1,0 +1,88 @@
+"""nnet3-style TDNN training recipe (BASELINE config 3 shape).
+
+Parity with reference steps/nnet3/train_dnn.py: take alignments from a GMM
+system, train a TDNN with cross-entropy on pdf labels, set priors, decode
+with the same HCLG.  The N-job model-averaging loop collapses into one
+data-parallel jitted step (SURVEY.md §2.8 P3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from old_kaldi_git_tpu.decoder.csr import CsrGraph
+from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
+from old_kaldi_git_tpu.fst.lang import Lang
+from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+from old_kaldi_git_tpu.hmm.hmm_utils import alignment_to_pdfs
+from old_kaldi_git_tpu.models.am_nnet import AmNnet
+from old_kaldi_git_tpu.models.tdnn import make_tdnn, make_tdnnf
+from old_kaldi_git_tpu.models.train import NnetTrainOptions, train_ce
+from old_kaldi_git_tpu.utils.log import get_logger
+
+log = get_logger("nnet3")
+
+
+def train_tdnn(
+    gmm_model: AmGmmModel,
+    feats: Dict[str, np.ndarray],
+    alignments: Dict[str, np.ndarray],
+    hidden_dim: int = 256,
+    num_layers: int = 4,
+    factored: bool = False,
+    opts: Optional[NnetTrainOptions] = None,
+) -> AmNnet:
+    """CE-train a TDNN on GMM alignments; pdf ids come from the GMM's tree."""
+    tm = gmm_model.tm
+    num_pdfs = gmm_model.am.num_pdfs
+    input_dim = next(iter(feats.values())).shape[1]
+    labels = {
+        k: np.asarray(alignment_to_pdfs(tm, ali), np.int32)
+        for k, ali in alignments.items()
+        if ali is not None
+    }
+    feats = {k: feats[k] for k in labels}
+    config = (
+        make_tdnnf(input_dim, num_pdfs, hidden_dim, max(32, hidden_dim // 8),
+                   num_layers)
+        if factored
+        else make_tdnn(input_dim, num_pdfs, hidden_dim, num_layers)
+    )
+    am = AmNnet.init(config)
+    log.info(
+        "train_tdnn: %d pdfs, context -%d/+%d, %d utts",
+        num_pdfs, config.left_context, config.right_context, len(labels),
+    )
+    return train_ce(am, feats, labels, opts)
+
+
+def decode_tdnn(
+    am: AmNnet,
+    graph: CsrGraph,
+    lang: Lang,
+    feats: Dict[str, np.ndarray],
+    beam: float = 16.0,
+    max_active: int = 7000,
+    acoustic_scale: float = 1.0,
+) -> Dict[str, List[str]]:
+    """Batched TDNN decode (reference nnet3-latgen-faster, 1-best path).
+    acoustic_scale 1.0 is the nnet3 convention (posteriors / priors)."""
+    keys = sorted(feats)
+    T = max(feats[k].shape[0] for k in keys)
+    D = feats[keys[0]].shape[1]
+    padded = np.zeros((len(keys), T, D), np.float32)
+    nf = np.zeros(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        padded[i, : feats[k].shape[0]] = feats[k]
+        nf[i] = feats[k].shape[0]
+    loglikes = np.asarray(am.loglikes_batch(padded))
+    results = decode_batch(
+        graph, loglikes, nf,
+        ViterbiOptions(beam=beam, max_active=max_active, acoustic_scale=acoustic_scale),
+    )
+    hyps: Dict[str, List[str]] = {}
+    for k, res in zip(keys, results):
+        hyps[k] = [lang.words[w] for w in res.words] if res else []
+    return hyps

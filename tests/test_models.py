@@ -1,0 +1,152 @@
+"""M6 tests: TDNN/TDNN-F modules, constraints, CE training, TDNN E2E."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from old_kaldi_git_tpu.models.am_nnet import AmNnet
+from old_kaldi_git_tpu.models.tdnn import (
+    TdnnConfig,
+    TdnnLayerSpec,
+    constrain_orthonormal,
+    make_tdnn,
+    make_tdnnf,
+    splice,
+)
+from old_kaldi_git_tpu.models.train import (
+    NnetTrainOptions,
+    make_optimizer,
+    scale_by_max_change,
+    train_ce,
+)
+
+
+def test_splice_matches_offsets():
+    x = jnp.asarray(np.arange(5, dtype=np.float32)[None, :, None])
+    out = np.asarray(splice(x, (-1, 0, 1)))
+    assert out.shape == (1, 5, 3)
+    np.testing.assert_array_equal(out[0, 2], [1, 2, 3])
+    np.testing.assert_array_equal(out[0, 0], [0, 0, 1])  # clipped edge
+
+
+def test_tdnn_forward_shapes():
+    config = make_tdnn(13, 50, hidden_dim=32, num_layers=3)
+    am = AmNnet.init(config)
+    x = np.zeros((2, 20, 13), np.float32)
+    out = np.asarray(am.logits(jnp.asarray(x)))
+    assert out.shape == (2, 20, 50)
+    ll = np.asarray(am.loglikes_batch(x))
+    # log-softmax: logsumexp = 0 per frame (no priors yet)
+    np.testing.assert_allclose(
+        np.log(np.exp(ll).sum(-1)), 0.0, atol=1e-4
+    )
+
+
+def test_tdnnf_forward_and_context():
+    config = make_tdnnf(13, 50, hidden_dim=64, bottleneck_dim=16, num_layers=4)
+    assert config.left_context > 0 and config.right_context > 0
+    am = AmNnet.init(config)
+    out = np.asarray(am.logits(jnp.zeros((1, 30, 13))))
+    assert out.shape == (1, 30, 50)
+
+
+def test_constrain_orthonormal_converges():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    for _ in range(30):
+        w = constrain_orthonormal(w)
+    mmt = np.asarray(w @ w.T)
+    # rows orthogonal with common norm
+    sigma2 = np.trace(mmt) / 16
+    np.testing.assert_allclose(mmt, sigma2 * np.eye(16), atol=2e-2 * sigma2)
+
+
+def test_max_change_clipping():
+    tx = scale_by_max_change(global_max=1.0, per_component_max=0.5)
+    updates = {
+        "layer1": {"kernel": jnp.ones((10, 10))},
+        "layer2": {"kernel": jnp.ones((10, 10)) * 0.001},
+    }
+    out, _ = tx.update(updates, tx.init(updates))
+    n1 = float(jnp.linalg.norm(out["layer1"]["kernel"]))
+    assert n1 <= 0.5 + 1e-4
+    total = np.sqrt(sum(float(jnp.sum(jnp.square(l))) for l in jax.tree.leaves(out)))
+    assert total <= 1.0 + 1e-4
+
+
+def test_ce_training_learns():
+    """CE on separable synthetic data: loss decreases, accuracy high."""
+    rng = np.random.default_rng(1)
+    num_pdfs, D = 6, 8
+    means = rng.normal(size=(num_pdfs, D)) * 3
+    feats, labels = {}, {}
+    for u in range(6):
+        # labels constant over 5-frame blocks (phone-like temporal structure)
+        lab = np.repeat(rng.integers(0, num_pdfs, size=12), 5).astype(np.int32)
+        feats[f"u{u}"] = (means[lab] + 0.3 * rng.normal(size=(60, D))).astype(np.float32)
+        labels[f"u{u}"] = lab
+    config = make_tdnn(D, num_pdfs, hidden_dim=32, num_layers=2)
+    am = AmNnet.init(config)
+    opts = NnetTrainOptions(num_epochs=20, minibatch_size=4, chunk_width=30,
+                            initial_lr=3e-3, final_lr=1e-3)
+    trained = train_ce(am, feats, labels, opts)
+    # evaluate frame accuracy
+    x = feats["u0"][None]
+    pred = np.argmax(np.asarray(trained.logits(jnp.asarray(x)))[0], axis=-1)
+    acc = (pred == labels["u0"]).mean()
+    assert acc > 0.9, f"frame accuracy {acc}"
+    assert trained.log_priors is not None
+
+
+def test_amnnet_save_load(tmp_path):
+    config = make_tdnnf(13, 20, hidden_dim=32, bottleneck_dim=8, num_layers=2)
+    am = AmNnet.init(config)
+    am.set_priors_from_alignment_counts(np.ones(20))
+    p = str(tmp_path / "final.nnet")
+    am.save(p)
+    back = AmNnet.load(p)
+    x = np.random.default_rng(0).normal(size=(1, 10, 13)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(back.loglikes_batch(x)), np.asarray(am.loglikes_batch(x)),
+        atol=1e-6,
+    )
+
+
+@pytest.mark.slow
+def test_tdnn_e2e_yesno():
+    """BASELINE config 3 shape: GMM alignments → TDNN CE → decode, WER 0."""
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.nnet3 import decode_tdnn, train_tdnn
+    from old_kaldi_git_tpu.recipes.yesno import compute_feats, make_corpus, make_lang
+    from old_kaldi_git_tpu.recipes.decode import score_hyps
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+
+    train_waves, train_text, test_waves, test_text = make_corpus(24, 8)
+    train_feats = compute_feats(train_waves)
+    test_feats = compute_feats(test_waves)
+    lang = make_lang()
+    gmm_model, alignments = train_mono(
+        train_feats, train_text, lang,
+        MonoTrainOptions(num_iters=10, totgauss=60, realign_iters=(1, 2, 3, 4, 5, 6, 8)),
+    )
+    am = train_tdnn(
+        gmm_model, train_feats, alignments, hidden_dim=64, num_layers=3,
+        opts=NnetTrainOptions(num_epochs=20, minibatch_size=8, chunk_width=50,
+                              initial_lr=5e-3, final_lr=5e-4),
+    )
+    g = make_unigram_grammar_fst(list(train_text.values()), lang.words)
+    topo = gmm_model.tm.topo
+    phones = lang.real_phone_ids
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    hclg = mkgraph(lang, g, cd, gmm_model.tm)
+    csr = fst_to_csr(hclg, gmm_model.tm.tid_to_pdf_array())
+    hyps = decode_tdnn(am, csr, lang, test_feats, beam=20.0)
+    stats = score_hyps(test_text, hyps)
+    assert stats.wer <= 5.0, stats.report()
