@@ -1,0 +1,128 @@
+"""Shared GMM training machinery (align → accumulate → update → mixup loop).
+
+Factored from the mono/triphone/LDA+MLLT/SAT recipes — the loop is identical
+across reference steps/train_{mono,deltas,lda_mllt,sat}.sh; only
+initialization and feature transforms differ (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from old_kaldi_git_tpu.decoder.csr import CsrGraph
+from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, align_batch
+from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm
+from old_kaldi_git_tpu.gmm.mle import (
+    AccumAmDiagGmm,
+    MleDiagGmmOptions,
+    mixup,
+    mle_am_diag_gmm_update,
+)
+from old_kaldi_git_tpu.hmm.hmm_utils import alignment_to_pdfs
+from old_kaldi_git_tpu.hmm.transition_model import TransitionModel
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
+from old_kaldi_git_tpu.utils.parse_options import options_dataclass
+
+log = get_logger("gmm-train")
+
+
+@options_dataclass
+class GmmTrainOptions:
+    num_iters: int = 30
+    max_iter_inc: int = 20
+    totgauss: int = 1000
+    beam: float = 32.0
+    acoustic_scale: float = 0.1
+    realign_iters: Sequence[int] = tuple(range(1, 10)) + (12, 14, 16, 18, 20, 23, 26, 29)
+
+
+def pad_feats(
+    feats: Dict[str, np.ndarray]
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    keys = sorted(feats)
+    T = max(feats[k].shape[0] for k in keys)
+    D = feats[keys[0]].shape[1]
+    out = np.zeros((len(keys), T, D), np.float32)
+    nf = np.zeros(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        t = feats[k].shape[0]
+        out[i, :t] = feats[k]
+        nf[i] = t
+    return keys, out, nf
+
+
+def align_all(
+    am: AmDiagGmm,
+    graphs: Sequence[CsrGraph],
+    feats_padded: np.ndarray,
+    num_frames: np.ndarray,
+    vopts: ViterbiOptions,
+) -> Tuple[List[Optional[np.ndarray]], List[float]]:
+    loglikes = np.asarray(am.loglikes_batch(feats_padded))
+    return align_batch(graphs, loglikes, num_frames, vopts)
+
+
+def gmm_training_loop(
+    am: AmDiagGmm,
+    tm: TransitionModel,
+    graphs: Sequence[CsrGraph],
+    feats: Dict[str, np.ndarray],
+    keys: List[str],
+    feats_padded: np.ndarray,
+    num_frames: np.ndarray,
+    opts: GmmTrainOptions,
+    initial_alignments: Optional[List[Optional[np.ndarray]]] = None,
+) -> Tuple[AmDiagGmm, List[Optional[np.ndarray]]]:
+    """Runs the iterate(align/accumulate/update/mixup) loop in place on
+    (am, tm); returns (final am, final alignments)."""
+    vopts = ViterbiOptions(beam=opts.beam, acoustic_scale=opts.acoustic_scale)
+    alignments: List[Optional[np.ndarray]] = (
+        list(initial_alignments) if initial_alignments is not None else [None] * len(keys)
+    )
+
+    def do_align():
+        new_ali, _ = align_all(am, graphs, feats_padded, num_frames, vopts)
+        ok = sum(1 for a in new_ali if a is not None)
+        if ok == 0:
+            raise KaldiError("all alignments failed")
+        for i, a in enumerate(new_ali):
+            if a is not None:
+                alignments[i] = a
+        log.info("aligned %d/%d utts", ok, len(keys))
+
+    if initial_alignments is None:
+        do_align()
+    cur_gauss = am.num_gauss
+    inc = max(0, opts.totgauss - cur_gauss) // max(opts.max_iter_inc, 1)
+
+    for it in range(opts.num_iters):
+        if it > 0 and it in set(opts.realign_iters):
+            do_align()
+        accs = AccumAmDiagGmm(am)
+        tstats = np.zeros(tm.num_tids + 1)
+        tot_like, tot_frames = 0.0, 0
+        for i, k in enumerate(keys):
+            ali = alignments[i]
+            if ali is None:
+                continue
+            pdfs = alignment_to_pdfs(tm, ali)
+            tot_like += accs.accumulate(am, feats[k], pdfs)
+            tm.accumulate(ali, tstats)
+            tot_frames += len(ali)
+        log.info(
+            "iter %d: avg like/frame %.4f over %d frames (%d gauss)",
+            it, tot_like / max(tot_frames, 1), tot_frames, am.num_gauss,
+        )
+        am = mle_am_diag_gmm_update(am, accs, MleDiagGmmOptions())
+        tm.mle_update(tstats)
+        if it < opts.max_iter_inc and am.num_gauss < opts.totgauss:
+            cur_gauss = min(opts.totgauss, am.num_gauss + inc)
+            am = mixup(am, cur_gauss, occs=accs.occ.sum(axis=1), seed=it)
+
+    do_align_final, _ = align_all(am, graphs, feats_padded, num_frames, vopts)
+    for i, a in enumerate(do_align_final):
+        if a is not None:
+            alignments[i] = a
+    return am, alignments

@@ -99,6 +99,27 @@ def make_corpus(
     return train_waves, train_text, test_waves, test_text
 
 
+def compute_static_feats(waves: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Static 13-dim MFCC + per-utterance CMVN (no deltas) — input for the
+    LDA+MLLT pipeline (reference applies splice+LDA on statics)."""
+    opts = MfccOptions()
+    opts.frame_opts.samp_freq = SAMP_FREQ
+    opts.frame_opts.dither = 0.0
+    mfcc = Mfcc(opts)
+    keys = sorted(waves)
+    max_len = max(waves[k].shape[0] for k in keys)
+    batch = np.zeros((len(keys), max_len), np.float32)
+    for i, k in enumerate(keys):
+        batch[i, : waves[k].shape[0]] = waves[k]
+    feats = np.asarray(mfcc(jnp.asarray(batch)))
+    out = {}
+    for i, k in enumerate(keys):
+        t = mfcc.num_frames(waves[k].shape[0])
+        f = feats[i, :t]
+        out[k] = (f - f.mean(axis=0)).astype(np.float32)
+    return out
+
+
 def compute_feats(waves: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """MFCC (no dither for determinism) + per-utterance CMVN + deltas.
 

@@ -1,0 +1,202 @@
+"""M5 tests: LDA, MLLT, fMLLR units + triphone/LDA+MLLT/SAT E2E."""
+
+import numpy as np
+import pytest
+
+from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, DiagGmm
+from old_kaldi_git_tpu.transform.fmllr import (
+    FmllrAccs,
+    apply_affine_transform,
+    compute_fmllr_transform,
+)
+from old_kaldi_git_tpu.transform.lda import LdaEstimate
+from old_kaldi_git_tpu.transform.mllt import MlltAccs, update_mllt
+
+
+def test_lda_separates_classes():
+    """Two classes separated along one axis; LDA dim-1 must align with it."""
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(500, 5)) * [1, 1, 1, 1, 1]
+    x1 = rng.normal(size=(500, 5)) + [4, 0, 0, 0, 0]
+    lda = LdaEstimate(2, 5)
+    lda.accumulate(x0, np.zeros(500, int))
+    lda.accumulate(x1, np.ones(500, int))
+    a = lda.estimate(2)
+    assert a.shape == (2, 5)
+    # the first discriminant direction is dominated by dim 0
+    d0 = np.abs(a[0]) / np.linalg.norm(a[0])
+    assert d0[0] > 0.8
+    # projected within-class covariance ≈ identity
+    proj = np.concatenate([(x0 - x0.mean(0)) @ a.T, (x1 - x1.mean(0)) @ a.T])
+    cov = np.cov(proj.T)
+    np.testing.assert_allclose(np.diag(cov), 1.0, atol=0.15)
+
+
+def _toy_am(rng, num_pdfs=3, dim=4):
+    pdfs = [
+        DiagGmm(np.ones(1), rng.normal(size=(1, dim)) * 2, 0.5 + rng.random((1, dim)))
+        for _ in range(num_pdfs)
+    ]
+    return AmDiagGmm(pdfs)
+
+
+def test_mllt_identity_when_diag():
+    """Data generated from the model's own diagonal Gaussians → MLLT ≈ I
+    (nothing to gain)."""
+    rng = np.random.default_rng(1)
+    am = _toy_am(rng)
+    feats, pdfs = [], []
+    for pdf in range(3):
+        g = am.pdfs[pdf]
+        feats.append(g.means[0] + np.sqrt(g.vars[0]) * rng.normal(size=(400, 4)))
+        pdfs.append(np.full(400, pdf))
+    feats = np.concatenate(feats)
+    pdfs = np.concatenate(pdfs)
+    accs = MlltAccs(4)
+    accs.accumulate(am, feats, pdfs)
+    m, impr = update_mllt(accs)
+    assert impr < 0.05
+    np.testing.assert_allclose(np.abs(np.diag(m)), 1.0, atol=0.15)
+
+
+def test_mllt_recovers_rotation_gain():
+    """Correlated data (rotated) → MLLT finds a transform with positive gain."""
+    rng = np.random.default_rng(2)
+    am = _toy_am(rng)
+    theta = 0.6
+    rot = np.eye(4)
+    rot[0, 0], rot[0, 1], rot[1, 0], rot[1, 1] = (
+        np.cos(theta), -np.sin(theta), np.sin(theta), np.cos(theta),
+    )
+    feats, pdfs = [], []
+    for pdf in range(3):
+        g = am.pdfs[pdf]
+        raw = np.sqrt(g.vars[0]) * rng.normal(size=(400, 4)) * [2.0, 0.3, 1, 1]
+        feats.append(g.means[0] + raw @ rot.T)
+        pdfs.append(np.full(400, pdf))
+    accs = MlltAccs(4)
+    accs.accumulate(am, np.concatenate(feats), np.concatenate(pdfs))
+    m, impr = update_mllt(accs)
+    assert impr > 0.05
+
+
+def test_fmllr_recovers_affine_shift():
+    """Features shifted+scaled away from the model; fMLLR must undo it and
+    improve the likelihood."""
+    rng = np.random.default_rng(3)
+    am = _toy_am(rng)
+    feats, pdfs = [], []
+    for pdf in range(3):
+        g = am.pdfs[pdf]
+        feats.append(g.means[0] + np.sqrt(g.vars[0]) * rng.normal(size=(300, 4)))
+        pdfs.append(np.full(300, pdf))
+    clean = np.concatenate(feats)
+    pdfs = np.concatenate(pdfs)
+    # corrupt: y = 1.3 x + 0.8
+    corrupted = 1.3 * clean + 0.8
+    accs = FmllrAccs(4)
+    accs.accumulate(am, corrupted, pdfs)
+    w = compute_fmllr_transform(accs, min_count=10.0)
+    assert w is not None
+    restored = apply_affine_transform(corrupted, w)
+    # restored should be close to clean in distribution: compare likelihoods
+    def tot_like(x):
+        return sum(
+            am.pdfs[p].loglikes(x[pdfs == p]).sum() for p in range(3)
+        )
+    assert tot_like(restored) > tot_like(corrupted) + 100
+    # the recovered square part should invert the 1.3 scaling
+    np.testing.assert_allclose(np.diag(w[:, :4]), 1 / 1.3, atol=0.1)
+
+
+@pytest.mark.slow
+def test_triphone_pipeline_e2e():
+    """BASELINE config 2 shape: mono → tri (deltas) → LDA+MLLT → SAT,
+    each stage decodes the synthetic yesno test set at low WER."""
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.decode import DecodeOptions, decode_dataset, score_hyps
+    from old_kaldi_git_tpu.recipes.gmm_common import GmmTrainOptions
+    from old_kaldi_git_tpu.recipes.mono import train_mono
+    from old_kaldi_git_tpu.recipes.triphone import (
+        estimate_fmllr_per_speaker,
+        splice_numpy,
+        train_deltas,
+        train_lda_mllt,
+    )
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats,
+        compute_static_feats,
+        make_corpus,
+        make_lang,
+    )
+    from old_kaldi_git_tpu.transform.fmllr import apply_affine_transform
+
+    train_waves, train_text, test_waves, test_text = make_corpus(24, 8)
+    train_feats = compute_feats(train_waves)
+    test_feats = compute_feats(test_waves)
+    lang = make_lang()
+    fast = GmmTrainOptions(num_iters=8, totgauss=60, realign_iters=(1, 2, 3, 4, 6))
+    mono_model, mono_ali = train_mono(train_feats, train_text, lang, fast)
+
+    # tri1: deltas
+    tri_model, tri_tree, tri_ali = train_deltas(
+        train_feats, train_text, lang, mono_model, mono_ali,
+        num_leaves=60, opts=fast,
+    )
+    assert tri_tree.num_pdfs >= mono_model.am.num_pdfs
+    g = make_unigram_grammar_fst(list(train_text.values()), lang.words)
+    hclg = mkgraph(lang, g, tri_tree, tri_model.tm)
+    csr = fst_to_csr(hclg, tri_model.tm.tid_to_pdf_array())
+    hyps = decode_dataset(tri_model, csr, lang, test_feats, DecodeOptions(beam=20.0))
+    tri_stats = score_hyps(test_text, hyps)
+    assert tri_stats.wer <= 5.0, f"tri1 {tri_stats.report()}"
+
+    # tri2: LDA+MLLT on statics
+    train_static = compute_static_feats(train_waves)
+    test_static = compute_static_feats(test_waves)
+    res = train_lda_mllt(
+        train_static, train_text, lang, tri_model, tri_ali,
+        num_leaves=60, target_dim=20, mllt_iters=(2, 4), opts=fast,
+    )
+    hclg2 = mkgraph(lang, g, res.ctx_dep, res.model.tm)
+    csr2 = fst_to_csr(hclg2, res.model.tm.tid_to_pdf_array())
+    test_lda = {
+        k: (splice_numpy(v) @ res.transform.T).astype(np.float32)
+        for k, v in test_static.items()
+    }
+    hyps2 = decode_dataset(res.model, csr2, lang, test_lda, DecodeOptions(beam=20.0))
+    lda_stats = score_hyps(test_text, hyps2)
+    assert lda_stats.wer <= 5.0, f"tri2b {lda_stats.report()}"
+
+    # fMLLR decode pass (transform estimation on test alignments = unsupervised
+    # two-pass adaptation, reference gmm-est-fmllr decode flow)
+    utt2spk = {k: k.split("_")[0] for k in test_lda}
+    from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions
+    first_pass_ali = {}
+    # align test utts to their own 1-best using decode results as supervision
+    hyp_texts = {k: v for k, v in hyps2.items() if v}
+    from old_kaldi_git_tpu.decoder.graph import GraphCompiler
+    gc = GraphCompiler(lang, res.ctx_dep, res.model.tm)
+    from old_kaldi_git_tpu.recipes.gmm_common import align_all, pad_feats
+    keys, fp, nf = pad_feats({k: test_lda[k] for k in hyp_texts})
+    graphs = [
+        fst_to_csr(gc.compile_graph_from_text(hyp_texts[k]),
+                   res.model.tm.tid_to_pdf_array())
+        for k in keys
+    ]
+    alis, _ = align_all(res.model.am, graphs, fp, nf, ViterbiOptions(beam=32.0))
+    ali_map = {k: a for k, a in zip(keys, alis) if a is not None}
+    transforms = estimate_fmllr_per_speaker(
+        res.model, test_lda, ali_map, utt2spk, min_count=50.0
+    )
+    assert transforms, "no fMLLR transforms estimated"
+    adapted = {
+        k: apply_affine_transform(v, transforms[utt2spk[k]])
+        if utt2spk[k] in transforms else v
+        for k, v in test_lda.items()
+    }
+    hyps3 = decode_dataset(res.model, csr2, lang, adapted, DecodeOptions(beam=20.0))
+    sat_stats = score_hyps(test_text, hyps3)
+    assert sat_stats.wer <= 5.0, f"fmllr decode {sat_stats.report()}"
