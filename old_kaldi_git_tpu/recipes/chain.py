@@ -1,0 +1,277 @@
+"""Chain (LF-MMI) training recipe — BASELINE config 4 shape.
+
+Parity with reference steps/nnet3/chain/train.py + local/chain/run_tdnn.sh
+(SURVEY.md §3.4): GMM alignments → chain topology + tree → phone LM → den
+graph → supervision chunks → LF-MMI training of a TDNN-F → decode with a
+chain graph (self-loop-scale 1.0, acoustic scale 1.0, frame subsampling 3).
+
+The per-iteration job fan-out + nnet3-average of the reference collapses
+into one jitted data-parallel step (SURVEY.md §2.8 P3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from old_kaldi_git_tpu.chain.den_graph import DenominatorGraph, make_denominator_graph
+from old_kaldi_git_tpu.chain.loss import ChainLossOptions, chain_loss
+from old_kaldi_git_tpu.chain.phone_lm import estimate_phone_lm
+from old_kaldi_git_tpu.chain.supervision import (
+    alignment_to_supervision,
+    pad_supervisions,
+)
+from old_kaldi_git_tpu.chain.topology import chain_topology
+from old_kaldi_git_tpu.decoder.csr import CsrGraph, fst_to_csr
+from old_kaldi_git_tpu.decoder.graph import mkgraph
+from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
+from old_kaldi_git_tpu.fst.lang import Lang
+from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+from old_kaldi_git_tpu.hmm.hmm_utils import alignment_to_phones, alignment_to_pdfs
+from old_kaldi_git_tpu.hmm.transition_model import TransitionModel
+from old_kaldi_git_tpu.models.am_nnet import AmNnet
+from old_kaldi_git_tpu.models.tdnn import make_tdnnf
+from old_kaldi_git_tpu.models.train import (
+    NnetTrainOptions,
+    TrainState,
+    make_optimizer,
+)
+from old_kaldi_git_tpu.models.tdnn import apply_orthonormal_constraints
+from old_kaldi_git_tpu.tree.context_dep import (
+    ContextDependency,
+    monophone_context_dependency,
+)
+from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.parse_options import options_dataclass
+
+log = get_logger("chain")
+
+
+@options_dataclass
+class ChainTrainOptions:
+    num_epochs: int = 10
+    minibatch_size: int = 8
+    frame_subsampling_factor: int = 3
+    left_tolerance: int = 5
+    right_tolerance: int = 5
+    phone_lm_order: int = 2
+    hidden_dim: int = 256
+    bottleneck_dim: int = 64
+    num_layers: int = 5
+    initial_lr: float = 1e-3
+    final_lr: float = 1e-4
+    leaky_hmm_coefficient: float = 0.1
+    l2_regularize: float = 5e-5
+    xent_regularize: float = 0.1
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class ChainModel:
+    am: AmNnet
+    ctx_dep: ContextDependency
+    tm: TransitionModel
+    den: DenominatorGraph
+    frame_subsampling_factor: int
+
+
+def build_chain_objects(
+    gmm_model: AmGmmModel,
+    alignments: Dict[str, np.ndarray],
+    lang: Lang,
+    opts: ChainTrainOptions,
+) -> Tuple[ContextDependency, TransitionModel, DenominatorGraph]:
+    """Chain topo/tree (per-phone pdfs), phone LM, denominator graph."""
+    phones = lang.real_phone_ids
+    topo = chain_topology(phones)
+    ctx_dep = monophone_context_dependency(phones, {p: 1 for p in phones})
+    tm = TransitionModel(ctx_dep, topo)
+    phone_seqs = [
+        alignment_to_phones(gmm_model.tm, ali)
+        for ali in alignments.values()
+        if ali is not None
+    ]
+    phone_lm = estimate_phone_lm(phone_seqs, opts.phone_lm_order)
+    den = make_denominator_graph(phone_lm, ctx_dep)
+    return ctx_dep, tm, den
+
+
+def train_chain(
+    gmm_model: AmGmmModel,
+    feats: Dict[str, np.ndarray],
+    alignments: Dict[str, np.ndarray],
+    lang: Lang,
+    opts: Optional[ChainTrainOptions] = None,
+) -> ChainModel:
+    opts = opts or ChainTrainOptions()
+    ctx_dep, tm, den = build_chain_objects(gmm_model, alignments, lang, opts)
+    keys = sorted(k for k, a in alignments.items() if a is not None and k in feats)
+    sups = []
+    sup_keys = []
+    for k in keys:
+        try:
+            sups.append(
+                alignment_to_supervision(
+                    alignments[k], gmm_model.tm, ctx_dep,
+                    opts.frame_subsampling_factor,
+                    opts.left_tolerance, opts.right_tolerance,
+                    den=den,
+                )
+            )
+            sup_keys.append(k)
+        except Exception as e:  # skip pathological utterances
+            log.warning("supervision failed for %s: %s", k, e)
+    pdf_seq, allowed, sup_frames, seq_len, advance_lp = pad_supervisions(sups)
+
+    input_dim = next(iter(feats.values())).shape[1]
+    config = make_tdnnf(
+        input_dim, ctx_dep.num_pdfs, opts.hidden_dim, opts.bottleneck_dim,
+        opts.num_layers,
+    )
+    am = AmNnet.init(config, seed=opts.seed)
+    model = am.model()
+    log.info(
+        "train_chain: %d utts, %d chain pdfs, den %d states/%d arcs",
+        len(sup_keys), ctx_dep.num_pdfs, den.num_states, len(den.pdf),
+    )
+
+    # features padded at the FULL rate; logits subsampled inside the step
+    fsf = opts.frame_subsampling_factor
+    Tfull = max(feats[k].shape[0] for k in sup_keys)
+    Tfull = ((Tfull + fsf - 1) // fsf) * fsf
+    D = input_dim
+    feats_padded = np.zeros((len(sup_keys), Tfull, D), np.float32)
+    # xent targets: hard pdf labels at the subsampled rate
+    Tsub = allowed.shape[1]
+    xent_labels = np.zeros((len(sup_keys), Tsub), np.int32)
+    for i, k in enumerate(sup_keys):
+        t = feats[k].shape[0]
+        feats_padded[i, :t] = feats[k]
+        # chain pdf per frame from the GMM alignment phones
+        seg_phones = alignment_to_phones(gmm_model.tm, alignments[k])
+        from old_kaldi_git_tpu.hmm.hmm_utils import split_to_phones
+
+        frames_phones = []
+        for seg, ph in zip(split_to_phones(gmm_model.tm, alignments[k]), seg_phones):
+            frames_phones.extend([ph] * len(seg))
+        sub = frames_phones[::fsf][:Tsub]
+        for t2, ph in enumerate(sub):
+            xent_labels[i, t2] = ctx_dep.compute([ph], 0)
+
+    loss_opts = ChainLossOptions(
+        leaky_hmm_coefficient=opts.leaky_hmm_coefficient,
+        l2_regularize=opts.l2_regularize,
+        xent_regularize=opts.xent_regularize,
+    )
+    num_steps = opts.num_epochs * max(1, len(sup_keys) // opts.minibatch_size)
+    nnet_opts = NnetTrainOptions(initial_lr=opts.initial_lr, final_lr=opts.final_lr)
+    optimizer = make_optimizer(nnet_opts, num_steps)
+    params = am.variables["params"]
+    state = TrainState(params, am.variables.get("batch_stats", {}),
+                       optimizer.init(params), 0)
+
+    def loss_fn(params, batch_stats, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent):
+        logits_full, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, bf, train=True,
+            mutable=["batch_stats"],
+        )
+        logits = logits_full[:, ::fsf][:, : b_allowed.shape[1]]
+        loss, metrics = chain_loss(
+            logits, den, b_pdf, b_allowed, b_nf, b_sl, b_adv, loss_opts
+        )
+        if loss_opts.xent_regularize > 0:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ll = jnp.take_along_axis(logp, b_xent[..., None], axis=-1)[..., 0]
+            mask = jnp.arange(logits.shape[1])[None, :] < b_nf[:, None]
+            xent = -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+            loss = loss + loss_opts.xent_regularize * xent
+            metrics = {**metrics, "xent": xent}
+        return loss, (mutated["batch_stats"], metrics)
+
+    @jax.jit
+    def step_fn(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent):
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bs, new_opt, state.step + 1), loss, metrics
+
+    rng = np.random.default_rng(opts.seed)
+    order = np.arange(len(sup_keys))
+    B = opts.minibatch_size
+    for epoch in range(opts.num_epochs):
+        rng.shuffle(order)
+        objs, xents = [], []
+        for i in range(0, len(order) - B + 1, B) or [0]:
+            idx = order[i : i + B]
+            if len(idx) < B:
+                continue
+            state, loss, metrics = step_fn(
+                state, feats_padded[idx], pdf_seq[idx], allowed[idx],
+                sup_frames[idx], seq_len[idx], advance_lp[idx], xent_labels[idx],
+            )
+            objs.append(float(metrics["objf"]))
+            xents.append(float(metrics.get("xent", 0.0)))
+            if state.step % 4 == 0:
+                state = TrainState(
+                    apply_orthonormal_constraints(state.params),
+                    state.batch_stats, state.opt_state, state.step,
+                )
+        log.info(
+            "chain epoch %d: objf %.4f xent %.4f (%d steps)",
+            epoch, float(np.mean(objs)) if objs else float("nan"),
+            float(np.mean(xents)) if xents else 0.0, len(objs),
+        )
+
+    out_am = AmNnet(
+        config,
+        {"params": jax.tree.map(np.asarray, state.params),
+         "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
+        None,  # chain models use raw logits, no priors
+    )
+    return ChainModel(out_am, ctx_dep, tm, den, fsf)
+
+
+def make_chain_decode_graph(
+    chain: ChainModel, lang: Lang, g: VectorFst
+) -> CsrGraph:
+    """Chain decode graph: self-loop-scale 1.0 (reference mkgraph for chain)."""
+    hclg = mkgraph(lang, g, chain.ctx_dep, chain.tm, self_loop_scale=1.0)
+    return fst_to_csr(hclg, chain.tm.tid_to_pdf_array())
+
+
+def decode_chain(
+    chain: ChainModel,
+    graph: CsrGraph,
+    lang: Lang,
+    feats: Dict[str, np.ndarray],
+    beam: float = 16.0,
+    max_active: int = 7000,
+    acoustic_scale: float = 1.0,
+) -> Dict[str, List[str]]:
+    keys = sorted(feats)
+    fsf = chain.frame_subsampling_factor
+    T = max(feats[k].shape[0] for k in keys)
+    T = ((T + fsf - 1) // fsf) * fsf
+    D = feats[keys[0]].shape[1]
+    padded = np.zeros((len(keys), T, D), np.float32)
+    nf = np.zeros(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        padded[i, : feats[k].shape[0]] = feats[k]
+        nf[i] = (feats[k].shape[0] + fsf - 1) // fsf
+    logits = np.asarray(chain.am.logits(jnp.asarray(padded)))[:, ::fsf]
+    results = decode_batch(
+        graph, logits, nf,
+        ViterbiOptions(beam=beam, max_active=max_active, acoustic_scale=acoustic_scale),
+    )
+    return {
+        k: ([lang.words[w] for w in res.words] if res else [])
+        for k, res in zip(keys, results)
+    }

@@ -1,0 +1,242 @@
+"""M7 tests: phone LM, den graph, LF-MMI forward passes, chain E2E."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from old_kaldi_git_tpu.chain.den_graph import make_denominator_graph
+from old_kaldi_git_tpu.chain.loss import (
+    ChainLossOptions,
+    chain_loss,
+    denominator_logprob,
+    numerator_logprob,
+)
+from old_kaldi_git_tpu.chain.phone_lm import estimate_phone_lm
+from old_kaldi_git_tpu.chain.supervision import (
+    alignment_to_supervision,
+    pad_supervisions,
+)
+from old_kaldi_git_tpu.chain.topology import chain_topology
+from old_kaldi_git_tpu.fst.algorithms import shortest_path
+from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+
+
+def test_phone_lm_probabilities():
+    seqs = [[1, 2, 3], [1, 2], [1, 3]]
+    lm = estimate_phone_lm(seqs, ngram_order=2)
+    # P(1|<s>) = 1; check best path for "1 2" = P(1)+P(2|1)+P(</s>|2)
+    import math
+
+    w, ils, _ = shortest_path(lm)
+    assert ils[0] == 1
+    # weight of the sequence 1,2: -log(1) - log(2/3) - log(1/2)
+    from old_kaldi_git_tpu.fst.algorithms import _string_weights
+
+    weights = _string_weights(lm, 4, use_log=False)
+    w12 = weights[((1, 2), (1, 2))]
+    assert w12 == pytest.approx(-math.log(1.0) - math.log(2 / 3) - math.log(1 / 2), abs=1e-5)
+
+
+def _toy_chain(num_phones=3):
+    phones = list(range(1, num_phones + 1))
+    cd = monophone_context_dependency(phones, {p: 1 for p in phones})
+    seqs = [[1, 2, 3], [2, 1, 3], [3, 2, 1], [1, 2], [2, 3]]
+    seqs = [[p for p in s if p <= num_phones] for s in seqs]
+    lm = estimate_phone_lm(seqs, 2)
+    den = make_denominator_graph(lm, cd)
+    return phones, cd, den
+
+
+def test_den_graph_structure():
+    phones, cd, den = _toy_chain()
+    assert den.num_states > 0
+    assert len(den.pdf) == len(den.from_state) == len(den.log_prob)
+    # every state has a self-loop
+    loops = set(den.from_state[den.from_state == den.to_state])
+    assert len(loops) == den.num_states
+    # initial distribution normalized
+    np.testing.assert_allclose(np.exp(den.initial_log_probs).sum(), 1.0, atol=1e-4)
+
+
+def test_denominator_logprob_upper_bounds_numerator():
+    """log Z_den >= numerator logprob for any supervision (MMI objf <= 0)."""
+    rng = np.random.default_rng(0)
+    phones, cd, den = _toy_chain()
+    B, T, P = 2, 12, cd.num_pdfs
+    logits = jnp.asarray(rng.normal(size=(B, T, P)).astype(np.float32))
+    nf = jnp.asarray([12, 9])
+    den_lp = denominator_logprob(logits, nf, den, 0.1)
+    assert den_lp.shape == (B,)
+    # numerator: phone seq 1,2,3 forced, carrying the den-graph path weights
+    # (normalization-FST semantics) so num ≤ den must hold exactly
+    phones_seq = (1, 2, 3)
+    pdf_seq = np.asarray([[cd.compute([p], 0) for p in phones_seq]] * B, np.int32)
+    allowed = np.ones((B, T, 3), bool)
+    adv = np.stack([den.numerator_weights(phones_seq)] * B)
+    den_lp0 = denominator_logprob(logits, nf, den, 0.0)  # no leaky
+    num_lp = numerator_logprob(
+        logits, jnp.asarray(pdf_seq), jnp.asarray(allowed), nf,
+        jnp.asarray([3, 3]), jnp.asarray(adv), float(den.loop_log_prob),
+    )
+    assert np.all(np.asarray(num_lp) <= np.asarray(den_lp0) + 1e-3)
+    # leaky-HMM only adds paths: den with leaky >= den without
+    assert np.all(np.asarray(den_lp) >= np.asarray(den_lp0) - 1e-3)
+
+
+def test_numerator_matches_bruteforce():
+    """Numerator forward == explicit path enumeration on a tiny lattice."""
+    rng = np.random.default_rng(1)
+    P, T, L = 4, 4, 2
+    logits = rng.normal(size=(1, T, P)).astype(np.float32)
+    pdf_seq = np.asarray([[0, 2]], np.int32)
+    allowed = np.ones((1, T, L), bool)
+    nf = np.asarray([T])
+    sl = np.asarray([L])
+    got = float(
+        numerator_logprob(
+            jnp.asarray(logits), jnp.asarray(pdf_seq), jnp.asarray(allowed),
+            jnp.asarray(nf), jnp.asarray(sl),
+        )[0]
+    )
+    # brute force: all monotone paths 0..0,1..1 covering T frames
+    import itertools, math
+
+    total = -np.inf
+    for switch in range(1, T):  # first frame of token 1
+        lp = sum(logits[0, t, 0] for t in range(switch)) + sum(
+            logits[0, t, 2] for t in range(switch, T)
+        )
+        total = np.logaddexp(total, lp)
+    assert got == pytest.approx(float(total), abs=1e-3)
+
+
+def test_denominator_matches_bruteforce_no_leaky():
+    """Den forward == brute-force path sum on a tiny den graph."""
+    rng = np.random.default_rng(2)
+    phones, cd, den = _toy_chain(2)
+    P = cd.num_pdfs
+    T = 3
+    logits = rng.normal(size=(1, T, P)).astype(np.float32)
+    got = float(
+        denominator_logprob(
+            jnp.asarray(logits), jnp.asarray([T]), den, leaky_hmm_coefficient=0.0
+        )[0]
+    )
+    # brute force over state sequences
+    S = den.num_states
+    state_pdf = np.zeros(S, np.int32)
+    loops = den.from_state == den.to_state
+    state_pdf[den.from_state[loops]] = den.pdf[loops]
+    trans = np.full((S, S), -np.inf)
+    for f, t, lp in zip(den.from_state, den.to_state, den.log_prob):
+        trans[f, t] = np.logaddexp(trans[f, t], lp)
+    alpha = den.initial_log_probs + logits[0, 0, state_pdf]
+    for t in range(1, T):
+        nxt = np.full(S, -np.inf)
+        for s2 in range(S):
+            terms = alpha + trans[:, s2] + logits[0, t, den.pdf[0] * 0 + state_pdf[s2]]
+            nxt[s2] = np.logaddexp.reduce(terms)
+        alpha = nxt
+    want = float(np.logaddexp.reduce(alpha + den.final_log_probs))
+    assert got == pytest.approx(want, abs=1e-3)
+
+
+def test_chain_gradient_is_occupancy_difference():
+    """d objf/d logits sums to ~0 per frame (γ_num − γ_den both normalized)."""
+    rng = np.random.default_rng(3)
+    phones, cd, den = _toy_chain()
+    P = cd.num_pdfs
+    B, T = 1, 6
+    logits = jnp.asarray(rng.normal(size=(B, T, P)).astype(np.float32))
+    pdf_seq = jnp.asarray([[cd.compute([1], 0), cd.compute([2], 0)]], np.int32)
+    allowed = jnp.ones((B, T, 2), bool)
+    nf, sl = jnp.asarray([T]), jnp.asarray([2])
+
+    def objf(lg):
+        num = numerator_logprob(lg, pdf_seq, allowed, nf, sl)
+        den_lp = denominator_logprob(lg, nf, den, 0.0)
+        return jnp.sum(num - den_lp)
+
+    g = np.asarray(jax.grad(objf)(logits))[0]  # [T, P]
+    np.testing.assert_allclose(g.sum(axis=1), 0.0, atol=1e-3)
+    # finite-difference check on one coordinate
+    eps = 1e-2
+    lp = np.asarray(logits)
+    lp2 = lp.copy()
+    lp2[0, 2, 1] += eps
+    fd = (float(objf(jnp.asarray(lp2))) - float(objf(logits))) / eps
+    assert fd == pytest.approx(g[2, 1], abs=2e-2)
+
+
+def test_supervision_from_alignment():
+    from old_kaldi_git_tpu.fst.lang import Lang, Lexicon
+    from old_kaldi_git_tpu.hmm.topology import HmmTopology
+    from old_kaldi_git_tpu.hmm.transition_model import TransitionModel
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency as mono_cd
+
+    lex = Lexicon.from_dict({"yes": "Y EH S", "no": "N OW"})
+    lang = Lang(lex, silence_phone="SIL")
+    phones = lang.real_phone_ids
+    topo = HmmTopology.standard(phones, silence_phones=[lang.silence_id])
+    cd_gmm = mono_cd(phones, {p: topo.num_pdf_classes(p) for p in phones})
+    tm = TransitionModel(cd_gmm, topo)
+    # synthetic alignment: phone Y for 9 frames, EH for 6
+    y = lang.phones["Y"]
+    eh = lang.phones["EH"]
+
+    def make_seg(phone, frames):
+        ts0 = tm.tuple_to_tstate(phone, 0, cd_gmm.compute([phone], 0))
+        ts1 = tm.tuple_to_tstate(phone, 1, cd_gmm.compute([phone], 1))
+        ts2 = tm.tuple_to_tstate(phone, 2, cd_gmm.compute([phone], 2))
+        seg = [tm.pair_to_tid(ts0, 1)]
+        seg += [tm.self_loop_tid(ts0)] * (frames - 3)
+        seg += [tm.pair_to_tid(ts1, 1), tm.pair_to_tid(ts2, 1)]
+        return seg
+
+    ali = make_seg(y, 9) + make_seg(eh, 6)
+    chain_cd = mono_cd(phones, {p: 1 for p in phones})
+    sup = alignment_to_supervision(ali, tm, chain_cd, 3, 2, 2)
+    assert sup.num_frames == 5
+    assert len(sup.pdf_seq) == 2
+    assert sup.allowed.shape == (5, 2)
+    assert sup.allowed.any(axis=1).all()
+    # token 0 not allowed at the very end
+    assert not sup.allowed[-1, 0]
+
+
+@pytest.mark.slow
+def test_chain_e2e_yesno():
+    """BASELINE config 4 shape: chain LF-MMI on synthetic yesno, low WER."""
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.chain import (
+        ChainTrainOptions,
+        decode_chain,
+        make_chain_decode_graph,
+        train_chain,
+    )
+    from old_kaldi_git_tpu.recipes.decode import score_hyps
+    from old_kaldi_git_tpu.recipes.gmm_common import GmmTrainOptions
+    from old_kaldi_git_tpu.recipes.mono import train_mono
+    from old_kaldi_git_tpu.recipes.yesno import compute_feats, make_corpus, make_lang
+
+    train_waves, train_text, test_waves, test_text = make_corpus(24, 8)
+    train_feats = compute_feats(train_waves)
+    test_feats = compute_feats(test_waves)
+    lang = make_lang()
+    gmm, ali = train_mono(
+        train_feats, train_text, lang,
+        GmmTrainOptions(num_iters=8, totgauss=60, realign_iters=(1, 2, 3, 4, 6)),
+    )
+    chain = train_chain(
+        gmm, train_feats, ali, lang,
+        ChainTrainOptions(num_epochs=40, minibatch_size=8, hidden_dim=128,
+                          bottleneck_dim=32, num_layers=3,
+                          initial_lr=5e-3, final_lr=5e-4),
+    )
+    g = make_unigram_grammar_fst(list(train_text.values()), lang.words)
+    graph = make_chain_decode_graph(chain, lang, g)
+    hyps = decode_chain(chain, graph, lang, test_feats, beam=20.0)
+    stats = score_hyps(test_text, hyps)
+    assert stats.wer == 0.0, stats.report()
