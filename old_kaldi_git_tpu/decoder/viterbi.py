@@ -218,13 +218,16 @@ def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
         bp_arc = jnp.where(
             active & keep, jnp.take_along_axis(best_arc, top_idx, axis=1), -1
         )
-        return alpha_out, (bp_state.astype(jnp.int32), bp_arc.astype(jnp.int32))
+        bp_cost = jnp.where(active & keep, top_cost, BIG)
+        return alpha_out, (
+            bp_state.astype(jnp.int32), bp_arc.astype(jnp.int32), bp_cost
+        )
 
-    alpha, (bp_state, bp_arc) = jax.lax.scan(
+    alpha, (bp_state, bp_arc, bp_cost) = jax.lax.scan(
         step, alpha0, (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T))
     )
     neg_top, top_idx = jax.lax.top_k(-alpha, K)
-    return top_idx.astype(jnp.int32), -neg_top, bp_state, bp_arc
+    return top_idx.astype(jnp.int32), -neg_top, bp_state, bp_arc, bp_cost
 
 
 @dataclasses.dataclass
@@ -232,6 +235,10 @@ class DecodeResult:
     words: List[int]
     alignment: np.ndarray  # tids, [T]
     cost: float
+    # per-frame surviving tokens (for lattice generation): [T, K] state ids
+    # (-1 = dead) and their forward costs
+    frame_states: Optional[np.ndarray] = None
+    frame_costs: Optional[np.ndarray] = None
 
 
 def decode_batch(
@@ -249,7 +256,7 @@ def decode_batch(
         np.arange(graph.num_states, dtype=np.int32), graph.out_degree()
     )
     fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
-    tok_state, tok_cost, bp_state, bp_arc = _decode_scan(
+    tok_state, tok_cost, bp_state, bp_arc, bp_cost = _decode_scan(
         jnp.asarray(frm), jnp.asarray(graph.pdf),
         jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
         graph.start, jnp.asarray(loglikes, jnp.float32),
@@ -260,6 +267,7 @@ def decode_batch(
     tok_cost = np.asarray(tok_cost)
     bp_state = np.asarray(bp_state)
     bp_arc = np.asarray(bp_arc)
+    bp_cost = np.asarray(bp_cost)
 
     results: List[Optional[DecodeResult]] = []
     for b in range(B):
@@ -300,7 +308,11 @@ def decode_batch(
         words.reverse()
         if use_final:
             words.extend(graph.final_olabels[end_state])
+        nf_b = int(num_frames[b])
         results.append(
-            DecodeResult(words=words, alignment=np.asarray(tids, np.int32), cost=cost)
+            DecodeResult(
+                words=words, alignment=np.asarray(tids, np.int32), cost=cost,
+                frame_states=bp_state[:nf_b, b], frame_costs=bp_cost[:nf_b, b],
+            )
         )
     return results

@@ -171,6 +171,15 @@ class Lang:
         else:
             fst.add_arc(start, Arc(EPS, EPS, 0.0, loop))
 
+        if use_disambig:
+            # pass the LM backoff symbol through: phone #0 : word #0
+            # (reference utils/prepare_lang.sh adds this self-loop so
+            # L_disambig ∘ G works with backoff arcs in G)
+            fst.add_arc(
+                loop,
+                Arc(self.disambig_phone_ids[0], self.word_disambig_id, 0.0, loop),
+            )
+
         def phone_id(name: str) -> int:
             if name not in self.phones:
                 raise KaldiError(f"phone {name!r} missing from table")

@@ -1,0 +1,27 @@
+"""Lattices: generation, pruning, N-best, posteriors, rescoring.
+
+Parity with reference src/lat (SURVEY.md §2.5): raw lattice generation from
+the batched decoder's per-frame token sets, forward-backward pruning
+(lattice-prune), best/N-best paths (lattice-best-path / lattice-nbest),
+arc/word posteriors (lattice-to-post), word-level determinization
+(lattice-determinize: tropical determinization of the word→tid transducer),
+confusion networks / MBR (lattice-mbr-decode, simplified), and N-best LM
+rescoring (lattice-lmrescore with old-LM subtraction).
+
+Graph and acoustic costs are kept separate on every arc so LM-weight sweeps
+(the reference's scoring LMWT loop) work after decoding.
+"""
+
+from old_kaldi_git_tpu.lat.lattice import (
+    Lattice,
+    LatticeArc,
+    lattice_from_decode,
+    lattice_best_path,
+    lattice_nbest,
+    lattice_prune,
+    lattice_arc_posteriors,
+    lattice_to_word_fst,
+    lattice_word_posteriors,
+    confusion_network,
+    rescore_nbest,
+)

@@ -73,3 +73,73 @@ def score_hyps(
     )
     log.info("scoring: %s", stats.report())
     return stats
+
+
+def decode_dataset_with_lattices(
+    model: AmGmmModel,
+    graph: CsrGraph,
+    lang: Lang,
+    feats: Dict[str, np.ndarray],
+    opts: Optional[DecodeOptions] = None,
+    lattice_beam: float = 10.0,
+):
+    """Batched decode keeping lattices (reference gmm-latgen-faster):
+    returns {utt: Lattice}."""
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch
+    from old_kaldi_git_tpu.lat.lattice import lattice_from_decode
+
+    opts = opts or DecodeOptions()
+    keys = sorted(feats)
+    T = max(feats[k].shape[0] for k in keys)
+    D = feats[keys[0]].shape[1]
+    padded = np.zeros((len(keys), T, D), np.float32)
+    nf = np.zeros(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        padded[i, : feats[k].shape[0]] = feats[k]
+        nf[i] = feats[k].shape[0]
+    loglikes = np.asarray(model.am.loglikes_batch(padded))
+    results = decode_batch(
+        graph, loglikes, nf,
+        ViterbiOptions(beam=opts.beam, max_active=opts.max_active,
+                       acoustic_scale=opts.acoustic_scale),
+    )
+    lats = {}
+    for i, (k, res) in enumerate(zip(keys, results)):
+        if res is None or res.frame_states is None:
+            log.warning("no lattice for %s", k)
+            continue
+        lat = lattice_from_decode(
+            graph, loglikes[i, : nf[i]], res.frame_states, res.frame_costs,
+            opts.acoustic_scale, lattice_beam,
+        )
+        if lat is not None:
+            lats[k] = lat
+    return lats
+
+
+def score_lattices_sweep(
+    lattices,
+    lang: Lang,
+    ref_text: Dict[str, Sequence[str]],
+    acoustic_scale: float = 0.1,
+    lm_scales: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 2.0),
+) -> Tuple[float, EditStats]:
+    """LM-weight sweep over lattice best paths (reference local/score.sh
+    LMWT 7..17 loop, expressed as lm_scale relative to the decode scales).
+    Returns (best lm_scale, stats at best)."""
+    from old_kaldi_git_tpu.lat.lattice import lattice_best_path
+
+    best = None
+    for lms in lm_scales:
+        hyps = {}
+        for k, lat in lattices.items():
+            words, _, _ = lattice_best_path(lat, lm_scale=lms, ac_scale=acoustic_scale)
+            hyps[k] = [lang.words[w] for w in words]
+        stats = compute_wer(
+            {k: list(v) for k, v in ref_text.items()},
+            {k: list(v) for k, v in hyps.items()},
+        )
+        if best is None or stats.wer < best[1].wer:
+            best = (lms, stats)
+    log.info("sweep best: lm_scale=%.2f %s", best[0], best[1].report())
+    return best
