@@ -167,6 +167,15 @@ def align_batch(
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("K", "S"))
+def _decode_scan_from(frm, pdf, w, ns, alpha0, loglikes, num_frames,
+                      acoustic_scale, beam, K, S):
+    """Like _decode_scan but starting from a given alpha [B, S] — the
+    streaming decoder's carried beam state (reference AdvanceDecoding)."""
+    return _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
+                             acoustic_scale, beam, K, S)
+
+
+@partial(jax.jit, static_argnames=("K", "S"))
 def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
                  acoustic_scale, beam, K, S):
     """Dense frame-synchronous beam search: alpha [B, S] over ALL graph
@@ -184,9 +193,16 @@ def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
     bp_arc [T,B,K]): per frame the top-K surviving states, their costs and
     winning arcs.
     """
+    B = loglikes.shape[0]
+    alpha0 = jnp.full((B, S), BIG, jnp.float32).at[:, start].set(0.0)
+    return _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
+                             acoustic_scale, beam, K, S)
+
+
+def _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
+                      acoustic_scale, beam, K, S):
     B, T, P = loglikes.shape
     A = frm.shape[0]
-    alpha0 = jnp.full((B, S), BIG, jnp.float32).at[:, start].set(0.0)
     arc_ids = jnp.arange(A, dtype=jnp.int32)
 
     def step(alpha, inputs):
@@ -227,7 +243,32 @@ def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
         step, alpha0, (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T))
     )
     neg_top, top_idx = jax.lax.top_k(-alpha, K)
-    return top_idx.astype(jnp.int32), -neg_top, bp_state, bp_arc, bp_cost
+    return top_idx.astype(jnp.int32), -neg_top, bp_state, bp_arc, bp_cost, alpha
+
+
+@jax.jit
+def _backtrace_scan(bp_state, bp_arc, frm, end_state, num_frames):
+    """On-device backtrace: walk the winning-arc chain backwards for every
+    utterance at once.  Transfers only [T, B] arc ids to the host instead of
+    the full [T, B, K] backpointer tensors (the device link may be a slow
+    tunnel: 200 MB of backpointers once took 30 s to fetch)."""
+    T = bp_state.shape[0]
+
+    def step(state, inputs):
+        bps_t, bpa_t, t = inputs  # [B, K], [B, K]
+        match = bps_t == state[:, None]
+        slot = jnp.argmax(match, axis=1)
+        found = jnp.take_along_axis(match, slot[:, None], 1)[:, 0]
+        arc = jnp.take_along_axis(bpa_t, slot[:, None], 1)[:, 0]
+        active = (t < num_frames) & found & (arc >= 0)
+        arc_out = jnp.where(active, arc, -1)
+        new_state = jnp.where(active, frm[jnp.maximum(arc, 0)], state)
+        return new_state, arc_out
+
+    _, arcs_rev = jax.lax.scan(
+        step, end_state, (bp_state, bp_arc, jnp.arange(T)), reverse=True
+    )
+    return arcs_rev  # [T, B], -1 on inactive/failed frames
 
 
 @dataclasses.dataclass
@@ -246,8 +287,14 @@ def decode_batch(
     loglikes: np.ndarray,
     num_frames: Sequence[int],
     opts: Optional[ViterbiOptions] = None,
+    want_lattice: bool = False,
 ) -> List[Optional[DecodeResult]]:
-    """Beam-decode a batch of utterances against a shared HCLG."""
+    """Beam-decode a batch of utterances against a shared HCLG.
+
+    The backtrace runs on device; only [T, B] winning-arc ids come back to
+    the host.  want_lattice=True additionally fetches the full per-frame
+    token sets (expensive over a slow device link) for lattice generation.
+    """
     opts = opts or ViterbiOptions()
     B, T, P = loglikes.shape
     K = max(4, min(opts.max_active, graph.num_states))
@@ -256,63 +303,60 @@ def decode_batch(
         np.arange(graph.num_states, dtype=np.int32), graph.out_degree()
     )
     fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
-    tok_state, tok_cost, bp_state, bp_arc, bp_cost = _decode_scan(
-        jnp.asarray(frm), jnp.asarray(graph.pdf),
+    nf_dev = jnp.asarray(num_frames)
+    frm_dev = jnp.asarray(frm)
+    tok_state, tok_cost, bp_state, bp_arc, bp_cost, _alpha = _decode_scan(
+        frm_dev, jnp.asarray(graph.pdf),
         jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
         graph.start, jnp.asarray(loglikes, jnp.float32),
-        jnp.asarray(num_frames), float(opts.acoustic_scale), float(opts.beam),
+        nf_dev, float(opts.acoustic_scale), float(opts.beam),
         K, graph.num_states,
     )
-    tok_state = np.asarray(tok_state)
-    tok_cost = np.asarray(tok_cost)
-    bp_state = np.asarray(bp_state)
-    bp_arc = np.asarray(bp_arc)
-    bp_cost = np.asarray(bp_cost)
+    # pick the best-final (or best overall) end token per utterance on host
+    tok_state_h = np.asarray(tok_state)
+    tok_cost_h = np.asarray(tok_cost)
+    end_states = np.zeros(B, np.int32)
+    costs = np.zeros(B, np.float64)
+    use_final = np.zeros(B, bool)
+    dead = np.zeros(B, bool)
+    for b in range(B):
+        total = tok_cost_h[b] + fw[tok_state_h[b]]
+        if total.min() >= BIG:
+            total = tok_cost_h[b]
+        else:
+            use_final[b] = True
+        slot = int(np.argmin(total))
+        costs[b] = float(total[slot])
+        end_states[b] = tok_state_h[b, slot]
+        dead[b] = costs[b] >= BIG
+    arcs = np.asarray(
+        _backtrace_scan(bp_state, bp_arc, frm_dev, jnp.asarray(end_states), nf_dev)
+    )  # [T, B]
+    if want_lattice:
+        bp_state_h = np.asarray(bp_state)
+        bp_cost_h = np.asarray(bp_cost)
 
     results: List[Optional[DecodeResult]] = []
     for b in range(B):
-        total = tok_cost[b] + fw[tok_state[b]]
-        if total.min() >= BIG:
-            # no token reached a final state: fall back to best cost
-            total = tok_cost[b]
-            use_final = False
-        else:
-            use_final = True
-        slot = int(np.argmin(total))
-        cost = float(total[slot])
-        if cost >= BIG:
-            results.append(None)
-            continue
-        end_state = int(tok_state[b, slot])
-        state = end_state
-        tids: List[int] = []
-        words: List[int] = []
-        failed = False
-        for t in range(int(num_frames[b]) - 1, -1, -1):
-            slots = bp_state[t, b]
-            matches = np.nonzero(slots == state)[0]
-            if len(matches) == 0:
-                failed = True
-                break
-            arc = int(bp_arc[t, b, matches[0]])
-            if arc < 0:
-                failed = True
-                break
-            tids.append(int(graph.tid[arc]))
-            words.extend(reversed(graph.arc_olabels[arc]))
-            state = int(frm[arc])
-        if failed:
-            results.append(None)
-            continue
-        tids.reverse()
-        words.reverse()
-        if use_final:
-            words.extend(graph.final_olabels[end_state])
         nf_b = int(num_frames[b])
+        if dead[b]:
+            results.append(None)
+            continue
+        arc_seq = arcs[:nf_b, b]
+        if (arc_seq < 0).any():
+            results.append(None)
+            continue
+        tids = graph.tid[arc_seq]
+        words: List[int] = []
+        for a in arc_seq:
+            words.extend(graph.arc_olabels[a])
+        if use_final[b]:
+            words.extend(graph.final_olabels[int(end_states[b])])
         results.append(
             DecodeResult(
-                words=words, alignment=np.asarray(tids, np.int32), cost=cost,
-                frame_states=bp_state[:nf_b, b], frame_costs=bp_cost[:nf_b, b],
+                words=words, alignment=tids.astype(np.int32), cost=float(costs[b]),
+                frame_states=bp_state_h[:nf_b, b] if want_lattice else None,
+                frame_costs=bp_cost_h[:nf_b, b] if want_lattice else None,
             )
         )
     return results

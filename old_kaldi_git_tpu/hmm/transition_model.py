@@ -134,6 +134,13 @@ class TransitionModel:
             out[tid] = self.tid_to_pdf(tid)
         return out
 
+    def tid_to_phone_array(self) -> np.ndarray:
+        """[num_tids+1] int32; entry 0 is -1 (epsilon)."""
+        out = np.full(self.num_tids + 1, -1, dtype=np.int32)
+        for tid in range(1, self.num_tids + 1):
+            out[tid] = self.tid_to_phone(tid)
+        return out
+
     # -- MLE update (reference MleUpdate) --------------------------------------
     def accumulate(self, alignment: Sequence[int], stats: np.ndarray) -> np.ndarray:
         """Occupancy per tid.  stats: float64 [num_tids+1]."""

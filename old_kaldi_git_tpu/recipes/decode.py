@@ -102,6 +102,7 @@ def decode_dataset_with_lattices(
         graph, loglikes, nf,
         ViterbiOptions(beam=opts.beam, max_active=opts.max_active,
                        acoustic_scale=opts.acoustic_scale),
+        want_lattice=True,
     )
     lats = {}
     for i, (k, res) in enumerate(zip(keys, results)):

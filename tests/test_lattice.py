@@ -116,7 +116,8 @@ def test_lattice_generation_and_best_path():
     ll = _fake_loglikes(tm, cd, lang, phones, sep=2.0)  # weak separation
     T = ll.shape[0]
     res = decode_batch(
-        csr, ll[None], [T], ViterbiOptions(beam=30.0, max_active=100, acoustic_scale=1.0)
+        csr, ll[None], [T], ViterbiOptions(beam=30.0, max_active=100, acoustic_scale=1.0),
+        want_lattice=True,
     )[0]
     assert res is not None and res.frame_states is not None
     lat = lattice_from_decode(
@@ -137,7 +138,8 @@ def test_lattice_nbest_and_posteriors():
     ll = _fake_loglikes(tm, cd, lang, phones, sep=1.0)  # ambiguous
     T = ll.shape[0]
     res = decode_batch(
-        csr, ll[None], [T], ViterbiOptions(beam=40.0, max_active=200, acoustic_scale=1.0)
+        csr, ll[None], [T], ViterbiOptions(beam=40.0, max_active=200, acoustic_scale=1.0),
+        want_lattice=True,
     )[0]
     lat = lattice_from_decode(
         csr, ll, res.frame_states, res.frame_costs, 1.0, lattice_beam=30.0
@@ -164,7 +166,8 @@ def test_lattice_prune_keeps_best():
     ll = _fake_loglikes(tm, cd, lang, phones, sep=1.5)
     T = ll.shape[0]
     res = decode_batch(
-        csr, ll[None], [T], ViterbiOptions(beam=40.0, max_active=200, acoustic_scale=1.0)
+        csr, ll[None], [T], ViterbiOptions(beam=40.0, max_active=200, acoustic_scale=1.0),
+        want_lattice=True,
     )[0]
     lat = lattice_from_decode(csr, ll, res.frame_states, res.frame_costs, 1.0, 30.0)
     big = lat.num_arcs
