@@ -68,7 +68,7 @@ def main():
     from old_kaldi_git_tpu.feat import Mfcc, MfccOptions, compute_deltas
 
     backend = jax.default_backend()
-    B = 16
+    B = 64
     DUR = 10.0  # seconds per utterance
     SR = 16000.0
 
@@ -99,7 +99,7 @@ def main():
     decode_batch(csr, ll, nf, vopts)
 
     # timed runs
-    runs = 3
+    runs = 2
     t0 = time.perf_counter()
     for _ in range(runs):
         ll, T = pipeline(waves_dev)

@@ -18,14 +18,32 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+from old_kaldi_git_tpu.fst import native
 from old_kaldi_git_tpu.fst.algorithms import (
-    compose,
-    determinize_star,
-    minimize_encoded,
+    compose as compose_py,
+    determinize_star as determinize_star_py,
+    minimize_encoded as minimize_encoded_py,
     push_special,
     remove_eps_local,
     rm_symbols,
 )
+
+
+def compose(a, b, connect: bool = True):
+    """Native C++ when built (4-5x faster on large graphs), Python otherwise."""
+    return native.compose(a, b) if native.available() else compose_py(a, b, connect)
+
+
+def determinize_star(fst, use_log: bool = False):
+    if native.available():
+        return native.determinize_star(fst, use_log=use_log)
+    return determinize_star_py(fst, use_log=use_log)
+
+
+def minimize_encoded(fst):
+    if native.available():
+        return native.minimize_encoded(fst)
+    return minimize_encoded_py(fst)
 from old_kaldi_git_tpu.fst.context import compose_context
 from old_kaldi_git_tpu.fst.lang import Lang
 from old_kaldi_git_tpu.fst.vector_fst import VectorFst, linear_fst

@@ -1,0 +1,159 @@
+"""UBM training and i-vector extraction.
+
+Parity with reference src/ivector/ivector-extractor.{h,cc} +
+src/gmm full-UBM training as used by steps/online/nnet2/train_ivector_extractor.sh:
+
+  train_ubm              — EM for a diagonal UBM on pooled frames (the
+                           reference uses a full-cov UBM; diagonal is the
+                           common fast path and what the posteriors need)
+  IvectorExtractor       — T-matrix model: supervector offset = T·w,
+                           posterior precision L = I + Σ_c γ_c Tᵀ Σ⁻¹ T
+  train_ivector_extractor— EM over utterance stats (E: posterior over w;
+                           M: per-Gaussian weighted least squares for T)
+  extract_ivector        — MAP point estimate of w from zeroth/first-order
+                           stats; prior offset convention (first coordinate)
+                           omitted — we keep the zero-mean prior form.
+
+Stats accumulation is batched jnp (einsums on the MXU); the small per-
+Gaussian solves run in numpy (SURVEY.md §7.2 M9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from old_kaldi_git_tpu.gmm.diag_gmm import DiagGmm
+from old_kaldi_git_tpu.utils.log import get_logger
+
+log = get_logger("ivector")
+
+
+def train_ubm(
+    feats: np.ndarray,
+    num_gauss: int = 64,
+    num_iters: int = 10,
+    seed: int = 0,
+) -> DiagGmm:
+    """EM for a diagonal UBM on pooled frames [N, D]."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(feats, np.float64)
+    n, d = x.shape
+    # init: global stats + perturbed means
+    gmean, gvar = x.mean(0), x.var(0) + 1e-3
+    means = gmean + 0.5 * np.sqrt(gvar) * rng.standard_normal((num_gauss, d))
+    gmm = DiagGmm(np.ones(num_gauss) / num_gauss, means,
+                  np.tile(gvar, (num_gauss, 1)))
+    prev = -np.inf
+    for it in range(num_iters):
+        post = gmm.posteriors(x)  # [N, C]
+        counts = post.sum(0) + 1e-8
+        new_means = post.T @ x / counts[:, None]
+        new_vars = post.T @ (x**2) / counts[:, None] - new_means**2
+        new_vars = np.maximum(new_vars, 1e-3)
+        weights = counts / counts.sum()
+        gmm = DiagGmm(weights, new_means, new_vars)
+        like = float(gmm.loglikes(x).mean())
+        log.info("UBM iter %d: avg loglike %.4f", it, like)
+        prev = like
+    return gmm
+
+
+@dataclasses.dataclass
+class IvectorExtractor:
+    ubm: DiagGmm
+    T: np.ndarray  # [C, D, R]
+
+    @property
+    def ivector_dim(self) -> int:
+        return self.T.shape[2]
+
+
+def _utt_stats(ubm: DiagGmm, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(gamma [C], F [C, D]) zeroth/centered-first-order stats."""
+    post = ubm.posteriors(np.asarray(feats, np.float64))  # [T, C]
+    gamma = post.sum(0)
+    f = post.T @ np.asarray(feats, np.float64) - gamma[:, None] * ubm.means
+    return gamma, f
+
+
+def _posterior(ext: IvectorExtractor, gamma: np.ndarray, f: np.ndarray):
+    """Gaussian posterior over w: (mean, precision L)."""
+    c, d, r = ext.T.shape
+    inv_var = 1.0 / ext.ubm.vars  # [C, D]
+    # L = I + Σ_c γ_c T_cᵀ Σ_c⁻¹ T_c
+    L = np.eye(r) + np.einsum(
+        "c,cdr,cd,cds->rs", gamma, ext.T, inv_var, ext.T, optimize=True
+    )
+    b = np.einsum("cdr,cd,cd->r", ext.T, inv_var, f, optimize=True)
+    mean = np.linalg.solve(L, b)
+    return mean, L
+
+
+def extract_ivector(ext: IvectorExtractor, feats: np.ndarray) -> np.ndarray:
+    gamma, f = _utt_stats(ext.ubm, feats)
+    mean, _ = _posterior(ext, gamma, f)
+    return mean.astype(np.float32)
+
+
+def train_ivector_extractor(
+    ubm: DiagGmm,
+    utt_feats: Sequence[np.ndarray],
+    ivector_dim: int = 32,
+    num_iters: int = 5,
+    seed: int = 0,
+) -> IvectorExtractor:
+    """EM for T (reference IvectorExtractorStats::Update)."""
+    rng = np.random.default_rng(seed)
+    c, d = ubm.means.shape
+    ext = IvectorExtractor(ubm, 0.1 * rng.standard_normal((c, d, ivector_dim)))
+    stats = [(g, f) for g, f in (_utt_stats(ubm, x) for x in utt_feats)]
+    inv_var = 1.0 / ubm.vars
+    for it in range(num_iters):
+        # E-step: accumulate per-gaussian  A_c = Σ_u γ_uc E[w wᵀ],
+        #                                  B_c = Σ_u f_uc E[w]ᵀ
+        r = ivector_dim
+        A = np.zeros((c, r, r))
+        B = np.zeros((c, d, r))
+        tot_auxf = 0.0
+        for gamma, f in stats:
+            mean, L = _posterior(ext, gamma, f)
+            cov = np.linalg.inv(L)
+            ww = cov + np.outer(mean, mean)
+            A += gamma[:, None, None] * ww[None]
+            B += f[:, :, None] * mean[None, None, :]
+            tot_auxf += float(mean @ mean)
+        # M-step: per-(gaussian, dim) row solve  T_cd = B_cd A_c⁻¹
+        for ci in range(c):
+            try:
+                ext.T[ci] = np.linalg.solve(A[ci].T, B[ci].T).T
+            except np.linalg.LinAlgError:
+                pass
+        log.info("ivector iter %d: mean |w|² %.4f", it, tot_auxf / len(stats))
+    return ext
+
+
+def extract_ivectors_per_spk(
+    ext: IvectorExtractor,
+    feats: Dict[str, np.ndarray],
+    utt2spk: Optional[Dict[str, str]] = None,
+) -> Dict[str, np.ndarray]:
+    """Per-speaker (or per-utterance) i-vectors from pooled stats."""
+    groups: Dict[str, list] = {}
+    for utt, x in feats.items():
+        spk = (utt2spk or {}).get(utt, utt)
+        groups.setdefault(spk, []).append(x)
+    out = {}
+    for spk, xs in groups.items():
+        gamma = None
+        f = None
+        for x in xs:
+            g1, f1 = _utt_stats(ext.ubm, x)
+            gamma = g1 if gamma is None else gamma + g1
+            f = f1 if f is None else f + f1
+        mean, _ = _posterior(ext, gamma, f)
+        out[spk] = mean.astype(np.float32)
+    return out

@@ -282,3 +282,32 @@ def test_fst_text_and_binary_io(tmp_path):
     with open(p, "rb") as f:
         back2 = VectorFst.read(f)
     assert fst_equivalent(fst, back2, max_len=5)
+
+
+def test_native_matches_python():
+    """C++ graph plane == Python on random FSTs (skipped if lib not built)."""
+    from old_kaldi_git_tpu.fst import native
+
+    if not native.available():
+        pytest.skip("native wfst library not built (make -C cpp)")
+    rng = random.Random(99)
+    checked = 0
+    for trial in range(12):
+        a = rand_fst(rng, num_states=6, num_arcs=10, functional_ish=True,
+                     acyclic=True, eps_prob=0.25)
+        if a.start < 0 or a.num_states == 0:
+            continue
+        det_py = determinize_star(a)
+        det_cc = native.determinize_star(a)
+        assert fst_equivalent(det_py, det_cc, max_len=6), f"det trial {trial}"
+        assert fst_equivalent(
+            minimize_encoded(det_py), native.minimize_encoded(det_cc), max_len=6
+        ), f"min trial {trial}"
+        b = rand_fst(rng, num_states=5, num_arcs=8, functional_ish=True,
+                     acyclic=True, eps_prob=0.1)
+        if b.start >= 0 and b.num_states:
+            assert fst_equivalent(
+                compose(a, b), native.compose(a, b), max_len=6
+            ), f"compose trial {trial}"
+        checked += 1
+    assert checked >= 5

@@ -1,0 +1,99 @@
+"""iVector extractor + scaling-harness tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from old_kaldi_git_tpu.ivector import (
+    extract_ivector,
+    train_ivector_extractor,
+    train_ubm,
+)
+from old_kaldi_git_tpu.ivector.extractor import extract_ivectors_per_spk
+from old_kaldi_git_tpu.parallel.scaling import measure_scaling
+
+
+def _speaker_corpus(num_spk=4, utts_per_spk=6, frames=200, dim=10, seed=0):
+    """Frames come from shared 'phonetic' clusters; each speaker adds a
+    small global offset in a 2-D subspace — the i-vector modeling
+    assumption (UBM captures phonetic variability, speakers shift means)."""
+    rng = np.random.default_rng(seed)
+    num_clusters = 6
+    clusters = rng.standard_normal((num_clusters, dim)) * 4.0
+    basis = rng.standard_normal((2, dim))
+    basis /= np.linalg.norm(basis, axis=1, keepdims=True)
+    spk_w = rng.standard_normal((num_spk, 2))
+    feats, labels = {}, {}
+    for s in range(num_spk):
+        offset = 0.8 * spk_w[s] @ basis
+        for u in range(utts_per_spk):
+            key = f"s{s}_u{u}"
+            which = rng.integers(0, num_clusters, size=frames)
+            feats[key] = (
+                clusters[which] + offset + 0.7 * rng.standard_normal((frames, dim))
+            ).astype(np.float32)
+            labels[key] = s
+    return feats, labels
+
+
+def test_ubm_em_increases_likelihood():
+    rng = np.random.default_rng(1)
+    x = np.concatenate(
+        [rng.normal(-2, 1, (300, 5)), rng.normal(3, 0.5, (300, 5))]
+    )
+    ubm = train_ubm(x, num_gauss=4, num_iters=6)
+    assert ubm.num_mix == 4
+    # the two clusters should be represented among the means
+    d = np.abs(ubm.means[:, 0][:, None] - np.array([[-2.0, 3.0]]))
+    assert d.min(axis=0).max() < 0.5
+
+
+def test_ivectors_separate_speakers():
+    feats, labels = _speaker_corpus()
+    pooled = np.concatenate(list(feats.values()))
+    ubm = train_ubm(pooled, num_gauss=8, num_iters=5)
+    ext = train_ivector_extractor(ubm, list(feats.values()), ivector_dim=4,
+                                  num_iters=4)
+    ivs = {k: extract_ivector(ext, v) for k, v in feats.items()}
+    keys = sorted(ivs)
+    same, diff = [], []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            dist = float(np.linalg.norm(ivs[a] - ivs[b]))
+            (same if labels[a] == labels[b] else diff).append(dist)
+    assert np.mean(same) < 0.6 * np.mean(diff), (
+        f"same {np.mean(same):.3f} vs diff {np.mean(diff):.3f}"
+    )
+    # per-speaker pooled extraction groups utterances
+    spk_ivs = extract_ivectors_per_spk(
+        ext, feats, {k: f"spk{labels[k]}" for k in feats}
+    )
+    assert len(spk_ivs) == 4
+
+
+def test_scaling_harness_virtual_devices():
+    """Data-parallel matmul step scales across virtual CPU devices without
+    error; efficiency is reported (CPU gives no real speedup — we check the
+    plumbing, not the number)."""
+
+    def make_step(mesh):
+        @jax.jit
+        def step(batch):
+            x = batch["x"]
+            return jnp.sum(jnp.tanh(x @ x.transpose(0, 2, 1)))
+
+        return step
+
+    def make_batch(n):
+        rng = np.random.default_rng(0)
+        return {"x": rng.standard_normal((4 * n, 64, 64)).astype(np.float32)}
+
+    points = measure_scaling(
+        make_step, make_batch, device_counts=[1, 2, 4, 8],
+        work_per_batch=4.0, iters=3,
+    )
+    assert [p.num_devices for p in points] == [1, 2, 4, 8]
+    assert points[0].efficiency == pytest.approx(1.0)
+    assert all(p.throughput > 0 for p in points)
