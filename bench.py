@@ -87,8 +87,8 @@ def main():
 
     def pipeline(waves_dev):
         feats = frontend(waves_dev)
-        ll = am.loglikes_batch(feats)
-        return np.asarray(ll), feats.shape[1]
+        ll = am.loglikes_batch(feats)  # stays on device: decode_batch
+        return ll, feats.shape[1]      # consumes device arrays directly
 
     vopts = ViterbiOptions(beam=14.0, max_active=2000, acoustic_scale=1.0)
 

@@ -199,14 +199,17 @@ def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
                              acoustic_scale, beam, K, S)
 
 
+UNROLL = 4  # frames per scan step: amortizes per-step dispatch latency on
+#             the experimental TPU backend (the recursion stays sequential)
+
+
 def _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
                       acoustic_scale, beam, K, S):
     B, T, P = loglikes.shape
     A = frm.shape[0]
     arc_ids = jnp.arange(A, dtype=jnp.int32)
 
-    def step(alpha, inputs):
-        ll_t, t = inputs  # [B, P]
+    def frame_update(alpha, ll_t, t):
         ac = acoustic_scale * ll_t[:, pdf]  # [B, A]
         cand = alpha[:, frm] + w[None, :] - ac
         cand = jnp.minimum(cand, BIG)
@@ -219,15 +222,23 @@ def _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
         best_arc = jax.vmap(
             lambda ai: jnp.full((S,), -1, jnp.int32).at[ns].max(ai)
         )(arc_src)
-        # beam + max-active gating
-        neg_top, top_idx = jax.lax.top_k(-new_alpha, K)  # [B, K]
-        top_cost = -neg_top
-        best = top_cost[:, :1]
-        keep = top_cost <= best + beam
-        top_cost = jnp.where(keep, top_cost, BIG)
-        gated = jax.vmap(
-            lambda ti, tc: jnp.full((S,), BIG, jnp.float32).at[ti].set(tc)
-        )(top_idx, top_cost)
+        # beam + max-active gating; when K covers all states the top_k sort
+        # is pure overhead — beam-gate the dense alpha directly
+        if K >= S:
+            best = jnp.min(new_alpha, axis=1, keepdims=True)
+            keep = new_alpha <= best + beam
+            gated = jnp.where(keep, new_alpha, BIG)
+            top_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+            top_cost = gated
+        else:
+            neg_top, top_idx = jax.lax.top_k(-new_alpha, K)  # [B, K]
+            top_cost = -neg_top
+            best = top_cost[:, :1]
+            keep = top_cost <= best + beam
+            top_cost = jnp.where(keep, top_cost, BIG)
+            gated = jax.vmap(
+                lambda ti, tc: jnp.full((S,), BIG, jnp.float32).at[ti].set(tc)
+            )(top_idx, top_cost)
         active = (t < num_frames)[:, None]
         alpha_out = jnp.where(active, gated, alpha)
         bp_state = jnp.where(active & keep, top_idx, -1)
@@ -239,9 +250,28 @@ def _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
             bp_state.astype(jnp.int32), bp_arc.astype(jnp.int32), bp_cost
         )
 
-    alpha, (bp_state, bp_arc, bp_cost) = jax.lax.scan(
-        step, alpha0, (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T))
-    )
+    t_pad = (T + UNROLL - 1) // UNROLL * UNROLL
+    ll = jnp.swapaxes(loglikes, 0, 1)  # [T, B, P]
+    if t_pad != T:
+        ll = jnp.pad(ll, ((0, t_pad - T), (0, 0), (0, 0)))
+    ll = ll.reshape(t_pad // UNROLL, UNROLL, B, P)
+    times = jnp.arange(t_pad).reshape(-1, UNROLL)
+
+    def step(alpha, inputs):
+        ll_chunk, t_chunk = inputs  # [UNROLL, B, P], [UNROLL]
+        outs = []
+        for u in range(UNROLL):
+            alpha, out = frame_update(alpha, ll_chunk[u], t_chunk[u])
+            outs.append(out)
+        stacked = tuple(
+            jnp.stack([o[i] for o in outs]) for i in range(3)
+        )
+        return alpha, stacked
+
+    alpha, (bp_state, bp_arc, bp_cost) = jax.lax.scan(step, alpha0, (ll, times))
+    bp_state = bp_state.reshape(t_pad, B, K)[:T]
+    bp_arc = bp_arc.reshape(t_pad, B, K)[:T]
+    bp_cost = bp_cost.reshape(t_pad, B, K)[:T]
     neg_top, top_idx = jax.lax.top_k(-alpha, K)
     return top_idx.astype(jnp.int32), -neg_top, bp_state, bp_arc, bp_cost, alpha
 

@@ -266,7 +266,7 @@ def decode_chain(
     for i, k in enumerate(keys):
         padded[i, : feats[k].shape[0]] = feats[k]
         nf[i] = (feats[k].shape[0] + fsf - 1) // fsf
-    logits = np.asarray(chain.am.logits(jnp.asarray(padded)))[:, ::fsf]
+    logits = chain.am.logits(jnp.asarray(padded))[:, ::fsf]  # device-resident
     results = decode_batch(
         graph, logits, nf,
         ViterbiOptions(beam=beam, max_active=max_active, acoustic_scale=acoustic_scale),

@@ -49,7 +49,7 @@ def decode_dataset(
     for i, k in enumerate(keys):
         padded[i, : feats[k].shape[0]] = feats[k]
         nf[i] = feats[k].shape[0]
-    loglikes = np.asarray(model.am.loglikes_batch(padded))
+    loglikes = model.am.loglikes_batch(padded)  # device-resident
     vopts = ViterbiOptions(
         beam=opts.beam, max_active=opts.max_active, acoustic_scale=opts.acoustic_scale
     )
@@ -97,7 +97,8 @@ def decode_dataset_with_lattices(
     for i, k in enumerate(keys):
         padded[i, : feats[k].shape[0]] = feats[k]
         nf[i] = feats[k].shape[0]
-    loglikes = np.asarray(model.am.loglikes_batch(padded))
+    loglikes = np.asarray(model.am.loglikes_batch(padded))  # host: lattice
+    # reconstruction below needs per-frame scores anyway
     results = decode_batch(
         graph, loglikes, nf,
         ViterbiOptions(beam=opts.beam, max_active=opts.max_active,

@@ -77,7 +77,7 @@ def decode_tdnn(
     for i, k in enumerate(keys):
         padded[i, : feats[k].shape[0]] = feats[k]
         nf[i] = feats[k].shape[0]
-    loglikes = np.asarray(am.loglikes_batch(padded))
+    loglikes = am.loglikes_batch(padded)  # device-resident
     results = decode_batch(
         graph, loglikes, nf,
         ViterbiOptions(beam=beam, max_active=max_active, acoustic_scale=acoustic_scale),

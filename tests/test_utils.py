@@ -162,3 +162,46 @@ def test_data_dir(tmp_path):
     # speakers not split across shards
     for s in shards:
         assert all(d.utt2spk[u] in {d.utt2spk[x] for x in s} for u in s)
+
+
+def test_cli_pipeline(tmp_path):
+    """Shell-style CLI tools compose via pipes (bin/ parity layer)."""
+    import math
+    import subprocess
+    import sys as _sys
+
+    from old_kaldi_git_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(0)
+    scp = tmp_path / "wav.scp"
+    lines = []
+    for i in range(2):
+        t = np.arange(8000) / 16000.0
+        sig = (3000 * np.sin(2 * math.pi * (300 + 200 * i) * t)).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p), sig, 16000.0)
+        lines.append(f"u{i} {p}")
+    scp.write_text("\n".join(lines) + "\n")
+
+    def run(args, **kw):
+        return subprocess.run(
+            [_sys.executable, "-m", "old_kaldi_git_tpu.bin"] + args,
+            check=True, capture_output=True, text=True, cwd=str(tmp_path),
+            env={**os.environ, "PYTHONPATH": os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))},
+            **kw,
+        )
+
+    run(["compute-mfcc-feats", "--dither=0.0", f"scp:{scp}", "ark:mfcc.ark"])
+    run(["compute-cmvn-stats", "ark:mfcc.ark", "ark:cmvn.ark"])
+    run(["apply-cmvn", "ark:cmvn.ark", "ark:mfcc.ark", "ark:norm.ark"])
+    run(["add-deltas", "ark:norm.ark", "ark:final.ark"])
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    feats = read_table(f"ark:{tmp_path}/final.ark", "mat")
+    assert set(feats) == {"u0", "u1"} and feats["u0"].shape[1] == 39
+
+    (tmp_path / "ref.txt").write_text("u0 yes no\nu1 no\n")
+    (tmp_path / "hyp.txt").write_text("u0 yes no\nu1 yes\n")
+    out = run(["compute-wer", "ark:ref.txt", "ark:hyp.txt"])
+    assert "%WER 33.33" in out.stdout
