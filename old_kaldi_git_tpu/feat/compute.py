@@ -49,11 +49,38 @@ def lifter_coeffs(num_ceps: int, q: float) -> np.ndarray:
     return (1.0 + 0.5 * q * np.sin(math.pi * i / q)).astype(np.float32)
 
 
+_DFT_CACHE: dict = {}
+
+
+def _dft_matrices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT as two [N, N//2+1] matmul operands (cos, -sin), cached per N.
+
+    Feature windows are 256-2048 points, so the matmul form runs on the MXU
+    and — unlike jnp.fft.rfft — fuses into the surrounding graph without
+    pathological XLA compile times on the TPU backend (observed 315 s for the
+    fused MFCC graph with rfft vs 2 s with matmuls)."""
+    if n not in _DFT_CACHE:
+        t = np.arange(n)
+        k = np.arange(n // 2 + 1)[:, None]
+        ang = 2.0 * np.pi * k * t / n
+        _DFT_CACHE[n] = (
+            np.cos(ang).astype(np.float32).T,
+            (-np.sin(ang)).astype(np.float32).T,
+        )
+    return _DFT_CACHE[n]
+
+
+def real_spectrum(frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., N] → (real, imag) each [..., N//2+1], rfft semantics via matmul."""
+    cos, msin = _dft_matrices(frames.shape[-1])
+    return frames @ cos, frames @ msin
+
+
 def power_spectrum(frames: jnp.ndarray) -> jnp.ndarray:
     """[..., padded_N] windowed frames → [..., padded_N//2] power spectrum
     (nyquist bin dropped, matching MelBanks)."""
-    spec = jnp.fft.rfft(frames, axis=-1)
-    power = jnp.square(spec.real) + jnp.square(spec.imag)
+    re, im = real_spectrum(frames)
+    power = jnp.square(re) + jnp.square(im)
     return power[..., :-1]
 
 
@@ -177,7 +204,9 @@ class Mfcc(_BaseComputer):
                 self.frame_opts.padded_window_size,
                 vtln_warp,
             )
-            self._mel_cache[vtln_warp] = jnp.asarray(w)
+            # cache host-side: a jnp array materialized under an active jit
+            # trace would be a tracer, leaking into later traces
+            self._mel_cache[vtln_warp] = np.asarray(w, np.float32)
         return self._mel_cache[vtln_warp]
 
     def _compute(self, frames, log_energy):
@@ -214,7 +243,9 @@ class Fbank(_BaseComputer):
                 self.frame_opts.padded_window_size,
                 vtln_warp,
             )
-            self._mel_cache[vtln_warp] = jnp.asarray(w)
+            # cache host-side: a jnp array materialized under an active jit
+            # trace would be a tracer, leaking into later traces
+            self._mel_cache[vtln_warp] = np.asarray(w, np.float32)
         return self._mel_cache[vtln_warp]
 
     def _compute(self, frames, log_energy):
@@ -246,8 +277,8 @@ class Spectrogram(_BaseComputer):
         return self.frame_opts.padded_window_size // 2 + 1
 
     def _compute(self, frames, log_energy):
-        spec = jnp.fft.rfft(frames, axis=-1)
-        power = jnp.square(spec.real) + jnp.square(spec.imag)
+        re, im = real_spectrum(frames)
+        power = jnp.square(re) + jnp.square(im)
         log_power = jnp.log(jnp.maximum(power, EPSILON))
         o = self.opts
         if o.energy_floor > 0.0:
