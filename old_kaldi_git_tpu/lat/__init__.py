@@ -25,3 +25,16 @@ from old_kaldi_git_tpu.lat.lattice import (
     confusion_network,
     rescore_nbest,
 )
+from old_kaldi_git_tpu.lat.determinize import (
+    CompactLattice,
+    CompactLatticeArc,
+    compact_lattice_to_lattice,
+    determinize_lattice,
+    determinize_lattice_pruned,
+)
+from old_kaldi_git_tpu.lat.ctm import (
+    CtmEntry,
+    align_words_lexicon,
+    ctm_from_alignment,
+    lattice_to_ctm_conf,
+)

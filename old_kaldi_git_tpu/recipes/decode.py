@@ -82,10 +82,13 @@ def decode_dataset_with_lattices(
     feats: Dict[str, np.ndarray],
     opts: Optional[DecodeOptions] = None,
     lattice_beam: float = 10.0,
+    determinize: bool = False,
 ):
     """Batched decode keeping lattices (reference gmm-latgen-faster):
-    returns {utt: Lattice}."""
+    returns {utt: Lattice}, or {utt: CompactLattice} when determinize=True
+    (the reference's --determinize-lattice=true default)."""
     from old_kaldi_git_tpu.decoder.viterbi import decode_batch
+    from old_kaldi_git_tpu.lat.determinize import determinize_lattice_pruned
     from old_kaldi_git_tpu.lat.lattice import lattice_from_decode
 
     opts = opts or DecodeOptions()
@@ -115,7 +118,12 @@ def decode_dataset_with_lattices(
             opts.acoustic_scale, lattice_beam,
         )
         if lat is not None:
-            lats[k] = lat
+            if determinize:
+                lats[k] = determinize_lattice_pruned(
+                    lat, lattice_beam, acoustic_scale=opts.acoustic_scale
+                )
+            else:
+                lats[k] = lat
     return lats
 
 
