@@ -26,3 +26,9 @@ from old_kaldi_git_tpu.feat.functions import (
 )
 from old_kaldi_git_tpu.feat.cmvn import acc_cmvn_stats, apply_cmvn
 from old_kaldi_git_tpu.feat.resample import linear_resample
+from old_kaldi_git_tpu.feat.pitch import (
+    PitchOptions,
+    ProcessPitchOptions,
+    compute_kaldi_pitch,
+    process_pitch,
+)

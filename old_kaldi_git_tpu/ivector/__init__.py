@@ -12,3 +12,9 @@ from old_kaldi_git_tpu.ivector.extractor import (
     train_ivector_extractor,
     train_ubm,
 )
+from old_kaldi_git_tpu.ivector.plda import (
+    Plda,
+    PldaStats,
+    estimate_plda,
+)
+from old_kaldi_git_tpu.ivector.vad import VadOptions, compute_vad_energy

@@ -213,3 +213,58 @@ def test_linear_resample():
     corr = np.corrcoef(out[sl], expected[sl])[0, 1]
     assert corr > 0.999
     assert np.abs(out[sl]).max() == pytest.approx(1.0, abs=0.02)
+
+
+def test_pitch_tracks_sine():
+    """Pure tones at known f0 come back within a few Hz; noise gets low POV."""
+    from old_kaldi_git_tpu.feat.pitch import (
+        PitchOptions, compute_kaldi_pitch, pov_probability, process_pitch,
+    )
+
+    sr = 16000.0
+    t = np.arange(int(sr * 1.0)) / sr
+    rng = np.random.default_rng(0)
+    f0s = [100.0, 200.0, 320.0]
+    waves = [np.sin(2 * np.pi * f0 * t).astype(np.float32) * 5000 for f0 in f0s]
+    waves.append(rng.normal(size=t.shape).astype(np.float32) * 500)  # unvoiced
+    batch = np.stack(waves)
+    out = np.asarray(compute_kaldi_pitch(jnp.asarray(batch), PitchOptions()))
+    assert out.shape[0] == 4 and out.shape[2] == 2
+    Tn = out.shape[1]
+    mid = slice(Tn // 4, 3 * Tn // 4)
+    for i, f0 in enumerate(f0s):
+        est = np.median(out[i, mid, 1])
+        assert abs(est - f0) < 0.05 * f0, (f0, est)
+        # voiced: high NCCF
+        assert np.median(out[i, mid, 0]) > 0.8
+    # noise: NCCF clearly lower than tones
+    assert np.median(out[3, mid, 0]) < np.min(
+        [np.median(out[i, mid, 0]) for i in range(3)]
+    )
+    pov = np.asarray(pov_probability(jnp.asarray(out[..., 0])))
+    assert np.median(pov[0, mid]) > np.median(pov[3, mid])
+
+    feats = np.asarray(process_pitch(jnp.asarray(out)))
+    assert feats.shape == (4, Tn, 3)
+    assert np.isfinite(feats).all()
+    # normalized log pitch of a constant tone ~ 0
+    assert abs(np.median(feats[0, mid, 1])) < 0.2
+
+
+def test_pitch_octave_stability():
+    """The Viterbi lag penalty keeps the track from octave-jumping when the
+    NCCF momentarily favors a harmonic."""
+    from old_kaldi_git_tpu.feat.pitch import PitchOptions, compute_kaldi_pitch
+
+    sr = 16000.0
+    t = np.arange(int(sr * 0.8)) / sr
+    # strong 120 Hz + weak burst of 240 Hz in the middle
+    w = np.sin(2 * np.pi * 120 * t)
+    mid = (t > 0.35) & (t < 0.45)
+    w = w + 0.6 * np.sin(2 * np.pi * 240 * t) * mid
+    out = np.asarray(
+        compute_kaldi_pitch(jnp.asarray(w[None].astype(np.float32) * 5000))
+    )
+    Tn = out.shape[1]
+    est = out[0, Tn // 5: 4 * Tn // 5, 1]
+    assert np.percentile(np.abs(est - 120.0), 90) < 15.0
