@@ -14,6 +14,13 @@ from old_kaldi_git_tpu.models.tdnn import (
     constrain_orthonormal,
     make_tdnn,
     make_tdnnf,
+    make_tdnn_attention,
+    make_tdnn_lstm,
+)
+from old_kaldi_git_tpu.models.recurrent import (
+    BlstmpLayer,
+    LstmpLayer,
+    RestrictedAttentionLayer,
 )
 from old_kaldi_git_tpu.models.am_nnet import AmNnet
 from old_kaldi_git_tpu.models.train import (

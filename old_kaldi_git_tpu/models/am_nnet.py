@@ -60,6 +60,30 @@ class AmNnet:
         p = np.maximum(p, prior_floor_frac / len(p))
         self.log_priors = np.log(p).astype(np.float32)
 
+    def set_priors_from_posteriors(
+        self, feats_sample: np.ndarray, num_frames: Optional[np.ndarray] = None
+    ) -> None:
+        """Reference nnet3-adjust-priors / ComputePriors: priors = average
+        model posterior over training data.  Unlike hard alignment counts,
+        every pdf gets its realistic mass under the model, so no pdf picks
+        up a spurious -log-prior boost (hard-count priors give ~zero mass to
+        pdfs the aligner skips — e.g. silence skip states — and decoding
+        then drowns in boosted silence)."""
+        feats_sample = jnp.asarray(feats_sample, jnp.float32)
+        post = jax.nn.softmax(self.logits(feats_sample), axis=-1)  # [B, T, P]
+        if num_frames is not None:
+            T = post.shape[1]
+            mask = (
+                jnp.arange(T)[None, :] < jnp.asarray(num_frames)[:, None]
+            ).astype(post.dtype)
+            post = post * mask[:, :, None]
+            denom = jnp.sum(mask)
+        else:
+            denom = post.shape[0] * post.shape[1]
+        p = np.asarray(jnp.sum(post, axis=(0, 1)) / denom, np.float64)
+        p = np.maximum(p / p.sum(), 1e-8)
+        self.log_priors = np.log(p).astype(np.float32)
+
     def logits(self, feats: jnp.ndarray) -> jnp.ndarray:
         model = self.model()
         return model.apply(self.variables, feats, train=False)

@@ -34,13 +34,20 @@ def splice(x: jnp.ndarray, offsets: Sequence[int]) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class TdnnLayerSpec:
-    kind: str  # "tdnn" | "tdnnf"
-    dim: int
+    kind: str  # "tdnn" | "tdnnf" | "lstmp" | "blstmp" | "attention"
+    dim: int  # output dim (tdnn/tdnnf) or cell dim (lstmp/blstmp)
     offsets: Tuple[int, ...] = (0,)
     bottleneck_dim: int = 0  # tdnnf only
-    time_stride: int = 1  # tdnnf: context of the two factors
+    time_stride: int = 1  # tdnnf: factor context; attention: window stride
     bypass_scale: float = 0.66  # tdnnf
     dropout: float = 0.0
+    recurrent_dim: int = 0  # lstmp/blstmp projection (0 → dim // 4)
+    nonrecurrent_dim: int = 0
+    num_heads: int = 4  # attention
+    key_dim: int = 40
+    value_dim: int = 60
+    num_left_inputs: int = 5
+    num_right_inputs: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +69,13 @@ class TdnnConfig:
     def _offs(l: TdnnLayerSpec) -> Tuple[int, ...]:
         if l.kind == "tdnnf" and l.time_stride:
             return (-l.time_stride, 0, l.time_stride)
+        if l.kind == "attention":
+            return (
+                -l.num_left_inputs * l.time_stride,
+                l.num_right_inputs * l.time_stride,
+            )
+        if l.kind in ("lstmp", "blstmp"):
+            return (0,)  # recurrent context is unbounded, not spliced
         return l.offsets
 
 
@@ -146,6 +160,27 @@ class TdnnModel(nn.Module):
                     spec.dropout,
                     name=f"tdnnf{i}",
                 )(x, train=train, dropout_rng=dropout_rng)
+            elif spec.kind in ("lstmp", "blstmp"):
+                from old_kaldi_git_tpu.models.recurrent import (
+                    BlstmpLayer,
+                    LstmpLayer,
+                )
+
+                rec = spec.recurrent_dim or max(1, spec.dim // 4)
+                cls = LstmpLayer if spec.kind == "lstmp" else BlstmpLayer
+                x = cls(
+                    spec.dim, rec, spec.nonrecurrent_dim, name=f"{spec.kind}{i}"
+                )(x, train=train)
+            elif spec.kind == "attention":
+                from old_kaldi_git_tpu.models.recurrent import (
+                    RestrictedAttentionLayer,
+                )
+
+                x = RestrictedAttentionLayer(
+                    spec.num_heads, spec.key_dim, spec.value_dim,
+                    spec.num_left_inputs, spec.num_right_inputs,
+                    spec.time_stride, name=f"attention{i}",
+                )(x, train=train)
             else:
                 raise ValueError(f"unknown layer kind {spec.kind}")
         if self.config.final_hidden_dim:
@@ -190,6 +225,51 @@ def make_tdnnf(
             )
         )
     return TdnnConfig(input_dim, num_outputs, tuple(layers), final_hidden_dim=hidden_dim)
+
+
+def make_tdnn_lstm(
+    input_dim: int,
+    num_outputs: int,
+    hidden_dim: int = 512,
+    cell_dim: int = 512,
+    recurrent_dim: int = 128,
+    num_blocks: int = 3,
+) -> TdnnConfig:
+    """TDNN-LSTM à la the tdnn_lstm chain recipes: blocks of two spliced
+    TDNN layers followed by an LSTMP layer."""
+    layers: list = [TdnnLayerSpec("tdnn", hidden_dim, (-1, 0, 1))]
+    for _ in range(num_blocks):
+        layers.append(TdnnLayerSpec("tdnn", hidden_dim, (-1, 0, 1)))
+        layers.append(TdnnLayerSpec("tdnn", hidden_dim, (-1, 0, 1)))
+        layers.append(
+            TdnnLayerSpec("lstmp", cell_dim, recurrent_dim=recurrent_dim)
+        )
+    return TdnnConfig(input_dim, num_outputs, tuple(layers))
+
+
+def make_tdnn_attention(
+    input_dim: int,
+    num_outputs: int,
+    hidden_dim: int = 512,
+    num_layers: int = 5,
+    num_heads: int = 4,
+    key_dim: int = 40,
+    value_dim: int = 60,
+) -> TdnnConfig:
+    """TDNN stack with a time-restricted attention layer near the top
+    (reference's attention recipes, RestrictedAttentionComponent)."""
+    layers = [
+        TdnnLayerSpec("tdnn", hidden_dim, (-1, 0, 1)) for _ in range(num_layers - 1)
+    ]
+    layers.append(
+        TdnnLayerSpec(
+            "attention", hidden_dim, num_heads=num_heads, key_dim=key_dim,
+            value_dim=value_dim, num_left_inputs=5, num_right_inputs=2,
+        )
+    )
+    return TdnnConfig(
+        input_dim, num_outputs, tuple(layers), final_hidden_dim=hidden_dim
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -229,9 +229,16 @@ def train_ce(
         "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
     }
     out = AmNnet(am.config, new_vars, am.log_priors)
-    # priors from label counts (reference: adjust priors from alignments)
-    counts = np.zeros(am.config.num_outputs)
-    for k, l in pdf_labels.items():
-        np.add.at(counts, l, 1.0)
-    out.set_priors_from_alignment_counts(counts)
+    # priors from averaged model posteriors over (a sample of) the training
+    # data — reference nnet3-adjust-priors; hard alignment counts leave
+    # aligner-skipped pdfs with ~zero prior and a spurious decode boost
+    keys = sorted(feats)[:64]
+    T = max(feats[k].shape[0] for k in keys)
+    D = feats[keys[0]].shape[1]
+    sample = np.zeros((len(keys), T, D), np.float32)
+    nf = np.zeros(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        sample[i, : feats[k].shape[0]] = feats[k]
+        nf[i] = feats[k].shape[0]
+    out.set_priors_from_posteriors(sample, nf)
     return out

@@ -33,8 +33,12 @@ def train_tdnn(
     num_layers: int = 4,
     factored: bool = False,
     opts: Optional[NnetTrainOptions] = None,
+    config=None,
 ) -> AmNnet:
-    """CE-train a TDNN on GMM alignments; pdf ids come from the GMM's tree."""
+    """CE-train a TDNN on GMM alignments; pdf ids come from the GMM's tree.
+
+    config: any TdnnConfig (e.g. make_tdnn_lstm / make_tdnn_attention)
+    overrides the hidden_dim/num_layers/factored defaults."""
     tm = gmm_model.tm
     num_pdfs = gmm_model.am.num_pdfs
     input_dim = next(iter(feats.values())).shape[1]
@@ -44,12 +48,13 @@ def train_tdnn(
         if ali is not None
     }
     feats = {k: feats[k] for k in labels}
-    config = (
-        make_tdnnf(input_dim, num_pdfs, hidden_dim, max(32, hidden_dim // 8),
-                   num_layers)
-        if factored
-        else make_tdnn(input_dim, num_pdfs, hidden_dim, num_layers)
-    )
+    if config is None:
+        config = (
+            make_tdnnf(input_dim, num_pdfs, hidden_dim,
+                       max(32, hidden_dim // 8), num_layers)
+            if factored
+            else make_tdnn(input_dim, num_pdfs, hidden_dim, num_layers)
+        )
     am = AmNnet.init(config)
     log.info(
         "train_tdnn: %d pdfs, context -%d/+%d, %d utts",

@@ -150,3 +150,125 @@ def test_tdnn_e2e_yesno():
     hyps = decode_tdnn(am, csr, lang, test_feats, beam=20.0)
     stats = score_hyps(test_text, hyps)
     assert stats.wer <= 5.0, stats.report()
+
+
+def test_lstmp_layer_shapes_and_memory():
+    """LSTMP: output shape, and the recurrence actually carries information
+    (an input spike at t=0 influences the last frame)."""
+    import jax
+    from old_kaldi_git_tpu.models.recurrent import BlstmpLayer, LstmpLayer
+
+    layer = LstmpLayer(cell_dim=16, recurrent_dim=8, nonrecurrent_dim=4)
+    x = np.zeros((2, 20, 6), np.float32)
+    x[0, 0] = 5.0  # spike only in batch 0
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = layer.apply(params, jnp.asarray(x))
+    assert y.shape == (2, 20, 12)
+    # batch 0's last frame differs from batch 1's (zero input): memory works
+    assert float(jnp.abs(y[0, -1] - y[1, -1]).max()) > 1e-5
+
+    blayer = BlstmpLayer(cell_dim=8, recurrent_dim=4)
+    yb = blayer.init_with_output(jax.random.PRNGKey(1), jnp.asarray(x))[0]
+    assert yb.shape == (2, 20, 8)
+    # backward direction: a spike at t=-1 reaches frame 0
+    x2 = np.zeros((1, 20, 6), np.float32)
+    x2[0, -1] = 5.0
+    pb = blayer.init(jax.random.PRNGKey(1), jnp.asarray(x2))
+    y2 = blayer.apply(pb, jnp.asarray(x2))
+    y0 = blayer.apply(pb, jnp.zeros_like(jnp.asarray(x2)))
+    assert float(jnp.abs(y2[0, 0] - y0[0, 0]).max()) > 1e-5
+
+
+def test_restricted_attention_window():
+    """Attention only sees its window: moving content outside the window
+    does not change the output at a probe frame."""
+    import jax
+    from old_kaldi_git_tpu.models.recurrent import RestrictedAttentionLayer
+
+    layer = RestrictedAttentionLayer(
+        num_heads=2, key_dim=8, value_dim=8,
+        num_left_inputs=2, num_right_inputs=1, time_stride=1,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 30, 10)).astype(np.float32)
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = layer.apply(params, jnp.asarray(x))
+    assert y.shape[:2] == (1, 30)
+    # perturb a frame far outside [t-2, t+1] of probe t=15
+    x2 = x.copy()
+    x2[0, 25] += 10.0
+    y2 = layer.apply(params, jnp.asarray(x2))
+    assert float(jnp.abs(y2[0, 15] - y[0, 15]).max()) < 1e-5
+    # perturbing inside the window DOES change it
+    x3 = x.copy()
+    x3[0, 14] += 10.0
+    y3 = layer.apply(params, jnp.asarray(x3))
+    assert float(jnp.abs(y3[0, 15] - y[0, 15]).max()) > 1e-4
+
+
+def test_tdnn_lstm_and_attention_models_train():
+    """Mixed TDNN-LSTM and TDNN-attention configs forward + take a grad."""
+    import jax
+    from old_kaldi_git_tpu.models.tdnn import (
+        TdnnModel, make_tdnn_attention, make_tdnn_lstm,
+    )
+
+    for cfg in (
+        make_tdnn_lstm(12, 20, hidden_dim=32, cell_dim=32, recurrent_dim=8,
+                       num_blocks=1),
+        make_tdnn_attention(12, 20, hidden_dim=32, num_layers=2,
+                            num_heads=2, key_dim=8, value_dim=8),
+    ):
+        model = TdnnModel(cfg)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 25, 12)),
+                        jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        logits = model.apply(variables, x)
+        assert logits.shape == (2, 25, 20)
+
+        def loss_fn(params):
+            out = model.apply({"params": params, **{k: v for k, v in
+                               variables.items() if k != "params"}}, x)
+            return jnp.mean(out ** 2)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree.leaves(g)
+        assert all(jnp.isfinite(l).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_tdnn_lstm_e2e_yesno():
+    """Config-3 variant with a TDNN-LSTM acoustic model: 0% WER held-out."""
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.models.tdnn import make_tdnn_lstm
+    from old_kaldi_git_tpu.models.train import NnetTrainOptions
+    from old_kaldi_git_tpu.recipes.decode import score_hyps
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.nnet3 import decode_tdnn, train_tdnn
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats, make_corpus, make_lang,
+    )
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+
+    tw, tt, sw, st = make_corpus(24, 8)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    lang = make_lang()
+    model, ali = train_mono(
+        tf, tt, lang, MonoTrainOptions(num_iters=10, totgauss=80)
+    )
+    dim = next(iter(tf.values())).shape[1]
+    cfg = make_tdnn_lstm(dim, model.am.num_pdfs, hidden_dim=64, cell_dim=64,
+                         recurrent_dim=16, num_blocks=1)
+    am = train_tdnn(model, tf, ali, config=cfg,
+                    opts=NnetTrainOptions(num_epochs=30))
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    phones = lang.real_phone_ids
+    topo = model.tm.topo
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    csr = fst_to_csr(mkgraph(lang, g, cd, model.tm), model.tm.tid_to_pdf_array())
+    stats = score_hyps(st, decode_tdnn(am, csr, lang, sf, beam=20.0))
+    assert stats.wer == 0.0, stats.report()
