@@ -81,11 +81,32 @@ def make_denominator_graph(
     phone's entry.  We realize this by creating one state per LM arc (the
     "phone instance"), connecting instances along LM paths.
     """
-    if ctx_dep.N != 1:
-        # context-dependent den graphs need the full context expansion of the
-        # phone LM; monophone-context trees (incl. per-phone chain trees) take
-        # this fast path.  Triphone chain trees: future work.
-        raise KaldiError("make_denominator_graph currently supports N=1 trees")
+    if ctx_dep.N == 1:
+        def window_of(lm_state: int, phone: int):
+            return [phone]
+    elif ctx_dep.N == 2 and ctx_dep.P == 1:
+        # left-biphone trees (the chain recipes' --context-width=2
+        # --central-position=1): for an order ≥ 2 un-smoothed phone LM every
+        # arc into a state carries the state's history's last phone, so the
+        # LM state identifies the left context exactly (reference builds the
+        # same information via C∘LM composition in chain-den-graph.cc)
+        state_hist = getattr(phone_lm, "state_hist", None)
+        if state_hist is None:
+            raise KaldiError(
+                "biphone den graph needs a phone LM with state histories "
+                "(estimate_phone_lm provides them)"
+            )
+
+        def window_of(lm_state: int, phone: int):
+            hist = state_hist.get(lm_state, ())
+            left = hist[-1] if hist and hist[-1] > 0 else 0
+            return [left, phone]
+    else:
+        # full triphone den graphs need right-context lookahead in the
+        # composition; the reference's chain recipes use left-biphone
+        raise KaldiError(
+            "make_denominator_graph supports N=1 and left-biphone N=2/P=1"
+        )
 
     # enumerate LM arcs; state per arc (phone instance)
     lm_arcs = []
@@ -106,7 +127,7 @@ def make_denominator_graph(
     # self-loops: stay in the same phone instance (prob 0.5 from topology)
     loop_lp = math.log(0.5)
     for i, (s, a) in enumerate(lm_arcs):
-        pdf = ctx_dep.compute([a.ilabel], 0)
+        pdf = ctx_dep.compute(window_of(s, a.ilabel), 0)
         frm.append(i)
         to.append(i)
         pdfs.append(pdf)
@@ -114,7 +135,7 @@ def make_denominator_graph(
         # advance: to each arc leaving this arc's destination LM state
         for j in by_src.get(a.nextstate, ()):
             s2, a2 = lm_arcs[j]
-            pdf2 = ctx_dep.compute([a2.ilabel], 0)
+            pdf2 = ctx_dep.compute(window_of(s2, a2.ilabel), 0)
             frm.append(i)
             to.append(j)
             pdfs.append(pdf2)

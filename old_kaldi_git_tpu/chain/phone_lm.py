@@ -72,6 +72,17 @@ def estimate_phone_lm(
                 dst = get_state(next_hist)
                 fst.add_arc(src, Arc(phone, phone, w, dst))
     fst.connect()
+    # expose state → history for context-dependent den graphs: for order ≥ 2
+    # every arc into a state carries the history's last phone, so the state
+    # identifies the left context exactly (connect() remaps state ids via
+    # fst.last_connect_map when present, else ids are unchanged)
+    remap = getattr(fst, "last_connect_map", None)
+    state_hist = {}
+    for hist, s in state_of.items():
+        ns = remap.get(s) if remap is not None else s
+        if ns is not None:
+            state_hist[ns] = hist
+    fst.state_hist = state_hist
     log.info(
         "phone LM: order %d, %d states, %d arcs",
         ngram_order, fst.num_states, fst.num_arcs,

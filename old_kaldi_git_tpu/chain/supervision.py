@@ -68,8 +68,18 @@ def alignment_to_supervision(
     # every frame must have at least one allowed token; monotonic windows
     if not allowed.any(axis=1).all():
         raise KaldiError("supervision window left frames uncovered")
+    if ctx_dep.N == 1:
+        windows = [[p] for p in phones]
+    elif ctx_dep.N == 2 and ctx_dep.P == 1:
+        # left-biphone: 0 (out-of-utterance) before the first phone,
+        # matching the den graph's BOS convention
+        windows = [
+            [phones[l - 1] if l > 0 else 0, p] for l, p in enumerate(phones)
+        ]
+    else:
+        raise KaldiError("supervision supports N=1 and left-biphone N=2/P=1")
     pdf_seq = np.asarray(
-        [ctx_dep.compute([p], 0) for p in phones], np.int32
+        [ctx_dep.compute(w, 0) for w in windows], np.int32
     )
     advance_lp = (
         den.numerator_weights(phones).astype(np.float32)

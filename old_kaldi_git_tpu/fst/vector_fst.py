@@ -136,6 +136,8 @@ class VectorFst:
         self.arcs = new_arcs
         self.finals = new_finals
         self.start = remap.get(self.start, NO_STATE)
+        # old→new state ids for callers tracking per-state metadata
+        self.last_connect_map = remap
 
     def topsort(self) -> bool:
         """Topologically order states (False if cyclic).  Ignores arc labels."""

@@ -70,6 +70,11 @@ class ChainTrainOptions:
     l2_regularize: float = 5e-5
     xent_regularize: float = 0.1
     seed: int = 0
+    # 1 = per-phone pdfs; 2 = left-biphone tree built from alignment stats
+    # (the chain recipes' build_tree.sh --context-width=2 --central-position=1)
+    tree_context_width: int = 1
+    tree_max_leaves: int = 500
+    tree_thresh: float = 100.0
 
 
 @dataclasses.dataclass
@@ -86,11 +91,48 @@ def build_chain_objects(
     alignments: Dict[str, np.ndarray],
     lang: Lang,
     opts: ChainTrainOptions,
+    feats: Optional[Dict[str, np.ndarray]] = None,
 ) -> Tuple[ContextDependency, TransitionModel, DenominatorGraph]:
-    """Chain topo/tree (per-phone pdfs), phone LM, denominator graph."""
+    """Chain topo/tree, phone LM, denominator graph.
+
+    tree_context_width=2 (+feats) builds a left-biphone tree from the GMM
+    alignment stats with all pdf-classes pooled to the chain topology's
+    single class (reference steps/nnet3/chain/build_tree.sh)."""
     phones = lang.real_phone_ids
     topo = chain_topology(phones)
-    ctx_dep = monophone_context_dependency(phones, {p: 1 for p in phones})
+    if opts.tree_context_width == 2 and feats is not None:
+        from old_kaldi_git_tpu.tree.build_tree import (
+            accumulate_tree_stats,
+            build_tree,
+        )
+        from old_kaldi_git_tpu.tree.event_map import KEY_PDF_CLASS, make_event
+
+        stats: dict = {}
+        for k, ali in alignments.items():
+            if ali is None or k not in feats:
+                continue
+            accumulate_tree_stats(
+                ali, feats[k], gmm_model.tm, N=2, P=1, stats=stats
+            )
+        # pool the GMM topology's pdf-classes into the chain topo's single
+        # class (the reference converts alignments to the chain topology;
+        # pooling the per-state stats is equivalent for tree purposes)
+        pooled: dict = {}
+        for event, st in stats.items():
+            d = dict(event)
+            d[KEY_PDF_CLASS] = 0
+            ev = make_event(sorted(d.items()))
+            if ev in pooled:
+                pooled[ev].add(st)
+            else:
+                pooled[ev] = st.copy()
+        ctx_dep = build_tree(
+            pooled, phones, {p: 1 for p in phones}, N=2, P=1,
+            max_leaves=opts.tree_max_leaves, thresh=opts.tree_thresh,
+        )
+        log.info("chain biphone tree: %d pdfs", ctx_dep.num_pdfs)
+    else:
+        ctx_dep = monophone_context_dependency(phones, {p: 1 for p in phones})
     tm = TransitionModel(ctx_dep, topo)
     phone_seqs = [
         alignment_to_phones(gmm_model.tm, ali)
@@ -110,7 +152,9 @@ def train_chain(
     opts: Optional[ChainTrainOptions] = None,
 ) -> ChainModel:
     opts = opts or ChainTrainOptions()
-    ctx_dep, tm, den = build_chain_objects(gmm_model, alignments, lang, opts)
+    ctx_dep, tm, den = build_chain_objects(
+        gmm_model, alignments, lang, opts, feats=feats
+    )
     keys = sorted(k for k, a in alignments.items() if a is not None and k in feats)
     sups = []
     sup_keys = []
@@ -157,12 +201,15 @@ def train_chain(
         seg_phones = alignment_to_phones(gmm_model.tm, alignments[k])
         from old_kaldi_git_tpu.hmm.hmm_utils import split_to_phones
 
-        frames_phones = []
+        frames_phones = []  # (left_context, phone) per frame
+        prev = 0
         for seg, ph in zip(split_to_phones(gmm_model.tm, alignments[k]), seg_phones):
-            frames_phones.extend([ph] * len(seg))
+            frames_phones.extend([(prev, ph)] * len(seg))
+            prev = ph
         sub = frames_phones[::fsf][:Tsub]
-        for t2, ph in enumerate(sub):
-            xent_labels[i, t2] = ctx_dep.compute([ph], 0)
+        for t2, (left, ph) in enumerate(sub):
+            window = [ph] if ctx_dep.N == 1 else [left, ph]
+            xent_labels[i, t2] = ctx_dep.compute(window, 0)
 
     loss_opts = ChainLossOptions(
         leaky_hmm_coefficient=opts.leaky_hmm_coefficient,

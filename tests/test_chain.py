@@ -240,3 +240,41 @@ def test_chain_e2e_yesno():
     hyps = decode_chain(chain, graph, lang, test_feats, beam=20.0)
     stats = score_hyps(test_text, hyps)
     assert stats.wer == 0.0, stats.report()
+
+
+def test_chain_biphone_e2e_yesno():
+    """Chain LF-MMI with a left-biphone tree (context-dependent pdfs):
+    den graph + supervision share the biphone pdf mapping; 0% WER held out."""
+    from old_kaldi_git_tpu.recipes.chain import (
+        ChainTrainOptions, decode_chain, train_chain,
+    )
+    from old_kaldi_git_tpu.recipes.decode import score_hyps
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats, make_corpus, make_lang,
+    )
+
+    tw, tt, sw, st = make_corpus(40, 8)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    lang = make_lang()
+    gmm, ali = train_mono(
+        tf, tt, lang, MonoTrainOptions(num_iters=12, totgauss=100)
+    )
+    opts = ChainTrainOptions(
+        num_epochs=40, minibatch_size=8, hidden_dim=128, bottleneck_dim=32,
+        num_layers=3, initial_lr=5e-3, final_lr=5e-4,
+        tree_context_width=2, tree_max_leaves=40, tree_thresh=50.0,
+    )
+    chain = train_chain(gmm, tf, ali, lang, opts)
+    # biphone tree must actually split beyond per-phone pdfs
+    num_phones = len(lang.real_phone_ids)
+    assert chain.ctx_dep.N == 2 and chain.ctx_dep.P == 1
+    assert chain.ctx_dep.num_pdfs > num_phones
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.chain import make_chain_decode_graph
+
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    graph = make_chain_decode_graph(chain, lang, g)
+    hyps = decode_chain(chain, graph, lang, sf, beam=20.0)
+    stats = score_hyps(st, hyps)
+    assert stats.wer <= 5.0, stats.report()
