@@ -38,3 +38,4 @@ from old_kaldi_git_tpu.lat.ctm import (
     ctm_from_alignment,
     lattice_to_ctm_conf,
 )
+from old_kaldi_git_tpu.lat.rescore import lmrescore_compact_lattice

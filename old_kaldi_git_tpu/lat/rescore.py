@@ -1,0 +1,104 @@
+"""Exact lattice LM rescoring over CompactLattices.
+
+Reference parity (SURVEY.md §2.5/§2.4): latbin/lattice-lmrescore (±scale
+composition with G) and lattice-lmrescore-const-arpa — the BASELINE
+config-5 "4-gram lattice rescoring" path.  The reference composes the word
+lattice with a DeterministicOnDemandFst over the LM; both our LMs
+(ArpaLm tries) are deterministic over word histories, so the composition
+is a DP over (lattice state, old-LM history, new-LM history) tuples that
+adjusts each arc's graph cost by
+
+    graph' = graph + old_scale·(−log P_old(w | h_old))
+                   + new_scale·(−log P_new(w | h_new))
+
+with the standard usage old_scale = −1 (remove the LM baked into HCLG),
+new_scale = +1 (add the big LM); finals get the same treatment with </s>.
+Exactness: every path's total cost changes by exactly its LM-score delta,
+so the rescored lattice supports best-path, N-best and posterior ops
+directly (unlike N-best rescoring, no path is lost).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+from old_kaldi_git_tpu.lat.determinize import (
+    CompactLattice,
+    CompactLatticeArc,
+)
+from old_kaldi_git_tpu.lat.lattice import INF
+from old_kaldi_git_tpu.lm.arpa import ArpaLm, BOS, EOS
+from old_kaldi_git_tpu.utils.log import get_logger
+
+log = get_logger("lmrescore")
+
+Hist = Tuple[str, ...]
+
+
+def _advance(hist: Hist, word: str, order: int) -> Hist:
+    return (hist + (word,))[-(order - 1):] if order > 1 else ()
+
+
+def lmrescore_compact_lattice(
+    clat: CompactLattice,
+    words,  # SymbolTable: word id ↔ string
+    new_lm: ArpaLm,
+    old_lm: Optional[ArpaLm] = None,
+    new_scale: float = 1.0,
+    old_scale: float = -1.0,
+    max_states: int = 2000000,
+) -> CompactLattice:
+    """Compose with (old LM)^old_scale ⊗ (new LM)^new_scale, exactly.
+
+    With old_lm=None only the new LM is applied (lattice-lmrescore-const-arpa
+    after the old scores were already removed)."""
+    out = CompactLattice()
+    if clat.num_states == 0:
+        return out
+    o_ord = old_lm.order if old_lm else 1
+    n_ord = new_lm.order
+    # histories bounded by each LM's order; sentences start at <s>
+    start_key = (
+        clat.start,
+        (BOS,) if o_ord > 1 else (),
+        (BOS,) if n_ord > 1 else (),
+    )
+    ids: Dict[Tuple[int, Hist, Hist], int] = {start_key: out.add_state()}
+    out.start = 0
+    stack = [start_key]
+    while stack:
+        key = stack.pop()
+        s, h_old, h_new = key
+        s_out = ids[key]
+        g, a, string = clat.finals[s]
+        if g != INF:
+            adj = new_scale * -new_lm.logprob(EOS, h_new)
+            if old_lm is not None:
+                adj += old_scale * -old_lm.logprob(EOS, h_old)
+            out.finals[s_out] = (g + adj, a, string)
+        for arc in clat.arcs[s]:
+            w = words[arc.word]
+            adj = new_scale * -new_lm.logprob(w, h_new)
+            if old_lm is not None:
+                adj += old_scale * -old_lm.logprob(w, h_old)
+            nkey = (
+                arc.nextstate,
+                _advance(h_old, w, o_ord),
+                _advance(h_new, w, n_ord),
+            )
+            if nkey not in ids:
+                ids[nkey] = out.add_state()
+                if out.num_states > max_states:
+                    raise RuntimeError("lmrescore: state blow-up")
+                stack.append(nkey)
+            out.arcs[s_out].append(
+                CompactLatticeArc(
+                    arc.word, arc.graph_cost + adj, arc.acoustic_cost,
+                    arc.tids, ids[nkey],
+                )
+            )
+    log.info(
+        "lmrescore: %d → %d states (%d arcs)",
+        clat.num_states, out.num_states, out.num_arcs,
+    )
+    return out

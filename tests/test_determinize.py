@@ -263,3 +263,69 @@ def test_ctm_from_lattice():
     assert 0.0 < e.duration <= T * 0.01
     assert 0.0 < e.confidence <= 1.0
     assert len(e.line().split()) == 6
+
+
+def test_lmrescore_compact_lattice_exact():
+    """Rescoring changes every path by exactly its LM delta: best path of
+    the rescored lattice == argmin over enumerated paths of
+    cost - old_lm + new_lm (the N-best-rescore oracle on ALL paths)."""
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.lat.rescore import lmrescore_compact_lattice
+    from old_kaldi_git_tpu.lm.arpa import parse_arpa
+
+    words = SymbolTable.with_eps()
+    for w in ("a", "b", "c"):
+        words.add(w)
+
+    # unigram "old" LM and bigram "new" LM with different preferences
+    old_arpa = r"""
+\data\
+ngram 1=5
+\1-grams:
+-0.7 a
+-0.3 b
+-0.9 c
+-0.5 </s>
+-99 <s>
+\end\
+"""
+    new_arpa = r"""
+\data\
+ngram 1=5
+ngram 2=3
+\1-grams:
+-1.2 a -0.1
+-1.0 b -0.1
+-0.4 c -0.1
+-0.6 </s>
+-99 <s> -0.2
+\2-grams:
+-0.1 a c
+-0.2 c </s>
+-0.15 <s> a
+\end\
+"""
+    old_lm = parse_arpa(old_arpa)
+    new_lm = parse_arpa(new_arpa)
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        lat = random_lattice(rng, num_states=10, num_arcs=24, num_words=3)
+        if not all_paths(lat):
+            continue
+        clat = determinize_lattice(lat)
+        resc = lmrescore_compact_lattice(clat, words, new_lm, old_lm)
+        ref = {}
+        for key, (cost, _) in clat_paths(clat).items():
+            ws = [words[w] for w in key]
+            delta = -new_lm.score_sequence(ws) + old_lm.score_sequence(ws)
+            ref[key] = cost + delta
+        got = clat_paths(resc)
+        assert set(got) == set(ref)
+        for key, want in ref.items():
+            assert got[key][0] == pytest.approx(want, abs=1e-4), key
+        # best path agrees with exhaustive argmin
+        w_best, _, c_best = resc.best_path()
+        want_key = min(ref, key=lambda k: ref[k])
+        assert ref[tuple(w_best)] == pytest.approx(c_best, abs=1e-4)
+        assert ref[tuple(w_best)] == pytest.approx(ref[want_key], abs=1e-4)
