@@ -242,3 +242,97 @@ def test_model_io_roundtrip(tmp_path):
     np.testing.assert_allclose(
         back.am.loglikes_numpy(x), am.loglikes_numpy(x), rtol=1e-5
     )
+
+
+def test_ebw_update_moves_toward_num():
+    """EBW: with den stats at the model and num stats displaced, means move
+    toward the num statistics and the update never produces bad variances."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, DiagGmm
+    from old_kaldi_git_tpu.gmm.ebw import EbwOptions, ebw_update
+    from old_kaldi_git_tpu.gmm.mle import AccumAmDiagGmm
+
+    rng = np.random.default_rng(0)
+    gmms = [
+        DiagGmm(np.array([0.5, 0.5]), rng.normal(size=(2, 3)),
+                np.ones((2, 3)))
+        for _ in range(2)
+    ]
+    am = AmDiagGmm(gmms)
+    num = AccumAmDiagGmm(am)
+    den = AccumAmDiagGmm(am)
+    target = am.pdfs[0].means[0] + 1.0
+    # num: 10 frames at target for pdf0/mix0; den: 5 frames at current mean
+    num.occ[0, 0] = 10.0
+    num.mean_acc[0, 0] = 10.0 * target
+    num.var_acc[0, 0] = 10.0 * (target**2 + 0.5)
+    den.occ[0, 0] = 5.0
+    cur = am.pdfs[0].means[0].copy()
+    den.mean_acc[0, 0] = 5.0 * cur
+    den.var_acc[0, 0] = 5.0 * (cur**2 + 1.0)
+    before = am.pdfs[0].means[0].copy()
+    updated, skipped = ebw_update(am, num, den, EbwOptions(update_weights=False))
+    after = am.pdfs[0].means[0]
+    assert updated >= 1
+    # moved strictly toward the target
+    assert np.all(np.abs(target - after) < np.abs(target - before))
+    assert np.all(am.pdfs[0].vars > 0)
+
+
+def test_ebw_weight_update_optimizes_auxf():
+    from old_kaldi_git_tpu.gmm.ebw import _ebw_weights
+
+    w_old = np.array([0.5, 0.3, 0.2])
+    num = np.array([10.0, 1.0, 1.0])
+    den = np.array([2.0, 2.0, 2.0])
+    w = _ebw_weights(w_old, num, den)
+    assert w.shape == w_old.shape and abs(w.sum() - 1.0) < 1e-6
+    assert (w >= 0).all()
+
+    def auxf(wv):
+        return float(np.sum(num * np.log(wv)) - np.sum(den * wv / w_old))
+
+    # better than the old weights and than random simplex points
+    assert auxf(w) >= auxf(w_old) - 1e-9
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        r = rng.dirichlet(np.ones(3))
+        assert auxf(w) >= auxf(r) - 1e-6
+
+
+def test_mmi_training_improves_yesno():
+    """MMI iterations keep (or reach) 0% WER and increase the num-den margin."""
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.decode import (
+        DecodeOptions, decode_dataset, score_hyps,
+    )
+    from old_kaldi_git_tpu.recipes.mmi import MmiTrainOptions, train_mmi
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats, make_corpus, make_lang,
+    )
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+
+    tw, tt, sw, st = make_corpus(24, 8)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    lang = make_lang()
+    model, ali = train_mono(
+        tf, tt, lang, MonoTrainOptions(num_iters=10, totgauss=80)
+    )
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    phones = lang.real_phone_ids
+    topo = model.tm.topo
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    csr = fst_to_csr(mkgraph(lang, g, cd, model.tm), model.tm.tid_to_pdf_array())
+    model = train_mmi(
+        model, csr, lang, tf, ali,
+        MmiTrainOptions(num_iters=2, acoustic_scale=0.2, beam=20.0,
+                        tau=20.0),
+    )
+    hyps = decode_dataset(model, csr, lang, sf, DecodeOptions(beam=20.0,
+                                                              acoustic_scale=0.2))
+    stats = score_hyps(st, hyps)
+    assert stats.wer == 0.0, stats.report()
