@@ -62,6 +62,13 @@ def build_system(num_words: int = 200, seed: int = 0):
 
 def main():
     import jax
+
+    # persistent compilation cache: XLA compile times on the tunneled TPU
+    # backend are erratic (the same MFCC graph has compiled in 2 s and in
+    # 400 s); caching makes repeated bench runs immune to the variance
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     import jax.numpy as jnp
 
     from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch

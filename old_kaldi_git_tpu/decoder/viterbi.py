@@ -199,8 +199,9 @@ def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
                              acoustic_scale, beam, K, S)
 
 
-UNROLL = 4  # frames per scan step: amortizes per-step dispatch latency on
-#             the experimental TPU backend (the recursion stays sequential)
+UNROLL = 1  # frames per scan step.  Measured on the TPU backend: unrolling
+#             gives NO hot-path speedup at any graph size and can inflate
+#             XLA compile time >20x on larger graphs; keep the plain scan.
 
 
 def _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
@@ -301,6 +302,31 @@ def _backtrace_scan(bp_state, bp_arc, frm, end_state, num_frames):
     return arcs_rev  # [T, B], -1 on inactive/failed frames
 
 
+@partial(jax.jit, static_argnames=("K", "S"))
+def _decode_and_backtrace(frm, pdf, w, ns, start, loglikes, num_frames,
+                          acoustic_scale, beam, fw, K, S):
+    """Fused decode + end-token selection + backtrace in ONE program.
+
+    The [T, B, K] backpointer tensors stay INTERNAL to the executable: on
+    the tunneled device runtime, making them jit outputs costs a one-time
+    ~250 s first-fetch penalty (the runtime materializes the whole output
+    tuple host-side); fused, only [B]/[T, B]-sized results cross the link.
+    """
+    tok_state, tok_cost, bp_state, bp_arc, _bp_cost, _alpha = \
+        _decode_scan_impl(frm, pdf, w, ns,
+                          jnp.full((loglikes.shape[0], S), BIG,
+                                   jnp.float32).at[:, start].set(0.0),
+                          loglikes, num_frames, acoustic_scale, beam, K, S)
+    total = tok_cost + fw[tok_state]
+    has_final = jnp.min(total, axis=1) < BIG
+    best_total = jnp.where(has_final[:, None], total, tok_cost)
+    slot = jnp.argmin(best_total, axis=1)
+    costs = jnp.take_along_axis(best_total, slot[:, None], 1)[:, 0]
+    end_states = jnp.take_along_axis(tok_state, slot[:, None], 1)[:, 0]
+    arcs = _backtrace_scan(bp_state, bp_arc, frm, end_states, num_frames)
+    return end_states, has_final, costs, arcs
+
+
 @dataclasses.dataclass
 class DecodeResult:
     words: List[int]
@@ -335,36 +361,51 @@ def decode_batch(
     fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
     nf_dev = jnp.asarray(num_frames)
     frm_dev = jnp.asarray(frm)
-    tok_state, tok_cost, bp_state, bp_arc, bp_cost, _alpha = _decode_scan(
-        frm_dev, jnp.asarray(graph.pdf),
-        jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
-        graph.start, jnp.asarray(loglikes, jnp.float32),
-        nf_dev, float(opts.acoustic_scale), float(opts.beam),
-        K, graph.num_states,
-    )
-    # pick the best-final (or best overall) end token per utterance on host
-    tok_state_h = np.asarray(tok_state)
-    tok_cost_h = np.asarray(tok_cost)
-    end_states = np.zeros(B, np.int32)
-    costs = np.zeros(B, np.float64)
-    use_final = np.zeros(B, bool)
-    dead = np.zeros(B, bool)
-    for b in range(B):
-        total = tok_cost_h[b] + fw[tok_state_h[b]]
-        if total.min() >= BIG:
-            total = tok_cost_h[b]
-        else:
-            use_final[b] = True
-        slot = int(np.argmin(total))
-        costs[b] = float(total[slot])
-        end_states[b] = tok_state_h[b, slot]
-        dead[b] = costs[b] >= BIG
-    arcs = np.asarray(
-        _backtrace_scan(bp_state, bp_arc, frm_dev, jnp.asarray(end_states), nf_dev)
-    )  # [T, B]
     if want_lattice:
+        # lattice generation needs the full per-frame token sets host-side;
+        # pay the backpointer transfer only on this path
+        tok_state, tok_cost, bp_state, bp_arc, bp_cost, _alpha = _decode_scan(
+            frm_dev, jnp.asarray(graph.pdf),
+            jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
+            graph.start, jnp.asarray(loglikes, jnp.float32),
+            nf_dev, float(opts.acoustic_scale), float(opts.beam),
+            K, graph.num_states,
+        )
+        tok_state_h = np.asarray(tok_state)
+        tok_cost_h = np.asarray(tok_cost)
+        end_states = np.zeros(B, np.int32)
+        costs = np.zeros(B, np.float64)
+        use_final = np.zeros(B, bool)
+        dead = np.zeros(B, bool)
+        for b in range(B):
+            total = tok_cost_h[b] + fw[tok_state_h[b]]
+            if total.min() >= BIG:
+                total = tok_cost_h[b]
+            else:
+                use_final[b] = True
+            slot = int(np.argmin(total))
+            costs[b] = float(total[slot])
+            end_states[b] = tok_state_h[b, slot]
+            dead[b] = costs[b] >= BIG
+        arcs = np.asarray(
+            _backtrace_scan(bp_state, bp_arc, frm_dev,
+                            jnp.asarray(end_states), nf_dev)
+        )  # [T, B]
         bp_state_h = np.asarray(bp_state)
         bp_cost_h = np.asarray(bp_cost)
+    else:
+        end_dev, final_dev, cost_dev, arc_dev = _decode_and_backtrace(
+            frm_dev, jnp.asarray(graph.pdf),
+            jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
+            graph.start, jnp.asarray(loglikes, jnp.float32),
+            nf_dev, float(opts.acoustic_scale), float(opts.beam),
+            jnp.asarray(fw.astype(np.float32)), K, graph.num_states,
+        )
+        end_states = np.asarray(end_dev)
+        use_final = np.asarray(final_dev)
+        costs = np.asarray(cost_dev, np.float64)
+        arcs = np.asarray(arc_dev)  # [T, B]
+        dead = costs >= BIG
 
     results: List[Optional[DecodeResult]] = []
     for b in range(B):
