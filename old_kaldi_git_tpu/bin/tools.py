@@ -364,3 +364,505 @@ def main(argv: List[str]) -> int:
     except (KaldiError, ValueError, OSError) as e:
         print(f"ERROR ({name}): {e}", file=sys.stderr)
         return 1
+
+
+# ---------------------------------------------------------------------------
+# more feature tools
+# ---------------------------------------------------------------------------
+
+@tool("compute-spectrogram-feats")
+def compute_spectrogram_feats(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.feat.compute import Spectrogram, SpectrogramOptions
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    jnp = _jnp()
+    opts = SpectrogramOptions()
+    po = ParseOptions(
+        "compute-spectrogram-feats [options] <wav-rspecifier> <feats-wspecifier>"
+    )
+    po.register_dataclass(opts.frame_opts)
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    comp = Spectrogram(opts)
+    with TableWriter(args[1], "mat") as w:
+        for key, wave in SequentialTableReader(args[0], "wav"):
+            w[key] = np.asarray(comp(jnp.asarray(wave.data[0])))
+    return 0
+
+
+@tool("compute-plp-feats")
+def compute_plp_feats(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.feat.compute import Plp, PlpOptions
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    jnp = _jnp()
+    opts = PlpOptions()
+    po = ParseOptions(
+        "compute-plp-feats [options] <wav-rspecifier> <feats-wspecifier>"
+    )
+    po.register_dataclass(opts.frame_opts)
+    po.register_dataclass(opts.mel_opts, prefix="mel")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    comp = Plp(opts)
+    with TableWriter(args[1], "mat") as w:
+        for key, wave in SequentialTableReader(args[0], "wav"):
+            w[key] = np.asarray(comp(jnp.asarray(wave.data[0])))
+    return 0
+
+
+@tool("compute-kaldi-pitch-feats")
+def compute_kaldi_pitch_feats(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.feat.pitch import PitchOptions, compute_kaldi_pitch
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    jnp = _jnp()
+    opts = PitchOptions()
+    po = ParseOptions(
+        "compute-kaldi-pitch-feats [options] <wav-rspecifier> <feats-wspecifier>"
+    )
+    po.register_dataclass(opts)
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with TableWriter(args[1], "mat") as w:
+        for key, wave in SequentialTableReader(args[0], "wav"):
+            w[key] = np.asarray(
+                compute_kaldi_pitch(jnp.asarray(wave.data[0:1]), opts)[0]
+            )
+    return 0
+
+
+@tool("process-kaldi-pitch-feats")
+def process_kaldi_pitch_feats(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.feat.pitch import ProcessPitchOptions, process_pitch
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    jnp = _jnp()
+    opts = ProcessPitchOptions()
+    po = ParseOptions(
+        "process-kaldi-pitch-feats [options] <pitch-rspecifier> <feats-wspecifier>"
+    )
+    po.register_dataclass(opts)
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with TableWriter(args[1], "mat") as w:
+        for key, p in SequentialTableReader(args[0], "mat"):
+            w[key] = np.asarray(process_pitch(jnp.asarray(p[None]), opts)[0])
+    return 0
+
+
+@tool("compute-vad")
+def compute_vad_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.ivector.vad import VadOptions, compute_vad_energy
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    jnp = _jnp()
+    opts = VadOptions()
+    po = ParseOptions("compute-vad [options] <feats-rspecifier> <vad-wspecifier>")
+    po.register_dataclass(opts)
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with TableWriter(args[1], "vec") as w:
+        for key, f in SequentialTableReader(args[0], "mat"):
+            w[key] = np.asarray(
+                compute_vad_energy(jnp.asarray(f[None, :, 0]), opts)[0]
+            )
+    return 0
+
+
+@tool("paste-feats")
+def paste_feats_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "paste-feats <feats-rspecifier1> <feats-rspecifier2> [...] <wspecifier>"
+    )
+    args = po.parse(argv)
+    if len(args) < 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    tables = [dict(SequentialTableReader(a, "mat")) for a in args[:-1]]
+    with TableWriter(args[-1], "mat") as w:
+        for key in tables[0]:
+            if not all(key in t for t in tables):
+                log.warning("paste-feats: %s missing in some inputs", key)
+                continue
+            T = min(t[key].shape[0] for t in tables)
+            w[key] = np.concatenate([t[key][:T] for t in tables], axis=1)
+    return 0
+
+
+@tool("select-feats")
+def select_feats_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        'select-feats <selection> <feats-rspecifier> <wspecifier>  '
+        '(e.g. "0-12" or "0,2,4-6")'
+    )
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    cols: List[int] = []
+    for piece in args[0].split(","):
+        if "-" in piece:
+            a, b = piece.split("-")
+            cols.extend(range(int(a), int(b) + 1))
+        else:
+            cols.append(int(piece))
+    idx = np.asarray(cols)
+    with TableWriter(args[2], "mat") as w:
+        for key, f in SequentialTableReader(args[1], "mat"):
+            w[key] = f[:, idx]
+    return 0
+
+
+@tool("subsample-feats")
+def subsample_feats_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions("subsample-feats --n=N <feats-rspecifier> <wspecifier>")
+
+    class Opts:
+        n = 1
+        offset = 0
+
+    o = Opts()
+    po.register("n", o, "n")
+    po.register("offset", o, "offset")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with TableWriter(args[1], "mat") as w:
+        for key, f in SequentialTableReader(args[0], "mat"):
+            w[key] = f[o.offset :: o.n]
+    return 0
+
+
+@tool("extract-segments")
+def extract_segments_tool(argv: List[str]) -> int:
+    """segments file: <seg-id> <rec-id> <start-sec> <end-sec>"""
+    from old_kaldi_git_tpu.utils.table import RandomAccessTableReader, TableWriter
+    from old_kaldi_git_tpu.utils.wav import WaveData
+
+    po = ParseOptions(
+        "extract-segments <wav-rspecifier> <segments-file> <wav-wspecifier>"
+    )
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    wavs = RandomAccessTableReader(args[0], "wav")
+    n = 0
+    with TableWriter(args[2], "wav") as w:
+        with open(args[1]) as f:
+            for ln in f:
+                parts = ln.split()
+                if len(parts) != 4:
+                    continue
+                seg, rec, s, e = parts[0], parts[1], float(parts[2]), float(parts[3])
+                if rec not in wavs:
+                    log.warning("extract-segments: no wav for %s", rec)
+                    continue
+                wav = wavs[rec]
+                sr = wav.samp_freq
+                i0, i1 = int(s * sr), int(e * sr)
+                if i1 <= i0 or i0 >= wav.data.shape[1]:
+                    log.warning("extract-segments: bad range for %s", seg)
+                    continue
+                w[seg] = WaveData(samp_freq=sr, data=wav.data[:, i0:i1])
+                n += 1
+    log.info("extracted %d segments", n)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# decode + lattice tools
+# ---------------------------------------------------------------------------
+
+@tool("gmm-latgen-faster")
+def gmm_latgen_faster_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+    from old_kaldi_git_tpu.lat.lattice import lattice_from_decode
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "gmm-latgen-faster [options] <model> <hclg-fst> <feats-rspecifier> "
+        "<lattice-wspecifier> [<words-wspecifier>]"
+    )
+
+    class Opts:
+        beam = 16.0
+        max_active = 7000
+        acoustic_scale = 0.1
+        lattice_beam = 10.0
+        word_symbol_table = ""
+
+    o = Opts()
+    for name, attr in (("beam", "beam"), ("max-active", "max_active"),
+                       ("acoustic-scale", "acoustic_scale"),
+                       ("lattice-beam", "lattice_beam"),
+                       ("word-symbol-table", "word_symbol_table")):
+        po.register(name, o, attr)
+    args = po.parse(argv)
+    if len(args) not in (4, 5):
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    model = AmGmmModel.load(args[0])
+    with open(args[1], "rb") as f:
+        hclg = VectorFst.read(f)
+    csr = fst_to_csr(hclg, model.tm.tid_to_pdf_array())
+    feats = dict(SequentialTableReader(args[2], "mat"))
+    keys = sorted(feats)
+    if not keys:
+        log.warning("no features")
+        return 1
+    T = max(feats[k].shape[0] for k in keys)
+    D = feats[keys[0]].shape[1]
+    padded = np.zeros((len(keys), T, D), np.float32)
+    nf = np.zeros(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        padded[i, : feats[k].shape[0]] = feats[k]
+        nf[i] = feats[k].shape[0]
+    loglikes = model.am.loglikes_numpy(padded.reshape(-1, D)).reshape(
+        len(keys), T, -1
+    )
+    results = decode_batch(
+        csr, loglikes, nf,
+        ViterbiOptions(beam=o.beam, max_active=o.max_active,
+                       acoustic_scale=o.acoustic_scale),
+        want_lattice=True,
+    )
+    words_tab = (
+        SymbolTable.read(o.word_symbol_table) if o.word_symbol_table else None
+    )
+    wwriter = TableWriter(args[4], "text") if len(args) == 5 else None
+    n_done = 0
+    with TableWriter(args[3], "lat") as lw:
+        for i, (k, res) in enumerate(zip(keys, results)):
+            if res is None:
+                log.warning("decode failed for %s", k)
+                continue
+            lat = lattice_from_decode(
+                csr, loglikes[i, : nf[i]], res.frame_states, res.frame_costs,
+                o.acoustic_scale, o.lattice_beam,
+            )
+            if lat is not None:
+                lw[k] = lat
+            if wwriter is not None:
+                if words_tab:
+                    wwriter[k] = " ".join(words_tab[w] for w in res.words)
+                else:
+                    wwriter[k] = " ".join(str(w) for w in res.words)
+            n_done += 1
+    if wwriter is not None:
+        wwriter.close()
+    log.info("decoded %d/%d utterances", n_done, len(keys))
+    return 0
+
+
+@tool("lattice-best-path")
+def lattice_best_path_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.lat.lattice import lattice_best_path
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-best-path [options] <lattice-rspecifier> <words-wspecifier> "
+        "[<ali-wspecifier>]"
+    )
+
+    class Opts:
+        lm_scale = 1.0
+        acoustic_scale = 0.1
+        word_symbol_table = ""
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    po.register("word-symbol-table", o, "word_symbol_table")
+    args = po.parse(argv)
+    if len(args) not in (2, 3):
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    words_tab = (
+        SymbolTable.read(o.word_symbol_table) if o.word_symbol_table else None
+    )
+    awriter = TableWriter(args[2], "ivec") if len(args) == 3 else None
+    with TableWriter(args[1], "text") as w:
+        for key, lat in SequentialTableReader(args[0], "lat"):
+            ws, tids, cost = lattice_best_path(lat, o.lm_scale, o.acoustic_scale)
+            w[key] = " ".join(
+                words_tab[x] if words_tab else str(x) for x in ws
+            )
+            if awriter is not None:
+                awriter[key] = np.asarray(tids, np.int32)
+    if awriter is not None:
+        awriter.close()
+    return 0
+
+
+@tool("lattice-prune")
+def lattice_prune_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.lat.lattice import lattice_prune
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions("lattice-prune [options] <lat-rspecifier> <lat-wspecifier>")
+
+    class Opts:
+        beam = 4.0
+        acoustic_scale = 0.1
+
+    o = Opts()
+    po.register("beam", o, "beam")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with TableWriter(args[1], "lat") as w:
+        for key, lat in SequentialTableReader(args[0], "lat"):
+            w[key] = lattice_prune(lat, o.beam, 1.0, o.acoustic_scale)
+    return 0
+
+
+@tool("lattice-scale")
+def lattice_scale_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions("lattice-scale [options] <lat-rspecifier> <lat-wspecifier>")
+
+    class Opts:
+        lm_scale = 1.0
+        acoustic_scale = 1.0
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    from old_kaldi_git_tpu.lat.lattice import INF
+    with TableWriter(args[1], "lat") as w:
+        for key, lat in SequentialTableReader(args[0], "lat"):
+            for s in range(lat.num_states):
+                for a in lat.arcs[s]:
+                    a.graph_cost *= o.lm_scale
+                    a.acoustic_cost *= o.acoustic_scale
+                g, ac = lat.finals[s]
+                if g != INF:
+                    lat.finals[s] = (g * o.lm_scale, ac * o.acoustic_scale)
+            w[key] = lat
+    return 0
+
+
+@tool("lattice-determinize-pruned")
+def lattice_determinize_pruned_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.lat.determinize import determinize_lattice_pruned
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-determinize-pruned [options] <lat-rspecifier> <clat-wspecifier>"
+    )
+
+    class Opts:
+        beam = 10.0
+        acoustic_scale = 0.1
+
+    o = Opts()
+    po.register("beam", o, "beam")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with TableWriter(args[1], "clat") as w:
+        for key, lat in SequentialTableReader(args[0], "lat"):
+            w[key] = determinize_lattice_pruned(
+                lat, o.beam, acoustic_scale=o.acoustic_scale
+            )
+    return 0
+
+
+@tool("lattice-lmrescore-const-arpa")
+def lattice_lmrescore_const_arpa_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.lat.rescore import lmrescore_compact_lattice
+    from old_kaldi_git_tpu.lm.arpa import parse_arpa
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-lmrescore-const-arpa [options] --words=words.txt "
+        "<clat-rspecifier> <arpa-file> <clat-wspecifier>"
+    )
+
+    class Opts:
+        lm_scale = 1.0
+        words = ""
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("words", o, "words")
+    args = po.parse(argv)
+    if len(args) != 3 or not o.words:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with open(args[1]) as f:
+        lm = parse_arpa(f.read())
+    words = SymbolTable.read(o.words)
+    with TableWriter(args[2], "clat") as w:
+        for key, clat in SequentialTableReader(args[0], "clat"):
+            w[key] = lmrescore_compact_lattice(
+                clat, words, lm, new_scale=o.lm_scale
+            )
+    return 0
+
+
+@tool("lattice-to-nbest")
+def lattice_to_nbest_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.lat.lattice import lattice_nbest
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-to-nbest [options] <lat-rspecifier> <nbest-wspecifier>"
+    )
+
+    class Opts:
+        n = 10
+        lm_scale = 1.0
+        acoustic_scale = 0.1
+
+    o = Opts()
+    po.register("n", o, "n")
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with TableWriter(args[1], "text") as w:
+        for key, lat in SequentialTableReader(args[0], "lat"):
+            for i, (ws, cost) in enumerate(
+                lattice_nbest(lat, o.n, o.lm_scale, o.acoustic_scale)
+            ):
+                w[f"{key}-{i + 1}"] = (
+                    f"{cost:.4f} " + " ".join(str(x) for x in ws)
+                )
+    return 0

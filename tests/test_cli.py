@@ -1,0 +1,167 @@
+"""CLI tool layer: a full Kaldi-style shell pipeline over ark files.
+
+Covers the reference's binary-composition workflow (SURVEY §2 CLI rows):
+features → model decode → lattices → determinize → rescore → best path →
+WER, everything passed between processes as ark archives.
+"""
+
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(args, cwd, check=True):
+    return subprocess.run(
+        [sys.executable, "-m", "old_kaldi_git_tpu.bin"] + args,
+        check=check, capture_output=True, text=True, cwd=str(cwd),
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+
+
+def test_feature_tools_pipeline(tmp_path):
+    from old_kaldi_git_tpu.utils.wav import write_wav
+
+    t = np.arange(16000) / 16000.0
+    for i, f0 in enumerate((220.0, 330.0)):
+        sig = (4000 * np.sin(2 * math.pi * f0 * t)).astype(np.float32)
+        write_wav(str(tmp_path / f"u{i}.wav"), sig, 16000.0)
+    (tmp_path / "wav.scp").write_text(
+        "".join(f"u{i} {tmp_path}/u{i}.wav\n" for i in range(2))
+    )
+    run(["compute-fbank-feats", "--dither=0.0", "scp:wav.scp", "ark:fb.ark"],
+        tmp_path)
+    run(["compute-spectrogram-feats", "--dither=0.0", "scp:wav.scp",
+         "ark:spec.ark"], tmp_path)
+    run(["compute-kaldi-pitch-feats", "scp:wav.scp", "ark:pitch.ark"], tmp_path)
+    run(["process-kaldi-pitch-feats", "ark:pitch.ark", "ark:pitchf.ark"],
+        tmp_path)
+    run(["compute-mfcc-feats", "--dither=0.0", "scp:wav.scp", "ark:mfcc.ark"],
+        tmp_path)
+    run(["compute-vad", "ark:mfcc.ark", "ark:vad.ark"], tmp_path)
+    run(["paste-feats", "ark:mfcc.ark", "ark:pitchf.ark", "ark:mp.ark"],
+        tmp_path)
+    run(["select-feats", "0-3", "ark:mp.ark", "ark:sel.ark"], tmp_path)
+    run(["subsample-feats", "--n=3", "ark:sel.ark", "ark:sub.ark"], tmp_path)
+
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    mp = read_table(f"ark:{tmp_path}/mp.ark", "mat")
+    assert mp["u0"].shape[1] == 16  # 13 mfcc + 3 pitch
+    sel = read_table(f"ark:{tmp_path}/sel.ark", "mat")
+    assert sel["u0"].shape[1] == 4
+    sub = read_table(f"ark:{tmp_path}/sub.ark", "mat")
+    assert sub["u0"].shape[0] == (sel["u0"].shape[0] + 2) // 3
+    # segments: cut 0.2-0.6 s
+    (tmp_path / "segments").write_text("u0-a u0 0.2 0.6\n")
+    run(["extract-segments", "scp:wav.scp", "segments", "ark:segs.ark"],
+        tmp_path)
+    segs = read_table(f"ark:{tmp_path}/segs.ark", "wav")
+    assert abs(segs["u0-a"].duration - 0.4) < 0.01
+
+
+def test_decode_lattice_cli_pipeline(tmp_path):
+    """Train a tiny model in-process, then run the whole decode side via CLI."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats,
+        make_corpus,
+        make_lang,
+    )
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    tw, tt, sw, st = make_corpus(20, 4)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    lang = make_lang()
+    model, _ = train_mono(tf, tt, lang,
+                          MonoTrainOptions(num_iters=8, totgauss=60))
+    model.save(str(tmp_path / "final.mdl"))
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    phones = lang.real_phone_ids
+    topo = model.tm.topo
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    hclg = mkgraph(lang, g, cd, model.tm)
+    with open(tmp_path / "HCLG.fst", "wb") as f:
+        hclg.write(f)
+    lang.words.write(str(tmp_path / "words.txt"))
+    with TableWriter(f"ark:{tmp_path}/feats.ark", "mat") as w:
+        for k, f in sf.items():
+            w[k] = f
+    with TableWriter(f"ark:{tmp_path}/ref.ark", "text") as w:
+        for k, words in st.items():
+            w[k] = " ".join(words)
+
+    run(["gmm-latgen-faster", "--beam=20", "--acoustic-scale=1.0",
+         "--word-symbol-table=words.txt", "final.mdl", "HCLG.fst",
+         "ark:feats.ark", "ark:lat.ark", "ark:hyp.ark"], tmp_path)
+    out = run(["compute-wer", "ark:ref.ark", "ark:hyp.ark"], tmp_path)
+    assert "%WER 0.00" in out.stdout, out.stdout
+
+    # lattice ops compose over ark files
+    run(["lattice-scale", "--acoustic-scale=1.0", "ark:lat.ark",
+         "ark:lat2.ark"], tmp_path)
+    run(["lattice-prune", "--beam=8", "--acoustic-scale=1.0", "ark:lat2.ark",
+         "ark:latp.ark"], tmp_path)
+    run(["lattice-best-path", "--acoustic-scale=1.0",
+         "--word-symbol-table=words.txt", "ark:latp.ark", "ark:hyp2.ark",
+         "ark:ali.ark"], tmp_path)
+    out = run(["compute-wer", "ark:ref.ark", "ark:hyp2.ark"], tmp_path)
+    assert "%WER 0.00" in out.stdout, out.stdout
+    run(["lattice-determinize-pruned", "--beam=8", "--acoustic-scale=1.0",
+         "ark:lat.ark", "ark:clat.ark"], tmp_path)
+    run(["lattice-to-nbest", "--n=3", "--acoustic-scale=1.0", "ark:lat.ark",
+         "ark:nbest.ark"], tmp_path)
+    nb = read_table(f"ark:{tmp_path}/nbest.ark", "text")
+    assert any(k.endswith("-1") for k in nb)
+    # alignments have one tid per frame
+    ali = read_table(f"ark:{tmp_path}/ali.ark", "ivec")
+    k0 = sorted(sf)[0]
+    assert len(ali[k0]) == sf[k0].shape[0]
+
+
+def test_lattice_holder_roundtrip(tmp_path):
+    import old_kaldi_git_tpu.lat  # registers holders
+    from old_kaldi_git_tpu.lat.determinize import determinize_lattice
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+    from tests.test_determinize import all_paths, clat_paths, random_lattice
+
+    rng = np.random.default_rng(0)
+    lats = {f"u{i}": random_lattice(rng) for i in range(4)}
+    # binary and text round-trips preserve all paths/costs
+    for spec in (f"ark:{tmp_path}/l.ark", f"ark,t:{tmp_path}/l_t.ark"):
+        with TableWriter(spec, "lat") as w:
+            for k, lat in lats.items():
+                w[k] = lat
+        back = read_table(spec.split(":", 1)[0].replace(",t", "") + ":" +
+                          spec.split(":", 1)[1], "lat")
+        assert set(back) == set(lats)
+        for k in lats:
+            got, want = all_paths(back[k]), all_paths(lats[k])
+            assert set(got) == set(want)
+            for key in want:
+                assert got[key][0] == pytest.approx(want[key][0], abs=1e-4)
+    clats = {k: determinize_lattice(lat) for k, lat in lats.items()}
+    with TableWriter(f"ark:{tmp_path}/c.ark", "clat") as w:
+        for k, c in clats.items():
+            w[k] = c
+    back = read_table(f"ark:{tmp_path}/c.ark", "clat")
+    for k in clats:
+        got, want = clat_paths(back[k]), clat_paths(clats[k])
+        assert set(got) == set(want)
+        for key in want:
+            assert got[key][0] == pytest.approx(want[key][0], abs=1e-4)
+            assert got[key][1] == want[key][1]  # tid strings exact
