@@ -272,3 +272,47 @@ def test_tdnn_lstm_e2e_yesno():
     csr = fst_to_csr(mkgraph(lang, g, cd, model.tm), model.tm.tid_to_pdf_array())
     stats = score_hyps(st, decode_tdnn(am, csr, lang, sf, beam=20.0))
     assert stats.wer == 0.0, stats.report()
+
+
+def test_xconfig_parsing_and_forward():
+    """An xconfig in the recipes' syntax builds a runnable model."""
+    import jax
+    from old_kaldi_git_tpu.models.tdnn import TdnnModel
+    from old_kaldi_git_tpu.models.xconfig import parse_xconfig
+
+    text = """
+    # tdnn-f chain model (comment line)
+    input name=input dim=40
+    relu-batchnorm-layer name=tdnn1 dim=64 input=Append(-1,0,1)
+    tdnnf-layer name=tdnnf2 dim=64 bottleneck-dim=16 time-stride=1
+    tdnnf-layer name=tdnnf3 dim=64 bottleneck-dim=16 time-stride=3
+    fast-lstmp-layer name=lstm1 cell-dim=32 recurrent-projection-dim=8
+    attention-relu-renorm-layer name=attn num-heads=2 key-dim=8 value-dim=8 num-left-inputs=3 num-right-inputs=1
+    prefinal-layer name=prefinal dim=64
+    output-layer name=output dim=100
+    """
+    cfg = parse_xconfig(text)
+    assert cfg.input_dim == 40 and cfg.num_outputs == 100
+    assert cfg.final_hidden_dim == 64
+    kinds = [l.kind for l in cfg.layers]
+    assert kinds == ["tdnn", "tdnnf", "tdnnf", "lstmp", "attention"]
+    # context: tdnn1 ±1, tdnnf2 ±1, tdnnf3 ±3, attention -3/+1
+    assert cfg.left_context == 1 + 1 + 3 + 3
+    assert cfg.right_context == 1 + 1 + 3 + 1
+
+    model = TdnnModel(cfg)
+    x = jnp.zeros((2, 30, 40), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (2, 30, 100)
+
+
+def test_xconfig_rejects_garbage():
+    import pytest
+    from old_kaldi_git_tpu.models.xconfig import parse_xconfig
+    from old_kaldi_git_tpu.utils.log import KaldiError
+
+    with pytest.raises(KaldiError):
+        parse_xconfig("relu-batchnorm-layer name=a dim=8\noutput-layer name=o dim=4")
+    with pytest.raises(KaldiError):
+        parse_xconfig("input name=input dim=8\nweird-layer name=x dim=4\noutput-layer name=o dim=4")
