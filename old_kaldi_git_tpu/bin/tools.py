@@ -866,3 +866,47 @@ def lattice_to_nbest_tool(argv: List[str]) -> int:
                     f"{cost:.4f} " + " ".join(str(x) for x in ws)
                 )
     return 0
+
+
+@tool("lattice-mbr-decode")
+def lattice_mbr_decode_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.lat.mbr import minimum_bayes_risk
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-mbr-decode [options] <clat-rspecifier> <words-wspecifier> "
+        "[<conf-wspecifier>]"
+    )
+
+    class Opts:
+        lm_scale = 1.0
+        acoustic_scale = 0.1
+        word_symbol_table = ""
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    po.register("word-symbol-table", o, "word_symbol_table")
+    args = po.parse(argv)
+    if len(args) not in (2, 3):
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    words_tab = (
+        SymbolTable.read(o.word_symbol_table) if o.word_symbol_table else None
+    )
+    cwriter = TableWriter(args[2], "vec") if len(args) == 3 else None
+    with TableWriter(args[1], "text") as w:
+        for key, clat in SequentialTableReader(args[0], "clat"):
+            res = minimum_bayes_risk(clat, o.lm_scale, o.acoustic_scale)
+            if res is None:
+                log.warning("MBR failed for %s", key)
+                continue
+            w[key] = " ".join(
+                words_tab[x] if words_tab else str(x) for x in res.words
+            )
+            if cwriter is not None:
+                cwriter[key] = np.asarray(res.confidences, np.float32)
+    if cwriter is not None:
+        cwriter.close()
+    return 0

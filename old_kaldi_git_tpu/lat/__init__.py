@@ -39,4 +39,5 @@ from old_kaldi_git_tpu.lat.ctm import (
     lattice_to_ctm_conf,
 )
 from old_kaldi_git_tpu.lat.rescore import lmrescore_compact_lattice
+from old_kaldi_git_tpu.lat.mbr import MbrResult, minimum_bayes_risk
 from old_kaldi_git_tpu.lat import holder as _holder  # registers lat/clat holders
