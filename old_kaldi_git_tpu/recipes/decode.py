@@ -127,6 +127,38 @@ def decode_dataset_with_lattices(
     return lats
 
 
+def decode_biglm(
+    model: AmGmmModel,
+    graph: CsrGraph,
+    lang: Lang,
+    feats: Dict[str, np.ndarray],
+    old_lm,
+    new_lm,
+    opts: Optional[DecodeOptions] = None,
+    lattice_beam: float = 10.0,
+) -> Dict[str, List[str]]:
+    """Big-LM decoding (reference lattice-biglm-faster-decoder capability):
+    decode against the SMALL-LM HCLG, then exactly replace the LM on the
+    determinized lattices (old scores out, big LM in).
+
+    The reference composes G_small⁻¹ ∘ G_big on the fly during search; with
+    exact CompactLattice rescoring the same hypothesis space is re-weighted
+    after batched decode — no big HCLG is ever built.  old_lm/new_lm:
+    ArpaLm objects over lang's word symbols."""
+    from old_kaldi_git_tpu.lat.rescore import lmrescore_compact_lattice
+
+    opts = opts or DecodeOptions()
+    clats = decode_dataset_with_lattices(
+        model, graph, lang, feats, opts, lattice_beam, determinize=True
+    )
+    hyps: Dict[str, List[str]] = {}
+    for k, clat in clats.items():
+        resc = lmrescore_compact_lattice(clat, lang.words, new_lm, old_lm)
+        words, _tids, _cost = resc.best_path(1.0, opts.acoustic_scale)
+        hyps[k] = [lang.words[w] for w in words]
+    return hyps
+
+
 def score_lattices_sweep(
     lattices,
     lang: Lang,

@@ -185,3 +185,111 @@ def test_rescore_nbest_changes_ranking():
     new = lambda words: 0.0 if words == [2] else 5.0
     out = rescore_nbest(nbest, old, new)
     assert out[0][0] == [2]
+
+
+def test_decode_biglm_rescoring():
+    """Big-LM capability: decode on a weak-LM graph, exactly swap in a
+    stronger LM on the determinized lattices; identity rescoring (old=new)
+    must reproduce the lattice best path."""
+    from old_kaldi_git_tpu.lm.arpa import parse_arpa
+    from old_kaldi_git_tpu.recipes.decode import (
+        DecodeOptions, decode_biglm, decode_dataset, score_hyps,
+    )
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats, make_corpus, make_lang,
+    )
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+
+    tw, tt, sw, st = make_corpus(20, 6)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    lang = make_lang()
+    model, _ = train_mono(tf, tt, lang,
+                          MonoTrainOptions(num_iters=10, totgauss=80))
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    phones = lang.real_phone_ids
+    topo = model.tm.topo
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    csr = fst_to_csr(mkgraph(lang, g, cd, model.tm), model.tm.tid_to_pdf_array())
+
+    # uniform unigram "old" LM and a corpus bigram "new" LM over yes/no
+    flat = r"""
+\data\
+ngram 1=4
+\1-grams:
+-0.5 yes
+-0.5 no
+-0.5 </s>
+-99 <s>
+\end\
+"""
+    counts = {}
+    for words in tt.values():
+        seq = ["<s>"] + list(words) + ["</s>"]
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    import math as _math
+    tot = {}
+    for (a, b), c in counts.items():
+        tot[a] = tot.get(a, 0) + c
+    lines = ["\\data\\", f"ngram 1=4", f"ngram 2={len(counts)}", "\\1-grams:",
+             "-0.5 yes -0.3", "-0.5 no -0.3", "-0.5 </s>", "-99 <s> -0.3",
+             "\\2-grams:"]
+    for (a, b), c in sorted(counts.items()):
+        lines.append(f"{_math.log10(c / tot[a]):.4f} {a} {b}")
+    lines.append("\\end\\")
+    old_lm = parse_arpa(flat)
+    new_lm = parse_arpa("\n".join(lines))
+
+    base = score_hyps(st, decode_dataset(
+        model, csr, lang, sf, DecodeOptions(beam=20.0, acoustic_scale=1.0)))
+    hyps = decode_biglm(
+        model, csr, lang, sf, old_lm, new_lm,
+        DecodeOptions(beam=20.0, acoustic_scale=1.0), lattice_beam=10.0,
+    )
+    resc = score_hyps(st, hyps)
+    assert resc.wer <= base.wer + 1e-9
+    # identity rescoring keeps the lattice best path
+    same = decode_biglm(
+        model, csr, lang, sf, old_lm, old_lm,
+        DecodeOptions(beam=20.0, acoustic_scale=1.0),
+    )
+    from old_kaldi_git_tpu.recipes.decode import decode_dataset_with_lattices
+    clats = decode_dataset_with_lattices(
+        model, csr, lang, sf, DecodeOptions(beam=20.0, acoustic_scale=1.0),
+        determinize=True,
+    )
+    for k, clat in clats.items():
+        words, _, _ = clat.best_path(1.0, 1.0)
+        assert same[k] == [lang.words[w] for w in words]
+
+
+def test_rnnlm_trains_and_rescore():
+    """LSTM LM learns corpus regularities; n-best rescoring prefers
+    sentences the LM likes."""
+    from old_kaldi_git_tpu.lm.rnnlm import (
+        RnnLmOptions, rescore_nbest_rnnlm, train_rnnlm,
+    )
+
+    rng = np.random.default_rng(0)
+    # a strict pattern: word 1 is always followed by word 2
+    seqs = []
+    for _ in range(200):
+        s = []
+        for _ in range(rng.integers(2, 6)):
+            if s and s[-1] == 1:
+                s.append(2)
+            else:
+                s.append(int(rng.integers(1, 5)))
+        seqs.append(s)
+    lm = train_rnnlm(seqs, num_words=4, opts=RnnLmOptions(num_epochs=15))
+    lp_good = lm.logprobs_batch([[1, 2, 3]])[0]
+    lp_bad = lm.logprobs_batch([[1, 4, 3]])[0]
+    assert lp_good > lp_bad + 1.0  # "1 2" strongly preferred over "1 4"
+
+    nbest = [([1, 4, 3], 10.0), ([1, 2, 3], 10.5)]  # acoustically worse
+    resc = rescore_nbest_rnnlm(nbest, lm, old_lm_score=lambda w: 0.0,
+                               rnnlm_scale=1.0)
+    assert resc[0][0] == [1, 2, 3]  # LM flips the ranking
