@@ -75,7 +75,7 @@ def main():
     from old_kaldi_git_tpu.feat import Mfcc, MfccOptions, compute_deltas
 
     backend = jax.default_backend()
-    B = 64
+    B = 128
     DUR = 10.0  # seconds per utterance
     SR = 16000.0
 

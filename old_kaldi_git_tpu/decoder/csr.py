@@ -54,6 +54,7 @@ class CsrGraph:
         return (self.row_ptr[1:] - self.row_ptr[:-1]).astype(np.int32)
 
 
+
 def _eps_closure(
     fst: VectorFst, s: int
 ) -> List[Tuple[int, float, Tuple[int, ...]]]:
