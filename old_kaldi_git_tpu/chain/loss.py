@@ -34,68 +34,80 @@ class ChainLossOptions:
     xent_regularize: float = 0.1
 
 
-def _scatter_logsumexp(terms: jnp.ndarray, to_state: jnp.ndarray, num_states: int):
-    """[B, A] terms → [B, S] logsumexp grouped by to_state."""
-    m = jnp.full((terms.shape[0], num_states), NEG_INF, terms.dtype)
-    m = m.at[:, to_state].max(terms)
-    m_safe = jnp.maximum(m, NEG_INF)
-    gathered = m_safe[:, to_state]
-    sums = jnp.zeros((terms.shape[0], num_states), terms.dtype)
-    sums = sums.at[:, to_state].add(jnp.exp(terms - gathered))
-    return m_safe + jnp.log(jnp.maximum(sums, 1e-30))
-
-
 def denominator_logprob(
     logits: jnp.ndarray,
     num_frames: jnp.ndarray,
     den: DenominatorGraph,
     leaky_hmm_coefficient: float = 0.1,
 ) -> jnp.ndarray:
-    """[B, T, P] logits (chain outputs, unnormalized) → [B] log Z_den."""
-    frm = jnp.asarray(den.from_state)
-    to = jnp.asarray(den.to_state)
-    pdf = jnp.asarray(den.pdf)
-    lp = jnp.asarray(den.log_prob)
+    """[B, T, P] logits (chain outputs, unnormalized) → [B] log Z_den.
+
+    MXU formulation: every arc into state j emits pdf(j) (den-graph
+    property), so one alpha step is a LINEAR-space matmul with the dense
+    [S, S] transition matrix followed by a per-state emission multiply and
+    per-frame renormalization — exactly the reference's
+    chain-denominator.cu numerics (probabilities in f32 with per-frame
+    rescue, no per-state max).  Matmuls autodiff to matmuls, so the
+    backward pass stays on the MXU too; the previous scatter-logsumexp
+    formulation had a serialized scatter-add in its gradient (measured
+    1.6 s/step backward vs 0.06 s forward on-chip)."""
     init = jnp.asarray(den.initial_log_probs)
     S = den.num_states
     B, T, P = logits.shape
-    log_leaky = float(np.log(leaky_hmm_coefficient)) if leaky_hmm_coefficient > 0 else None
+    leaky = float(leaky_hmm_coefficient)
 
-    # frame 0: alpha = init + emission of the state's... in this graph
-    # emissions ride on arcs, so frame 0 consumes the entry arc from a
-    # virtual start: alpha0[s] = init[s] + logit(pdf emitted by entering s).
-    # Entering state s emits pdf of s's phone instance = pdf on its
-    # self-loop arc; build a per-state pdf map from the self-loops.
+    # dense transition matrix (linear probs); parallel arcs accumulate
+    M = np.zeros((S, S), np.float32)
+    np.add.at(M, (den.from_state, den.to_state), np.exp(den.log_prob))
+    M_j = jnp.asarray(M)
+    # per-state emission pdf (self-loop pdf == entry pdf)
     state_pdf = np.zeros(S, np.int32)
     self_loops = den.from_state == den.to_state
     state_pdf[den.from_state[self_loops]] = den.pdf[self_loops]
-    state_pdf_j = jnp.asarray(state_pdf)
+    # state-emission log-scores as a matmul (backward = matmul, no scatter)
+    P2S = np.zeros((P, S), np.float32)
+    P2S[state_pdf, np.arange(S)] = 1.0
+    e_log = logits @ jnp.asarray(P2S)  # [B, T, S]
+    # per-frame shift for exp() stability (reference: per-frame renorm)
+    e_shift = jnp.max(e_log, axis=2, keepdims=True)  # [B, T, 1]
+    e_lin = jnp.exp(e_log - e_shift)  # [B, T, S] in (0, 1]
 
-    alpha0 = init + logits[:, 0, :][:, state_pdf_j]  # [B, S]
-    z0 = jax.nn.logsumexp(alpha0, axis=1, keepdims=True)
-    alpha0 = alpha0 - z0
+    init_lin = jnp.exp(init)
+    alpha0 = init_lin[None, :] * e_lin[:, 0]
+    z0 = jnp.sum(alpha0, axis=1, keepdims=True)
+    alpha0 = alpha0 / z0
+    logz0 = jnp.log(z0[:, 0]) + e_shift[:, 0, 0]
 
     def step(carry, inputs):
         alpha, logz = carry
-        ll_t, t = inputs  # [B, P]
-        terms = alpha[:, frm] + lp[None, :] + ll_t[:, pdf]  # [B, A]
-        new_alpha = _scatter_logsumexp(terms, to, S)
-        if log_leaky is not None:
-            tot = jax.nn.logsumexp(new_alpha, axis=1, keepdims=True)
-            new_alpha = jnp.logaddexp(new_alpha, log_leaky + init[None, :] + tot)
-        z = jax.nn.logsumexp(new_alpha, axis=1, keepdims=True)
-        new_alpha = new_alpha - z
+        e_t, sh_t, t = inputs  # [B, S], [B, 1]
+        ax = (alpha @ M_j) * e_t
+        if leaky > 0:
+            # leaky-HMM: add leaky mass distributed by the initial probs
+            ax = ax + leaky * jnp.sum(ax, axis=1, keepdims=True) * init_lin[None, :]
+        z = jnp.sum(ax, axis=1, keepdims=True)
+        new_alpha = ax / jnp.maximum(z, 1e-30)
         active = (t < num_frames)[:, None]
         alpha_out = jnp.where(active, new_alpha, alpha)
-        logz_out = logz + jnp.where(active[:, 0], z[:, 0], 0.0)
+        logz_out = logz + jnp.where(
+            active[:, 0], jnp.log(jnp.maximum(z[:, 0], 1e-30)) + sh_t[:, 0], 0.0
+        )
         return (alpha_out, logz_out), None
 
     (alpha, logz), _ = jax.lax.scan(
         step,
-        (alpha0, z0[:, 0]),
-        (jnp.swapaxes(logits[:, 1:], 0, 1), jnp.arange(1, T)),
+        (alpha0, logz0),
+        (
+            jnp.swapaxes(e_lin[:, 1:], 0, 1),
+            jnp.swapaxes(e_shift[:, 1:], 0, 1),
+            jnp.arange(1, T),
+        ),
     )
-    final = jax.nn.logsumexp(alpha + jnp.asarray(den.final_log_probs)[None, :], axis=1)
+    final = jax.nn.logsumexp(
+        jnp.log(jnp.maximum(alpha, 1e-30))
+        + jnp.asarray(den.final_log_probs)[None, :],
+        axis=1,
+    )
     return logz + final
 
 
