@@ -216,12 +216,21 @@ def splice_feats_tool(argv: List[str]) -> int:
 def copy_feats_tool(argv: List[str]) -> int:
     from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
 
-    po = ParseOptions("copy-feats <feats-rspecifier> <feats-wspecifier>")
+    po = ParseOptions(
+        "copy-feats [--compress=bool] <feats-rspecifier> <feats-wspecifier>"
+    )
+
+    class Opts:
+        compress = False
+
+    o = Opts()
+    po.register("compress", o, "compress")
     args = po.parse(argv)
     if len(args) != 2:
         print(po.print_usage(), file=sys.stderr)
         return 1
-    with TableWriter(args[1], "mat") as w:
+    holder = "cmat" if o.compress else "mat"
+    with TableWriter(args[1], holder) as w:
         for key, f in SequentialTableReader(args[0], "mat"):
             w[key] = f
     return 0
@@ -909,4 +918,57 @@ def lattice_mbr_decode_tool(argv: List[str]) -> int:
                 cwriter[key] = np.asarray(res.confidences, np.float32)
     if cwriter is not None:
         cwriter.close()
+    return 0
+
+
+@tool("nnet3-info")
+def nnet3_info_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+
+    po = ParseOptions("nnet3-info <nnet-file>")
+    args = po.parse(argv)
+    if len(args) != 1:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    import jax
+    am = AmNnet.load(args[0])
+    cfg = am.config
+    nparam = sum(int(np.prod(np.shape(x)))
+                 for x in jax.tree.leaves(am.variables["params"]))
+    print(f"input-dim: {cfg.input_dim}")
+    print(f"output-dim: {cfg.num_outputs}")
+    print(f"left-context: {cfg.left_context}")
+    print(f"right-context: {cfg.right_context}")
+    print(f"num-parameters: {nparam}")
+    for i, l in enumerate(cfg.layers):
+        print(f"layer {i}: {l.kind} dim={l.dim}")
+    return 0
+
+
+@tool("nnet3-compute")
+def nnet3_compute_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    jnp = _jnp()
+    po = ParseOptions(
+        "nnet3-compute [options] <nnet-file> <feats-rspecifier> "
+        "<loglikes-wspecifier>"
+    )
+
+    class Opts:
+        use_priors = True
+
+    o = Opts()
+    po.register("use-priors", o, "use_priors")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    am = AmNnet.load(args[0])
+    with TableWriter(args[2], "mat") as w:
+        for key, f in SequentialTableReader(args[1], "mat"):
+            x = jnp.asarray(f[None])
+            out = am.loglikes_batch(x) if o.use_priors else am.logits(x)
+            w[key] = np.asarray(out[0])
     return 0

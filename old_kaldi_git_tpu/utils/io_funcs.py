@@ -212,12 +212,68 @@ def read_vector(f: BinaryIO) -> np.ndarray:
     return np.frombuffer(raw, dtype=fmt).astype(dtype)
 
 
+def write_compressed_matrix(f: BinaryIO, mat: np.ndarray) -> None:
+    """Write Kaldi CompressedMatrix format 1 (per-column percentile headers,
+    8-bit codes) — reference src/matrix/compressed-matrix.cc
+    CompressedMatrix::CopyFromMat + Write.  Round-trips through
+    _read_compressed_matrix with quantization error ≤ range/255 per band."""
+    mat = np.asarray(mat, np.float64)
+    if mat.ndim != 2:
+        raise KaldiError(f"write_compressed_matrix needs 2-D, got {mat.shape}")
+    num_rows, num_cols = mat.shape
+    min_value = float(mat.min()) if mat.size else 0.0
+    rng = float(mat.max() - min_value) if mat.size else 1.0
+    if rng <= 0:
+        rng = 1.0
+
+    def float_to_uint16(v):
+        return np.clip(
+            np.round((v - min_value) / rng * 65535.0), 0, 65535
+        ).astype("<u2")
+
+    def uint16_to_float(q):
+        return min_value + rng * (q.astype(np.float64) / 65535.0)
+
+    write_token(f, "CM")
+    f.write(struct.pack("<ff", np.float32(min_value), np.float32(rng)))
+    f.write(struct.pack("<ii", num_rows, num_cols))
+    cols = mat.T  # [C, R]
+    # per-column percentile headers (quantized, then used for coding)
+    order = np.sort(cols, axis=1)
+    idx = lambda frac: order[:, min(num_rows - 1, int(frac * (num_rows - 1)))]
+    q0 = float_to_uint16(idx(0.0))
+    q25 = float_to_uint16(idx(0.25))
+    q75 = float_to_uint16(idx(0.75))
+    q100 = float_to_uint16(idx(1.0))
+    # keep headers strictly ordered so the decode bands are non-degenerate
+    q25 = np.maximum(q25, q0 + 1)
+    q75 = np.maximum(q75, q25 + 1)
+    q100 = np.maximum(q100, q75 + 1)
+    headers = np.stack([q0, q25, q75, q100], axis=1).astype("<u2")
+    f.write(headers.tobytes())
+    p0 = uint16_to_float(q0)[:, None]
+    p25 = uint16_to_float(q25)[:, None]
+    p75 = uint16_to_float(q75)[:, None]
+    p100 = uint16_to_float(q100)[:, None]
+    lo = np.clip(np.round((cols - p0) / np.maximum(p25 - p0, 1e-20) * 64.0),
+                 0, 64)
+    mid = np.clip(
+        np.round(64.0 + (cols - p25) / np.maximum(p75 - p25, 1e-20) * 128.0),
+        65, 192,
+    )
+    hi = np.clip(
+        np.round(192.0 + (cols - p75) / np.maximum(p100 - p75, 1e-20) * 63.0),
+        193, 255,
+    )
+    codes = np.where(cols <= p25, lo, np.where(cols <= p75, mid, hi))
+    f.write(codes.astype(np.uint8).tobytes())
+
+
 def _read_compressed_matrix(f: BinaryIO) -> np.ndarray:
     """Read Kaldi CompressedMatrix (format 1: per-column 16-bit quantization
     with 8-bit codes against per-column percentile headers).
 
-    Reference src/matrix/compressed-matrix.cc.  We only need read support
-    (features written by reference tools); we never write CM.
+    Reference src/matrix/compressed-matrix.cc.
     """
     # GlobalHeader: min_value, range (float32), num_rows, num_cols (int32, raw)
     min_value, rng = struct.unpack("<ff", f.read(8))

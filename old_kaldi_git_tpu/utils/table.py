@@ -68,6 +68,21 @@ class MatrixHolder(Holder):
         return kio_f.parse_matrix_text("".join(chunks))
 
 
+class CompressedMatrixHolder(MatrixHolder):
+    """Writes CompressedMatrix (CM) cells; reads any matrix kind (the
+    binary reader dispatches on the token, so 'mat' readers also accept
+    CM cells written by this holder — same as the reference)."""
+
+    name = "cmat"
+
+    def write(self, f, value, binary):
+        if binary:
+            f.write(kio_f.BINARY_HEADER)
+            kio_f.write_compressed_matrix(f, value)
+        else:
+            f.write(kio_f.format_matrix_text(np.asarray(value)).encode())
+
+
 class VectorHolder(Holder):
     name = "vec"
 
@@ -153,6 +168,7 @@ class WaveHolder(Holder):
 
 _HOLDERS: Dict[str, Callable[[], Holder]] = {
     "mat": MatrixHolder,
+    "cmat": CompressedMatrixHolder,
     "vec": VectorHolder,
     "ivec": Int32VectorHolder,
     "text": TextHolder,

@@ -316,3 +316,23 @@ def test_xconfig_rejects_garbage():
         parse_xconfig("relu-batchnorm-layer name=a dim=8\noutput-layer name=o dim=4")
     with pytest.raises(KaldiError):
         parse_xconfig("input name=input dim=8\nweird-layer name=x dim=4\noutput-layer name=o dim=4")
+
+
+def test_compute_prob_diagnostics():
+    """compute_prob reports CE/acc consistent with training metrics."""
+    import jax
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.diagnostics import compute_prob
+    from old_kaldi_git_tpu.models.tdnn import make_tdnn
+
+    rng = np.random.default_rng(0)
+    cfg = make_tdnn(8, 5, hidden_dim=16, num_layers=2)
+    am = AmNnet.init(cfg)
+    feats = {f"u{i}": rng.normal(size=(20, 8)).astype(np.float32)
+             for i in range(3)}
+    labels = {f"u{i}": rng.integers(0, 5, size=20).astype(np.int32)
+              for i in range(3)}
+    ce, acc = compute_prob(am, feats, labels)
+    assert np.isfinite(ce) and 0.0 <= acc <= 1.0
+    # untrained model ~ uniform: CE near log(5)
+    assert abs(ce - np.log(5)) < 1.0

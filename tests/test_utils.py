@@ -205,3 +205,30 @@ def test_cli_pipeline(tmp_path):
     (tmp_path / "hyp.txt").write_text("u0 yes no\nu1 yes\n")
     out = run(["compute-wer", "ark:ref.txt", "ark:hyp.txt"])
     assert "%WER 33.33" in out.stdout
+
+
+def test_compressed_matrix_roundtrip(tmp_path):
+    """CM write → read reproduces features within quantization error."""
+    import io
+    from old_kaldi_git_tpu.utils import io_funcs as kio_f
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    rng = np.random.default_rng(0)
+    mat = rng.normal(size=(50, 13)).astype(np.float32) * 10
+    buf = io.BytesIO()
+    kio_f.write_compressed_matrix(buf, mat)
+    buf.seek(0)
+    back = kio_f.read_matrix(buf)
+    assert back.shape == mat.shape
+    err = np.abs(back - mat).max()
+    rng_size = mat.max() - mat.min()
+    assert err < rng_size / 60  # 8-bit codes across 3 bands
+
+    # through the table layer: cmat write, mat read
+    with TableWriter(f"ark:{tmp_path}/c.ark", "cmat") as w:
+        w["u0"] = mat
+    got = read_table(f"ark:{tmp_path}/c.ark", "mat")
+    assert np.abs(got["u0"] - mat).max() < rng_size / 60
+    # compression actually compresses (~4x vs f32)
+    import os as _os
+    assert _os.path.getsize(tmp_path / "c.ark") < mat.nbytes / 2
