@@ -972,3 +972,54 @@ def nnet3_compute_tool(argv: List[str]) -> int:
             out = am.loglikes_batch(x) if o.use_priors else am.logits(x)
             w[key] = np.asarray(out[0])
     return 0
+
+
+@tool("lattice-oracle")
+def lattice_oracle_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.lat.lattice import lattice_oracle
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-oracle <lat-rspecifier> <ref-rspecifier> <oracle-wspecifier>"
+    )
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    refs = {
+        k: [int(x) for x in v.split()]
+        for k, v in SequentialTableReader(args[1], "text")
+    }
+    tot_err = tot_words = 0
+    with TableWriter(args[2], "text") as w:
+        for key, lat in SequentialTableReader(args[0], "lat"):
+            if key not in refs:
+                continue
+            d, words = lattice_oracle(lat, refs[key])
+            w[key] = " ".join(str(x) for x in words)
+            tot_err += d
+            tot_words += len(refs[key])
+    print(f"%WER {100.0 * tot_err / max(tot_words, 1):.2f} "
+          f"[ {tot_err} / {tot_words} ] (oracle)")
+    return 0
+
+
+@tool("lattice-depth")
+def lattice_depth_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.lat.lattice import lattice_depth
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions("lattice-depth <lat-rspecifier>")
+    args = po.parse(argv)
+    if len(args) != 1:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    tot = n = 0.0
+    for key, lat in SequentialTableReader(args[0], "lat"):
+        d = lattice_depth(lat)
+        print(f"{key} {d:.2f}")
+        tot += d
+        n += 1
+    if n:
+        print(f"mean depth {tot / n:.2f} over {int(n)} lattices")
+    return 0

@@ -521,3 +521,97 @@ def rescore_nbest(
         out.append((words, c))
     out.sort(key=lambda x: x[1])
     return out
+
+
+def lattice_oracle(
+    lat: Lattice, ref_words: Sequence[int]
+) -> Tuple[int, List[int]]:
+    """Oracle (minimum) edit distance of any lattice path against ref_words,
+    and the words of an achieving path (reference latbin/lattice-oracle:
+    composition with an edit-distance transducer; here the equivalent DP
+    over (lattice state, ref position))."""
+    order = _topo_order(lat)
+    n = lat.num_states
+    Q = len(ref_words)
+    INF_I = 10 ** 9
+    # dp[s][q] = min edits to reach s having consumed ref[:q]
+    dp = np.full((n, Q + 1), INF_I, np.int64)
+    back: Dict[Tuple[int, int], Tuple[int, int, int]] = {}
+    # deletions of leading ref words at the start state
+    dp[lat.start, :] = np.arange(Q + 1)
+    for s in order:
+        for q in range(Q + 1):
+            d = dp[s, q]
+            if d >= INF_I:
+                continue
+            # delete ref word (stay at state, advance q) — handled by the
+            # initialization sweep below via in-state relaxation
+            if q < Q and d + 1 < dp[s, q + 1]:
+                dp[s, q + 1] = d + 1
+                back[(s, q + 1)] = (s, q, -1)  # -1 = deletion
+            for a in lat.arcs[s]:
+                ns = a.nextstate
+                if a.olabel == 0:
+                    if d < dp[ns, q]:
+                        dp[ns, q] = d
+                        back[(ns, q)] = (s, q, 0)
+                else:
+                    # substitution / match
+                    if q < Q:
+                        c = d + (a.olabel != ref_words[q])
+                        if c < dp[ns, q + 1]:
+                            dp[ns, q + 1] = c
+                            back[(ns, q + 1)] = (s, q, a.olabel)
+                    # insertion of the arc word
+                    if d + 1 < dp[ns, q]:
+                        dp[ns, q] = d + 1
+                        back[(ns, q)] = (s, q, a.olabel)
+    best_s, best = -1, INF_I
+    for s in range(n):
+        if lat.is_final(s) and dp[s, Q] < best:
+            best_s, best = s, int(dp[s, Q])
+    if best_s < 0:
+        return INF_I, []
+    words: List[int] = []
+    s, q = best_s, Q
+    while (s, q) in back:
+        ps, pq, w = back[(s, q)]
+        if w > 0:
+            words.append(w)
+        s, q = ps, pq
+    return best, words[::-1]
+
+
+def lattice_depth(lat: Lattice) -> float:
+    """Mean number of arcs crossing each frame (latbin/lattice-depth)."""
+    counts: Dict[int, int] = {}
+    for s in range(lat.num_states):
+        for a in lat.arcs[s]:
+            if a.ilabel:
+                t = lat.state_time[a.nextstate]
+                if t >= 0:
+                    counts[t] = counts.get(t, 0) + 1
+    if not counts:
+        return 0.0
+    T = max(counts) + 1
+    return sum(counts.values()) / T
+
+
+def lattice_to_post(
+    lat: Lattice, tm, lm_scale: float = 1.0, ac_scale: float = 0.1,
+    min_post: float = 0.01,
+) -> List[List[Tuple[int, float]]]:
+    """Per-frame pdf posteriors [(pdf, weight)] (lattice-to-post +
+    post-to-pdf-post): arc posteriors summed by (frame, pdf)."""
+    post = lattice_arc_posteriors(lat, lm_scale, ac_scale)
+    T = max((t for t in lat.state_time if t >= 0), default=-1) + 1
+    out: List[Dict[int, float]] = [dict() for _ in range(T)]
+    for s in range(lat.num_states):
+        for a, p in zip(lat.arcs[s], post[s]):
+            if not a.ilabel or p < min_post:
+                continue
+            t = lat.state_time[a.nextstate]
+            if 0 <= t < T:
+                pdf = tm.tid_to_pdf(a.ilabel)
+                out[t][pdf] = out[t].get(pdf, 0.0) + p
+    return [sorted(d.items()) for d in out]

@@ -293,3 +293,39 @@ def test_rnnlm_trains_and_rescore():
     resc = rescore_nbest_rnnlm(nbest, lm, old_lm_score=lambda w: 0.0,
                                rnnlm_scale=1.0)
     assert resc[0][0] == [1, 2, 3]  # LM flips the ranking
+
+
+def test_lattice_oracle_depth_post():
+    from old_kaldi_git_tpu.lat.lattice import (
+        lattice_depth, lattice_from_decode, lattice_oracle, lattice_to_post,
+    )
+
+    lang, topo, cd, tm, csr = _decode_system()
+    phones = [lang.phones[p] for p in ("Y", "EH", "S")]
+    ll = _fake_loglikes(tm, cd, lang, phones, sep=2.0)
+    T = ll.shape[0]
+    res = decode_batch(
+        csr, ll[None], [T],
+        ViterbiOptions(beam=30.0, max_active=100, acoustic_scale=1.0),
+        want_lattice=True,
+    )[0]
+    lat = lattice_from_decode(
+        csr, ll, res.frame_states, res.frame_costs, 1.0, 20.0
+    )
+    yes = lang.words["yes"]
+    no = lang.words["no"]
+    # the lattice contains "yes": oracle vs ["yes"] is 0
+    d, words = lattice_oracle(lat, [yes])
+    assert d == 0 and words == [yes]
+    # vs ["no"]: at most 1 edit; vs ["no","no"]: at most 2
+    d1, _ = lattice_oracle(lat, [no])
+    assert 0 <= d1 <= 1
+    d2, _ = lattice_oracle(lat, [no, no])
+    assert d1 <= d2 <= d1 + 1
+
+    assert lattice_depth(lat) >= 1.0
+    posts = lattice_to_post(lat, tm, 1.0, 1.0)
+    assert len(posts) == T
+    for frame in posts:
+        tot = sum(p for _, p in frame)
+        assert 0.0 < tot <= 1.0 + 1e-4
