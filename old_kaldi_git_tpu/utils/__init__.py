@@ -16,3 +16,4 @@ from old_kaldi_git_tpu.utils.table import (
 from old_kaldi_git_tpu.utils.parse_options import ParseOptions, options_dataclass
 from old_kaldi_git_tpu.utils.data_dir import DataDir
 from old_kaldi_git_tpu.utils.wav import WaveData, read_wav, write_wav
+from old_kaldi_git_tpu.utils.pipeline import Pipeline, PipelineContext

@@ -232,3 +232,49 @@ def test_compressed_matrix_roundtrip(tmp_path):
     # compression actually compresses (~4x vs f32)
     import os as _os
     assert _os.path.getsize(tmp_path / "c.ark") < mat.nbytes / 2
+
+
+def test_pipeline_stages(tmp_path):
+    """Stage gating: --stage resume, artifact skip, shared context."""
+    from old_kaldi_git_tpu.utils.pipeline import Pipeline
+
+    ran = []
+
+    def build(stage):
+        pipe = Pipeline(str(tmp_path), stage=stage, log_to_files=True)
+
+        @pipe.stage(10, "make data", produces="data.txt")
+        def _s10(ctx):
+            ran.append(10)
+            with open(ctx.path("data.txt"), "w") as f:
+                f.write("data")
+
+        @pipe.stage(20, "train", produces="final.mdl")
+        def _s20(ctx):
+            ran.append(20)
+            ctx.model = "M"
+            with open(ctx.path("final.mdl"), "w") as f:
+                f.write("model")
+
+        @pipe.stage(30, "decode")
+        def _s30(ctx):
+            ran.append(30)
+            ctx.decoded = True
+
+        return pipe
+
+    pipe = build(stage=0)
+    ctx = pipe.run()
+    assert ran == [10, 20, 30] and ctx.decoded
+    assert (tmp_path / "log" / "20.train.log").exists()
+
+    # second run: artifact stages skipped, stage 30 (no artifact) reruns
+    ran.clear()
+    build(stage=0).run()
+    assert ran == [30]
+
+    # --stage 30 skips earlier stages even without artifacts
+    (tmp_path / "data.txt").unlink()
+    ran.clear()
+    build(stage=30).run()
+    assert ran == [30]
