@@ -97,3 +97,35 @@ def test_scaling_harness_virtual_devices():
     assert [p.num_devices for p in points] == [1, 2, 4, 8]
     assert points[0].efficiency == pytest.approx(1.0)
     assert all(p.throughput > 0 for p in points)
+
+
+def test_decode_batch_sharded_over_mesh():
+    """P9: batched decode partitions over the data axis of a device mesh —
+    sharded input produces identical results to single-device decode."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
+    from tests.test_lattice import _decode_system, _fake_loglikes
+
+    lang, topo, cd, tm, csr = _decode_system()
+    phones = [lang.phones[p] for p in ("Y", "EH", "S")]
+    ll_one = _fake_loglikes(tm, cd, lang, phones, sep=3.0)
+    T = ll_one.shape[0]
+    B = 8
+    ll = np.broadcast_to(ll_one[None], (B, T, ll_one.shape[1])).copy()
+    nf = [T] * B
+    vopts = ViterbiOptions(beam=30.0, max_active=100, acoustic_scale=1.0)
+
+    base = decode_batch(csr, ll, nf, vopts)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    ll_sharded = jax.device_put(
+        jnp.asarray(ll), NamedSharding(mesh, P("data"))
+    )
+    sharded = decode_batch(csr, ll_sharded, nf, vopts)
+    for rb, rs in zip(base, sharded):
+        assert rb is not None and rs is not None
+        assert rb.words == rs.words
+        assert np.array_equal(rb.alignment, rs.alignment)
+        assert abs(rb.cost - rs.cost) < 1e-3
