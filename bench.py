@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import time
 
 import numpy as np
@@ -63,11 +64,17 @@ def build_system(num_words: int = 200, seed: int = 0):
 def main():
     import jax
 
-    # persistent compilation cache: XLA compile times on the tunneled TPU
-    # backend are erratic (the same MFCC graph has compiled in 2 s and in
-    # 400 s); caching makes repeated bench runs immune to the variance
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    # persistent compilation cache, stored IN THE REPO: XLA compile times on
+    # the tunneled TPU backend are erratic and routinely exceed 5 minutes
+    # for the decode scan (large per-step scan outputs), so a cold bench can
+    # outlive its timeout.  The committed cache makes any same-environment
+    # run start warm; on a different jaxlib/backend the keys miss and it
+    # degrades to a cold compile.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     import jax.numpy as jnp
 

@@ -1023,3 +1023,121 @@ def lattice_depth_tool(argv: List[str]) -> int:
     if n:
         print(f"mean depth {tot / n:.2f} over {int(n)} lattices")
     return 0
+
+
+@tool("prepare-lang")
+def prepare_lang_tool(argv: List[str]) -> int:
+    """lexicon.txt (word phone phone ...) → lang dir (words/phones/L fsts);
+    the utils/prepare_lang.sh role."""
+    from old_kaldi_git_tpu.fst.lang import Lang, Lexicon
+
+    po = ParseOptions(
+        "prepare-lang [options] <lexicon.txt> <lang-dir>"
+    )
+
+    class Opts:
+        silence_phone = "SIL"
+        sil_prob = 0.5
+
+    o = Opts()
+    po.register("silence-phone", o, "silence_phone")
+    po.register("sil-prob", o, "sil_prob")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    import os
+
+    lex: Dict[str, list] = {}
+    with open(args[0]) as f:
+        for ln in f:
+            parts = ln.split()
+            if len(parts) >= 2:
+                lex.setdefault(parts[0], []).append(" ".join(parts[1:]))
+    lang = Lang(
+        Lexicon.from_dict({w: v if len(v) > 1 else v[0] for w, v in lex.items()}),
+        silence_phone=o.silence_phone, sil_prob=o.sil_prob,
+    )
+    os.makedirs(args[1], exist_ok=True)
+    lang.words.write(os.path.join(args[1], "words.txt"))
+    lang.phones.write(os.path.join(args[1], "phones.txt"))
+    with open(os.path.join(args[1], "L.fst"), "wb") as f:
+        lang.L.write(f)
+    with open(os.path.join(args[1], "L_disambig.fst"), "wb") as f:
+        lang.L_disambig.write(f)
+    with open(os.path.join(args[1], "lexicon.txt"), "w") as f:
+        for w, prons in lex.items():
+            for p in prons:
+                f.write(f"{w} {p}\n")
+    log.info("prepare-lang: %d words, %d phones → %s",
+             len(lang.words) - 2, len(lang.phones), args[1])
+    return 0
+
+
+@tool("mkgraph")
+def mkgraph_tool(argv: List[str]) -> int:
+    """lang dir + ARPA LM + model → HCLG.fst (the utils/mkgraph.sh role).
+    The lang dir must come from prepare-lang (lexicon.txt is reread so the
+    Lang object can be rebuilt with its original pronunciations)."""
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.lang import Lang, Lexicon
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+    from old_kaldi_git_tpu.lm.arpa import arpa_to_fst, parse_arpa
+
+    po = ParseOptions(
+        "mkgraph [options] <lang-dir> <arpa-file> <model> <graph-dir>"
+    )
+
+    class Opts:
+        self_loop_scale = 0.1
+        silence_phone = "SIL"
+        sil_prob = 0.5
+        tree = ""  # ContextDependency file for context-dependent models
+
+    o = Opts()
+    po.register("self-loop-scale", o, "self_loop_scale")
+    po.register("silence-phone", o, "silence_phone")
+    po.register("sil-prob", o, "sil_prob")
+    po.register("tree", o, "tree")
+    args = po.parse(argv)
+    if len(args) != 4:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    import os
+
+    lex: Dict[str, list] = {}
+    with open(os.path.join(args[0], "lexicon.txt")) as f:
+        for ln in f:
+            parts = ln.split()
+            if len(parts) >= 2:
+                lex.setdefault(parts[0], []).append(" ".join(parts[1:]))
+    lang = Lang(
+        Lexicon.from_dict({w: v if len(v) > 1 else v[0] for w, v in lex.items()}),
+        silence_phone=o.silence_phone, sil_prob=o.sil_prob,
+    )
+    with open(args[1]) as f:
+        lm = parse_arpa(f.read())
+    g = arpa_to_fst(lm, lang.words)
+    model = AmGmmModel.load(args[2])
+    # the model's tree/topology define the context-dependency
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+
+    tm = model.tm
+    if o.tree:
+        from old_kaldi_git_tpu.tree.context_dep import ContextDependency
+
+        with open(o.tree, "rb") as f:
+            ctx_dep = ContextDependency.read(f)
+    else:
+        phones = lang.real_phone_ids
+        ctx_dep = monophone_context_dependency(
+            phones, {p: tm.topo.num_pdf_classes(p) for p in phones}
+        )
+    hclg = mkgraph(lang, g, ctx_dep, tm, self_loop_scale=o.self_loop_scale)
+    os.makedirs(args[3], exist_ok=True)
+    with open(os.path.join(args[3], "HCLG.fst"), "wb") as f:
+        hclg.write(f)
+    lang.words.write(os.path.join(args[3], "words.txt"))
+    log.info("mkgraph: HCLG %d states / %d arcs → %s",
+             hclg.num_states, hclg.num_arcs, args[3])
+    return 0

@@ -165,3 +165,51 @@ def test_lattice_holder_roundtrip(tmp_path):
         for key in want:
             assert got[key][0] == pytest.approx(want[key][0], abs=1e-4)
             assert got[key][1] == want[key][1]  # tid strings exact
+
+
+def test_prepare_lang_and_mkgraph_cli(tmp_path):
+    """prepare-lang → mkgraph → gmm-latgen-faster, all via CLI."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.yesno import (
+        WORD_PRONS, compute_feats, make_corpus, make_lang,
+    )
+    from old_kaldi_git_tpu.utils.table import TableWriter
+
+    # lexicon file
+    with open(tmp_path / "lexicon.txt", "w") as f:
+        for w, p in WORD_PRONS.items():
+            f.write(f"{w} {' '.join(p)}\n")
+    run(["prepare-lang", "lexicon.txt", "lang"], tmp_path)
+    assert (tmp_path / "lang" / "words.txt").exists()
+    assert (tmp_path / "lang" / "L.fst").exists()
+
+    # unigram arpa over yes/no
+    (tmp_path / "g.arpa").write_text(
+        "\\data\\\nngram 1=4\n\\1-grams:\n-0.3 yes\n-0.4 no\n-0.5 </s>\n"
+        "-99 <s>\n\\end\\\n"
+    )
+    tw, tt, sw, st = make_corpus(20, 4)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    lang = make_lang()
+    model, _ = train_mono(tf, tt, lang,
+                          MonoTrainOptions(num_iters=8, totgauss=60))
+    model.save(str(tmp_path / "final.mdl"))
+    run(["mkgraph", "lang", "g.arpa", "final.mdl", "graph"], tmp_path)
+    assert (tmp_path / "graph" / "HCLG.fst").exists()
+
+    with TableWriter(f"ark:{tmp_path}/feats.ark", "mat") as w:
+        for k, f in sf.items():
+            w[k] = f
+    with TableWriter(f"ark:{tmp_path}/ref.ark", "text") as w:
+        for k, words in st.items():
+            w[k] = " ".join(words)
+    run(["gmm-latgen-faster", "--beam=20", "--acoustic-scale=1.0",
+         "--word-symbol-table=graph/words.txt", "final.mdl",
+         "graph/HCLG.fst", "ark:feats.ark", "ark:lat.ark", "ark:hyp.ark"],
+        tmp_path)
+    out = run(["compute-wer", "ark:ref.ark", "ark:hyp.ark"], tmp_path)
+    assert "%WER 0.00" in out.stdout, out.stdout
