@@ -213,3 +213,63 @@ def test_prepare_lang_and_mkgraph_cli(tmp_path):
         tmp_path)
     out = run(["compute-wer", "ark:ref.ark", "ark:hyp.ark"], tmp_path)
     assert "%WER 0.00" in out.stdout, out.stdout
+
+
+def test_online_wav_latgen_cli(tmp_path):
+    """Streaming CLI decode: wav in, words out, endpointing active."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.yesno import (
+        SAMP_FREQ, compute_feats, make_corpus, make_lang,
+    )
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+    from old_kaldi_git_tpu.utils.table import read_table
+    from old_kaldi_git_tpu.utils.wav import write_wav
+
+    from old_kaldi_git_tpu.feat.compute import MfccOptions
+    from old_kaldi_git_tpu.online.streaming import OnlineFeaturePipeline
+
+    tw, tt, sw, st = make_corpus(20, 3)
+    # train on ONLINE-pipeline features (causal CMN): models meant for
+    # streaming use are trained with the streaming feature convention,
+    # exactly as the reference's online recipes do
+    mo = MfccOptions()
+    mo.frame_opts.samp_freq = SAMP_FREQ
+    mo.frame_opts.dither = 0.0
+    tf = {}
+    for k, wav in tw.items():
+        pipe = OnlineFeaturePipeline(mo)
+        parts = [pipe.accept_waveform(wav), pipe.input_finished()]
+        tf[k] = np.concatenate([p for p in parts if p.size])
+    lang = make_lang()
+    model, _ = train_mono(tf, tt, lang,
+                          MonoTrainOptions(num_iters=8, totgauss=60))
+    model.save(str(tmp_path / "final.mdl"))
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    phones = lang.real_phone_ids
+    topo = model.tm.topo
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    with open(tmp_path / "HCLG.fst", "wb") as f:
+        mkgraph(lang, g, cd, model.tm).write(f)
+    lang.words.write(str(tmp_path / "words.txt"))
+    for k, wav in sw.items():
+        write_wav(str(tmp_path / f"{k}.wav"), wav, SAMP_FREQ)
+    (tmp_path / "wav.scp").write_text(
+        "".join(f"{k} {tmp_path}/{k}.wav\n" for k in sw)
+    )
+    out = run(["online-wav-gmm-latgen-faster", "--beam=20",
+               "--acoustic-scale=1.0", f"--samp-freq={SAMP_FREQ}",
+               f"--silence-phone-id={lang.silence_id}",
+               "--word-symbol-table=words.txt", "final.mdl", "HCLG.fst",
+               "scp:wav.scp", "ark:hyp.ark"], tmp_path)
+    assert "overall RTF" in out.stdout
+    hyps = read_table(f"ark:{tmp_path}/hyp.ark", "text")
+    errs = sum(hyps[k].split() != list(st[k]) for k in st)
+    assert errs == 0, (hyps, st)
