@@ -1239,3 +1239,145 @@ def online_wav_gmm_latgen_tool(argv: List[str]) -> int:
         print(f"overall RTF {tot_wall / tot_audio:.3f} "
               f"({tot_audio:.1f}s audio in {tot_wall:.1f}s)")
     return 0
+
+
+def _read_fst(path: str):
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+
+    with open(path, "rb") as f:
+        return VectorFst.read(f)
+
+
+def _write_fst(fst, path: str) -> int:
+    with open(path, "wb") as f:
+        fst.write(f)
+    return 0
+
+
+@tool("fstcompose")
+def fstcompose_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.algorithms import compose
+
+    po = ParseOptions("fstcompose <fst1> <fst2> <out-fst>")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    return _write_fst(compose(_read_fst(args[0]), _read_fst(args[1])), args[2])
+
+
+@tool("fstdeterminizestar")
+def fstdeterminizestar_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.algorithms import determinize_star
+
+    po = ParseOptions("fstdeterminizestar [--use-log=bool] <fst> <out-fst>")
+
+    class Opts:
+        use_log = False
+
+    o = Opts()
+    po.register("use-log", o, "use_log")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    return _write_fst(
+        determinize_star(_read_fst(args[0]), use_log=o.use_log), args[1]
+    )
+
+
+@tool("fstminimizeencoded")
+def fstminimizeencoded_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.algorithms import minimize_encoded
+
+    po = ParseOptions("fstminimizeencoded <fst> <out-fst>")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    return _write_fst(minimize_encoded(_read_fst(args[0])), args[1])
+
+
+@tool("fstpushspecial")
+def fstpushspecial_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.algorithms import push_special
+
+    po = ParseOptions("fstpushspecial <fst> <out-fst>")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    fst = _read_fst(args[0])
+    push_special(fst)
+    return _write_fst(fst, args[1])
+
+
+@tool("fstrmepslocal")
+def fstrmepslocal_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.algorithms import remove_eps_local
+
+    po = ParseOptions("fstrmepslocal <fst> <out-fst>")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    fst = _read_fst(args[0])
+    remove_eps_local(fst)
+    return _write_fst(fst, args[1])
+
+
+@tool("fstrmsymbols")
+def fstrmsymbols_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.algorithms import rm_symbols
+
+    po = ParseOptions(
+        "fstrmsymbols <symbol-list-file> <fst> <out-fst>  "
+        "(replaces listed input symbols with epsilon)"
+    )
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with open(args[0]) as f:
+        labels = [int(x) for x in f.read().split()]
+    fst = _read_fst(args[1])
+    rm_symbols(fst, labels, side="input")
+    return _write_fst(fst, args[2])
+
+
+@tool("fstproject")
+def fstproject_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.algorithms import project
+
+    po = ParseOptions("fstproject [--project-output=bool] <fst> <out-fst>")
+
+    class Opts:
+        project_output = False
+
+    o = Opts()
+    po.register("project-output", o, "project_output")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    return _write_fst(
+        project(_read_fst(args[0]),
+                "output" if o.project_output else "input"),
+        args[1],
+    )
+
+
+@tool("fstshortestpath")
+def fstshortestpath_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.fst.algorithms import shortest_path
+
+    po = ParseOptions("fstshortestpath <fst>   (prints cost, ilabels, olabels)")
+    args = po.parse(argv)
+    if len(args) != 1:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    cost, ils, ols = shortest_path(_read_fst(args[0]))
+    print(f"cost {cost:.6g}")
+    print("ilabels " + " ".join(str(x) for x in ils))
+    print("olabels " + " ".join(str(x) for x in ols))
+    return 0

@@ -273,3 +273,36 @@ def test_online_wav_latgen_cli(tmp_path):
     hyps = read_table(f"ark:{tmp_path}/hyp.ark", "text")
     errs = sum(hyps[k].split() != list(st[k]) for k in st)
     assert errs == 0, (hyps, st)
+
+
+def test_fst_cli_tools(tmp_path):
+    """fstbin-style wrappers compose over fst files."""
+    from old_kaldi_git_tpu.fst.vector_fst import Arc, VectorFst
+
+    # a∘b: simple transducers
+    a = VectorFst()
+    s0, s1 = a.add_state(), a.add_state()
+    a.set_start(s0)
+    a.add_arc(s0, Arc(1, 2, 0.5, s1))
+    a.add_arc(s0, Arc(1, 3, 1.5, s1))
+    a.set_final(s1, 0.0)
+    b = VectorFst()
+    t0, t1 = b.add_state(), b.add_state()
+    b.set_start(t0)
+    b.add_arc(t0, Arc(2, 7, 0.25, t1))
+    b.set_final(t1, 0.0)
+    with open(tmp_path / "a.fst", "wb") as f:
+        a.write(f)
+    with open(tmp_path / "b.fst", "wb") as f:
+        b.write(f)
+    run(["fstcompose", "a.fst", "b.fst", "ab.fst"], tmp_path)
+    out = run(["fstshortestpath", "ab.fst"], tmp_path)
+    assert "cost 0.75" in out.stdout
+    assert "olabels 7" in out.stdout
+    run(["fstdeterminizestar", "ab.fst", "det.fst"], tmp_path)
+    run(["fstminimizeencoded", "det.fst", "min.fst"], tmp_path)
+    run(["fstpushspecial", "min.fst", "push.fst"], tmp_path)
+    run(["fstproject", "--project-output=true", "push.fst", "proj.fst"],
+        tmp_path)
+    out = run(["fstinfo", "proj.fst"], tmp_path)
+    assert "# of states" in out.stdout
