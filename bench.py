@@ -81,6 +81,7 @@ def main():
     from old_kaldi_git_tpu.decoder.viterbi import (
         BIG,
         _decode_and_backtrace,
+        results_from_arcs,
     )
     from old_kaldi_git_tpu.feat import Mfcc, MfccOptions, compute_deltas
     from old_kaldi_git_tpu.feat.window import num_frames as count_frames
@@ -134,25 +135,15 @@ def main():
     # absorb per-process backend init before the big compile
     jax.jit(lambda a: a + 1)(jnp.zeros(2)).block_until_ready()
 
+    nf_host = np.full(B, T, np.int32)
+
     def pipeline(waves_dev):
         end, has_final, costs, arcs = full_pipeline(waves_dev)
-        # host tail of decode_batch: words from winning arcs
-        end_h = np.asarray(end)
-        final_h = np.asarray(has_final)
-        cost_h = np.asarray(costs, np.float64)
-        arcs_h = np.asarray(arcs)  # [T, B]
-        results = []
-        for b in range(B):
-            if cost_h[b] >= BIG or (arcs_h[:, b] < 0).any():
-                results.append(None)
-                continue
-            words = []
-            for a in arcs_h[:, b]:
-                words.extend(csr.arc_olabels[a])
-            if final_h[b]:
-                words.extend(csr.final_olabels[int(end_h[b])])
-            results.append(words)
-        return results
+        # decode_batch's shared host tail: words from winning arcs
+        return results_from_arcs(
+            csr, np.asarray(arcs), np.asarray(end), np.asarray(has_final),
+            np.asarray(costs, np.float64), nf_host,
+        )
 
     # warmup (the one big compile)
     waves_dev = jnp.asarray(waves)

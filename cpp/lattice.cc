@@ -257,6 +257,9 @@ struct Determinizer {
       auto [det_s, k] = agenda.back();
       agenda.pop_back();
       double fwd = forward[det_s];
+      // re-expansion replaces this state's arcs: uncount them so the
+      // max_arcs guard tracks actual arcs (as the Python mirror does)
+      total_arcs -= static_cast<int64_t>(out.arcs[det_s].size());
       out.arcs[det_s].clear();
       out.fin_g[det_s] = kInf;
       out.fin_a[det_s] = kInf;

@@ -638,20 +638,14 @@ def gmm_latgen_faster_tool(argv: List[str]) -> int:
         hclg = VectorFst.read(f)
     csr = fst_to_csr(hclg, model.tm.tid_to_pdf_array())
     feats = dict(SequentialTableReader(args[2], "mat"))
-    keys = sorted(feats)
-    if not keys:
+    if not feats:
         log.warning("no features")
         return 1
-    T = max(feats[k].shape[0] for k in keys)
-    D = feats[keys[0]].shape[1]
-    padded = np.zeros((len(keys), T, D), np.float32)
-    nf = np.zeros(len(keys), np.int32)
-    for i, k in enumerate(keys):
-        padded[i, : feats[k].shape[0]] = feats[k]
-        nf[i] = feats[k].shape[0]
-    loglikes = model.am.loglikes_numpy(padded.reshape(-1, D)).reshape(
-        len(keys), T, -1
-    )
+    from old_kaldi_git_tpu.utils.batching import pad_feature_batch
+
+    keys, padded, nf = pad_feature_batch(feats)
+    B, T, D = padded.shape
+    loglikes = model.am.loglikes_numpy(padded.reshape(-1, D)).reshape(B, T, -1)
     results = decode_batch(
         csr, loglikes, nf,
         ViterbiOptions(beam=o.beam, max_active=o.max_active,
@@ -1054,8 +1048,11 @@ def prepare_lang_tool(argv: List[str]) -> int:
             parts = ln.split()
             if len(parts) >= 2:
                 lex.setdefault(parts[0], []).append(" ".join(parts[1:]))
+    # list-of-lists form: unambiguous for words with multiple prons,
+    # including multiple SINGLE-phone prons (the list-of-strings form would
+    # misread ['ah', 'ey'] as one two-phone pronunciation)
     lang = Lang(
-        Lexicon.from_dict({w: v if len(v) > 1 else v[0] for w, v in lex.items()}),
+        Lexicon.from_dict({w: [p.split() for p in v] for w, v in lex.items()}),
         silence_phone=o.silence_phone, sil_prob=o.sil_prob,
     )
     os.makedirs(args[1], exist_ok=True)
@@ -1111,8 +1108,11 @@ def mkgraph_tool(argv: List[str]) -> int:
             parts = ln.split()
             if len(parts) >= 2:
                 lex.setdefault(parts[0], []).append(" ".join(parts[1:]))
+    # list-of-lists form: unambiguous for words with multiple prons,
+    # including multiple SINGLE-phone prons (the list-of-strings form would
+    # misread ['ah', 'ey'] as one two-phone pronunciation)
     lang = Lang(
-        Lexicon.from_dict({w: v if len(v) > 1 else v[0] for w, v in lex.items()}),
+        Lexicon.from_dict({w: [p.split() for p in v] for w, v in lex.items()}),
         silence_phone=o.silence_phone, sil_prob=o.sil_prob,
     )
     with open(args[1]) as f:

@@ -199,9 +199,9 @@ def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
                              acoustic_scale, beam, K, S)
 
 
-UNROLL = 1  # frames per scan step.  Measured on the TPU backend: unrolling
-#             gives NO hot-path speedup at any graph size and can inflate
-#             XLA compile time >20x on larger graphs; keep the plain scan.
+# NOTE: a scan-unroll knob was tried and removed — measured on the TPU
+# backend, unrolling gives NO hot-path speedup at any graph size and can
+# inflate XLA compile time >20x on larger graphs; keep the plain scan.
 
 
 def _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
@@ -251,28 +251,13 @@ def _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
             bp_state.astype(jnp.int32), bp_arc.astype(jnp.int32), bp_cost
         )
 
-    t_pad = (T + UNROLL - 1) // UNROLL * UNROLL
-    ll = jnp.swapaxes(loglikes, 0, 1)  # [T, B, P]
-    if t_pad != T:
-        ll = jnp.pad(ll, ((0, t_pad - T), (0, 0), (0, 0)))
-    ll = ll.reshape(t_pad // UNROLL, UNROLL, B, P)
-    times = jnp.arange(t_pad).reshape(-1, UNROLL)
-
     def step(alpha, inputs):
-        ll_chunk, t_chunk = inputs  # [UNROLL, B, P], [UNROLL]
-        outs = []
-        for u in range(UNROLL):
-            alpha, out = frame_update(alpha, ll_chunk[u], t_chunk[u])
-            outs.append(out)
-        stacked = tuple(
-            jnp.stack([o[i] for o in outs]) for i in range(3)
-        )
-        return alpha, stacked
+        ll_t, t = inputs
+        return frame_update(alpha, ll_t, t)
 
-    alpha, (bp_state, bp_arc, bp_cost) = jax.lax.scan(step, alpha0, (ll, times))
-    bp_state = bp_state.reshape(t_pad, B, K)[:T]
-    bp_arc = bp_arc.reshape(t_pad, B, K)[:T]
-    bp_cost = bp_cost.reshape(t_pad, B, K)[:T]
+    alpha, (bp_state, bp_arc, bp_cost) = jax.lax.scan(
+        step, alpha0, (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T))
+    )
     neg_top, top_idx = jax.lax.top_k(-alpha, K)
     return top_idx.astype(jnp.int32), -neg_top, bp_state, bp_arc, bp_cost, alpha
 
@@ -450,7 +435,6 @@ def decode_batch(
         end_states = np.zeros(B, np.int32)
         costs = np.zeros(B, np.float64)
         use_final = np.zeros(B, bool)
-        dead = np.zeros(B, bool)
         for b in range(B):
             total = tok_cost_h[b] + fw[tok_state_h[b]]
             if total.min() >= BIG:
@@ -460,7 +444,6 @@ def decode_batch(
             slot = int(np.argmin(total))
             costs[b] = float(total[slot])
             end_states[b] = tok_state_h[b, slot]
-            dead[b] = costs[b] >= BIG
         arcs = np.asarray(
             _backtrace_scan(bp_state, bp_arc, frm_dev,
                             jnp.asarray(end_states), nf_dev)
@@ -479,12 +462,33 @@ def decode_batch(
         use_final = np.asarray(final_dev)
         costs = np.asarray(cost_dev, np.float64)
         arcs = np.asarray(arc_dev)  # [T, B]
-        dead = costs >= BIG
+        bp_state_h = bp_cost_h = None
 
+    return results_from_arcs(
+        graph, arcs, end_states, use_final, costs, num_frames,
+        frame_states=bp_state_h, frame_costs=bp_cost_h,
+    )
+
+
+def results_from_arcs(
+    graph: CsrGraph,
+    arcs: np.ndarray,  # [T, B] winning arc ids (-1 = dead frame)
+    end_states: np.ndarray,  # [B]
+    use_final: np.ndarray,  # [B] bool
+    costs: np.ndarray,  # [B]
+    num_frames: np.ndarray,  # [B]
+    frame_states: Optional[np.ndarray] = None,  # [T, B, K] (lattice mode)
+    frame_costs: Optional[np.ndarray] = None,
+) -> List[Optional[DecodeResult]]:
+    """Host tail of a batched decode: winning-arc chains → words/alignments.
+
+    Shared between decode_batch and external fused programs (bench.py runs
+    the whole pipeline as one jit and reuses this for the word extraction)."""
+    B = arcs.shape[1]
     results: List[Optional[DecodeResult]] = []
     for b in range(B):
         nf_b = int(num_frames[b])
-        if dead[b]:
+        if costs[b] >= BIG:
             results.append(None)
             continue
         arc_seq = arcs[:nf_b, b]
@@ -499,9 +503,14 @@ def decode_batch(
             words.extend(graph.final_olabels[int(end_states[b])])
         results.append(
             DecodeResult(
-                words=words, alignment=tids.astype(np.int32), cost=float(costs[b]),
-                frame_states=bp_state_h[:nf_b, b] if want_lattice else None,
-                frame_costs=bp_cost_h[:nf_b, b] if want_lattice else None,
+                words=words, alignment=tids.astype(np.int32),
+                cost=float(costs[b]),
+                frame_states=(
+                    frame_states[:nf_b, b] if frame_states is not None else None
+                ),
+                frame_costs=(
+                    frame_costs[:nf_b, b] if frame_costs is not None else None
+                ),
             )
         )
     return results

@@ -71,24 +71,33 @@ def _ebw_weights(
     if num_occ.sum() <= 0:
         return w_old
     ratio = np.where(w_old > 0, den_occ / np.maximum(w_old, 1e-20), 0.0)
+    # stationary point: w_m = γn_m / (λ + γd_m/w_old_m); positivity needs
+    # λ > −min(ratio) over components with γn_m > 0, and λ may well be
+    # NEGATIVE when denominator occupancy dominates — bracket from just
+    # above that pole, not from 0
+    active = num_occ > 0
+    lam_min = -float(np.min(ratio[active])) if active.any() else 0.0
 
     def total(lam: float) -> float:
-        return float(np.sum(num_occ / np.maximum(lam + ratio, 1e-20)))
+        return float(
+            np.sum(num_occ[active] / np.maximum(lam + ratio[active], 1e-20))
+        )
 
-    # bracket λ: w sums decrease in λ
-    lo = 1e-10
-    hi = max(float(num_occ.sum()), 1.0)
+    # Σw → ∞ as λ → lam_min⁺ and decreases monotonically in λ
+    eps = max(1e-12, abs(lam_min) * 1e-12)
+    lo = lam_min + eps
+    hi = max(lam_min + 1.0, float(num_occ.sum()), 1.0)
     while total(hi) > 1.0:
-        hi *= 2.0
-        if hi > 1e15:
+        hi = lam_min + (hi - lam_min) * 2.0
+        if hi - lam_min > 1e15:
             break
-    for _ in range(100):
+    for _ in range(200):
         mid = 0.5 * (lo + hi)
         if total(mid) > 1.0:
             lo = mid
         else:
             hi = mid
-    w = num_occ / np.maximum(hi + ratio, 1e-20)
+    w = np.where(active, num_occ / np.maximum(hi + ratio, 1e-20), 0.0)
     s = w.sum()
     if s <= 0:
         return w_old

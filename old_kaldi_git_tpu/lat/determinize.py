@@ -270,6 +270,7 @@ def determinize_lattice(
     # det-state table: residual-subset key -> (state id, forward cost)
     subset_ids: Dict[Tuple[_Element, ...], int] = {}
     forward: List[float] = []
+    total_arcs = 0  # running count: out.num_arcs is O(S) per call
 
     def prune_subset(
         elems: Dict[int, Tuple[Weight, TidString]], fwd: float
@@ -304,6 +305,7 @@ def determinize_lattice(
         fwd = forward[det_s]
         # re-expansion (after a forward-cost improvement) is idempotent:
         # rebuild this state's arcs/final from scratch
+        total_arcs -= len(out.arcs[det_s])
         out.arcs[det_s] = []
         out.finals[det_s] = (INF, INF, ())
         elems: Dict[int, Tuple[Weight, TidString]] = {
@@ -361,7 +363,8 @@ def determinize_lattice(
             out.arcs[det_s].append(
                 CompactLatticeArc(word, div_w[0], div_w[1], div_s, ns_id)
             )
-            if out.num_arcs > max_arcs:
+            total_arcs += 1
+            if total_arcs > max_arcs:
                 raise KaldiError(
                     f"determinize_lattice: exceeded max_arcs={max_arcs}"
                 )

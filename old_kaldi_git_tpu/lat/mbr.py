@@ -172,7 +172,8 @@ def minimum_bayes_risk(
 
         # --- backward occupancy ------------------------------------------
         gamma: List[Dict[int, float]] = [dict() for _ in range(Q + 1)]
-        tsum = np.zeros(Q + 1)
+        tsum = np.zeros(Q + 1)       # word begin-time mass
+        tsum_end = np.zeros(Q + 1)   # word end-time mass
         tmass = np.zeros(Q + 1)
         mass: List[Dict[int, float]] = [dict() for _ in range(S)]
         for s, p in fin_p:
@@ -217,6 +218,7 @@ def minimum_bayes_risk(
                         # insert w before r_1
                         gamma[0][w] = gamma[0].get(w, 0.0) + share
                         tsum[0] += share * tstart[src]
+                        tsum_end[0] += share * (tstart[src] + _nfrm)
                         tmass[0] += share
                         mass[src][0] = mass[src].get(0, 0.0) + share
                         continue
@@ -225,21 +227,23 @@ def minimum_bayes_risk(
                     if c_sub <= c_ins + eps:
                         gamma[q][w] = gamma[q].get(w, 0.0) + share
                         tsum[q] += share * tstart[src]
+                        tsum_end[q] += share * (tstart[src] + _nfrm)
                         tmass[q] += share
                         mass[src][q - 1] = mass[src].get(q - 1, 0.0) + share
                     else:
                         gamma[q][w] = gamma[q].get(w, 0.0) + share
                         tsum[q] += share * tstart[src]
+                        tsum_end[q] += share * (tstart[src] + _nfrm)
                         tmass[q] += share
                         mass[src][q] = mass[src].get(q, 0.0) + share
-        return e_edit, gamma, tsum, tmass
+        return e_edit, gamma, tsum, tsum_end, tmass
 
     prev = None
     e_edit = 0.0
     gamma: List[Dict[int, float]] = []
-    tsum = tmass = None
+    tsum = tsum_end = tmass = None
     for _ in range(max_iters):
-        e_edit, gamma, tsum, tmass = acc_stats(R)
+        e_edit, gamma, tsum, tsum_end, tmass = acc_stats(R)
         newR = []
         for q in range(1, len(R) + 1):
             if not gamma[q]:
@@ -253,7 +257,7 @@ def minimum_bayes_risk(
             break
         prev, R = R, newR
     # final stats for the converged R
-    e_edit, gamma, tsum, tmass = acc_stats(R)
+    e_edit, gamma, tsum, tsum_end, tmass = acc_stats(R)
 
     words: List[int] = []
     confs: List[float] = []
@@ -266,10 +270,11 @@ def minimum_bayes_risk(
         sausage.append([(w, p / max(total_q, 1e-12)) for w, p in items])
         r = R[q - 1]
         conf = d.get(r, 0.0) / max(total_q, 1e-12)
-        t_mid = tsum[q] / max(tmass[q], 1e-12)
+        t_beg = tsum[q] / max(tmass[q], 1e-12)
+        t_end = tsum_end[q] / max(tmass[q], 1e-12)
         words.append(r)
         confs.append(min(1.0, conf))
-        times.append((t_mid * frame_shift, t_mid * frame_shift))
+        times.append((t_beg * frame_shift, max(t_end, t_beg) * frame_shift))
     return MbrResult(
         words=words, confidences=confs, sausage=sausage, times=times,
         expected_wer=float(e_edit),

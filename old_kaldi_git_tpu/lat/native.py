@@ -110,7 +110,8 @@ def determinize_lattice_native(
     )
     if not h:
         raise KaldiError(
-            f"determinize_lattice (native): exceeded max_states={max_states}"
+            "determinize_lattice (native): state/arc blow-up "
+            f"(max_states={max_states}, max_arcs={max_arcs})"
         )
     try:
         ns = ctypes.c_int32()

@@ -18,6 +18,7 @@ from old_kaldi_git_tpu.decoder.graph import mkgraph
 from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
 from old_kaldi_git_tpu.fst.lang import Lang
 from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+from old_kaldi_git_tpu.utils.batching import pad_feature_batch
 from old_kaldi_git_tpu.utils.edit_distance import EditStats, compute_wer
 from old_kaldi_git_tpu.utils.log import get_logger
 from old_kaldi_git_tpu.utils.parse_options import options_dataclass
@@ -41,14 +42,7 @@ def decode_dataset(
 ) -> Dict[str, List[str]]:
     """Returns {utt: hypothesis words}."""
     opts = opts or DecodeOptions()
-    keys = sorted(feats)
-    T = max(feats[k].shape[0] for k in keys)
-    D = feats[keys[0]].shape[1]
-    padded = np.zeros((len(keys), T, D), np.float32)
-    nf = np.zeros(len(keys), np.int32)
-    for i, k in enumerate(keys):
-        padded[i, : feats[k].shape[0]] = feats[k]
-        nf[i] = feats[k].shape[0]
+    keys, padded, nf = pad_feature_batch(feats)
     loglikes = model.am.loglikes_batch(padded)  # device-resident
     vopts = ViterbiOptions(
         beam=opts.beam, max_active=opts.max_active, acoustic_scale=opts.acoustic_scale
@@ -92,14 +86,7 @@ def decode_dataset_with_lattices(
     from old_kaldi_git_tpu.lat.lattice import lattice_from_decode
 
     opts = opts or DecodeOptions()
-    keys = sorted(feats)
-    T = max(feats[k].shape[0] for k in keys)
-    D = feats[keys[0]].shape[1]
-    padded = np.zeros((len(keys), T, D), np.float32)
-    nf = np.zeros(len(keys), np.int32)
-    for i, k in enumerate(keys):
-        padded[i, : feats[k].shape[0]] = feats[k]
-        nf[i] = feats[k].shape[0]
+    keys, padded, nf = pad_feature_batch(feats)
     loglikes = np.asarray(model.am.loglikes_batch(padded))  # host: lattice
     # reconstruction below needs per-frame scores anyway
     results = decode_batch(

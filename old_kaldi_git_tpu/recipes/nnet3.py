@@ -20,6 +20,7 @@ from old_kaldi_git_tpu.hmm.hmm_utils import alignment_to_pdfs
 from old_kaldi_git_tpu.models.am_nnet import AmNnet
 from old_kaldi_git_tpu.models.tdnn import make_tdnn, make_tdnnf
 from old_kaldi_git_tpu.models.train import NnetTrainOptions, train_ce
+from old_kaldi_git_tpu.utils.batching import pad_feature_batch
 from old_kaldi_git_tpu.utils.log import get_logger
 
 log = get_logger("nnet3")
@@ -74,14 +75,7 @@ def decode_tdnn(
 ) -> Dict[str, List[str]]:
     """Batched TDNN decode (reference nnet3-latgen-faster, 1-best path).
     acoustic_scale 1.0 is the nnet3 convention (posteriors / priors)."""
-    keys = sorted(feats)
-    T = max(feats[k].shape[0] for k in keys)
-    D = feats[keys[0]].shape[1]
-    padded = np.zeros((len(keys), T, D), np.float32)
-    nf = np.zeros(len(keys), np.int32)
-    for i, k in enumerate(keys):
-        padded[i, : feats[k].shape[0]] = feats[k]
-        nf[i] = feats[k].shape[0]
+    keys, padded, nf = pad_feature_batch(feats)
     loglikes = am.loglikes_batch(padded)  # device-resident
     results = decode_batch(
         graph, loglikes, nf,

@@ -23,8 +23,8 @@ This driver keeps exactly that UX for Python pipelines:
 from __future__ import annotations
 
 import contextlib
+import logging
 import os
-import sys
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -92,7 +92,20 @@ class Pipeline:
                     lf.write(f"# stage {number} ({name}) started "
                              f"{time.strftime('%F %T')}\n")
                     lf.flush()
-                    fn(self.ctx)
+                    # capture the stage's stdout/stderr AND logging output
+                    # into the stage log (exp/*/log/*.log behavior)
+                    handler = logging.StreamHandler(lf)
+                    handler.setFormatter(
+                        logging.Formatter("%(levelname).1s %(message)s")
+                    )
+                    root = logging.getLogger()
+                    root.addHandler(handler)
+                    try:
+                        with contextlib.redirect_stdout(lf), \
+                                contextlib.redirect_stderr(lf):
+                            fn(self.ctx)
+                    finally:
+                        root.removeHandler(handler)
                     lf.write(f"# done in {time.time() - t0:.1f}s\n")
             else:
                 fn(self.ctx)

@@ -336,3 +336,26 @@ def test_mmi_training_improves_yesno():
                                                               acoustic_scale=0.2))
     stats = score_hyps(st, hyps)
     assert stats.wer == 0.0, stats.report()
+
+
+def test_ebw_weights_negative_lambda_regime():
+    """Denominator-dominated stats need a negative multiplier: the solver
+    must still find the simplex maximizer (regression for a bracket that
+    started at 0 and silently returned near-arbitrary weights)."""
+    from old_kaldi_git_tpu.gmm.ebw import _ebw_weights
+
+    w_old = np.array([0.5, 0.5])
+    num = np.array([0.3, 0.1])
+    den = np.array([5.0, 1.0])
+    w = _ebw_weights(w_old, num, den)
+    assert abs(w.sum() - 1.0) < 1e-6 and (w >= 0).all()
+
+    def auxf(wv):
+        return float(np.sum(num * np.log(np.maximum(wv, 1e-20)))
+                     - np.sum(den * wv / w_old))
+
+    # beats the old weights and a dense sweep of simplex points
+    assert auxf(w) >= auxf(w_old) - 1e-9
+    grid = np.linspace(0.001, 0.999, 999)
+    best = max(auxf(np.array([g, 1 - g])) for g in grid)
+    assert auxf(w) >= best - 1e-6

@@ -141,3 +141,29 @@ def test_sausage_and_confidences_wellformed():
             tot = sum(p for _, p in bin_)
             assert tot <= 1.0 + 1e-6
             assert all(p >= -1e-12 for _, p in bin_)
+
+
+def test_mbr_word_durations():
+    """Word (begin, end) times: multi-frame words get end > begin."""
+    from old_kaldi_git_tpu.lat.determinize import (
+        CompactLattice, CompactLatticeArc,
+    )
+
+    clat = CompactLattice()
+    s = clat.add_state()
+    clat.start = s
+    durations = [3, 5, 2]
+    for i, d in enumerate(durations):
+        ns = clat.add_state()
+        clat.arcs[s].append(
+            CompactLatticeArc(i + 1, 0.2, 0.2, tuple(range(1, d + 1)), ns)
+        )
+        s = ns
+    clat.finals[s] = (0.0, 0.0, ())
+    res = minimum_bayes_risk(clat, 1.0, 1.0)
+    assert res.words == [1, 2, 3]
+    starts = [t[0] for t in res.times]
+    ends = [t[1] for t in res.times]
+    # begins are cumulative durations; ends exceed begins by each duration
+    assert starts == pytest.approx([0.0, 3.0, 8.0], abs=1e-6)
+    assert ends == pytest.approx([3.0, 8.0, 10.0], abs=1e-6)
