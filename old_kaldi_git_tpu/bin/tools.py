@@ -1381,3 +1381,19 @@ def fstshortestpath_tool(argv: List[str]) -> int:
     print("ilabels " + " ".join(str(x) for x in ils))
     print("olabels " + " ".join(str(x) for x in ols))
     return 0
+
+
+@tool("nnet3-average")
+def nnet3_average_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.train import average_models
+
+    po = ParseOptions("nnet3-average <model1> <model2> [...] <model-out>")
+    args = po.parse(argv)
+    if len(args) < 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    ams = [AmNnet.load(p) for p in args[:-1]]
+    average_models(ams).save(args[-1])
+    log.info("averaged %d models -> %s", len(ams), args[-1])
+    return 0

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -242,3 +242,31 @@ def train_ce(
         nf[i] = feats[k].shape[0]
     out.set_priors_from_posteriors(sample, nf)
     return out
+
+
+def average_models(ams: Sequence[AmNnet], weights: Optional[Sequence[float]] = None) -> AmNnet:
+    """Parameter-average models with identical configs.
+
+    ~ nnet3-average (the reference's P3 data parallelism combines per-job
+    models this way each iteration; our synchronous pmean makes it
+    unnecessary for training, but averaging checkpoints is still the
+    standard final-model combination, cf. nnet3-combine)."""
+    if not ams:
+        raise ValueError("average_models: no models")
+    if weights is None:
+        weights = [1.0 / len(ams)] * len(ams)
+    total = float(sum(weights))
+
+    def avg(*leaves):
+        out = np.zeros_like(np.asarray(leaves[0], np.float64))
+        for w, leaf in zip(weights, leaves):
+            out += (w / total) * np.asarray(leaf, np.float64)
+        return out.astype(np.asarray(leaves[0]).dtype)
+
+    variables = jax.tree.map(avg, *[am.variables for am in ams])
+    log_priors = None
+    if ams[0].log_priors is not None:
+        log_priors = np.log(np.mean(
+            [np.exp(am.log_priors) for am in ams], axis=0
+        )).astype(np.float32)
+    return AmNnet(ams[0].config, variables, log_priors)

@@ -336,3 +336,34 @@ def test_compute_prob_diagnostics():
     assert np.isfinite(ce) and 0.0 <= acc <= 1.0
     # untrained model ~ uniform: CE near log(5)
     assert abs(ce - np.log(5)) < 1.0
+
+
+def test_average_models():
+    """nnet3-average role: averaging identical models is the identity;
+    averaging two differently-seeded models yields a working model with
+    parameters at the midpoint."""
+    import jax
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.tdnn import make_tdnn
+    from old_kaldi_git_tpu.models.train import average_models
+
+    cfg = make_tdnn(8, 5, hidden_dim=16, num_layers=2)
+    a = AmNnet.init(cfg, seed=0)
+    b = AmNnet.init(cfg, seed=1)
+    a.set_priors_from_alignment_counts(np.ones(5))
+    b.set_priors_from_alignment_counts(np.ones(5))
+
+    same = average_models([a, a])
+    for la, ls in zip(jax.tree.leaves(a.variables), jax.tree.leaves(same.variables)):
+        np.testing.assert_allclose(la, ls, atol=1e-6)
+
+    mid = average_models([a, b])
+    ka = jax.tree.leaves(a.variables)
+    kb = jax.tree.leaves(b.variables)
+    km = jax.tree.leaves(mid.variables)
+    for la, lb, lm in zip(ka, kb, km):
+        np.testing.assert_allclose(lm, (np.asarray(la) + np.asarray(lb)) / 2,
+                                   atol=1e-5)
+    x = jnp.zeros((1, 10, 8), jnp.float32)
+    out = mid.loglikes_batch(x)
+    assert out.shape == (1, 10, 5) and bool(jnp.isfinite(out).all())
