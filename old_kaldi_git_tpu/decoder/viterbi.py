@@ -358,16 +358,35 @@ def _decode_and_backtrace(frm, pdf, w, ns, start, loglikes,
         )
         return end_states, has_final, costs, arcs_rev
 
-    # top-K mode: fall back to the full impl (stores bp_state as well)
-    tok_state, tok_cost, bp_state, bp_arc, _bp_cost, _alpha = \
-        _decode_scan_impl(frm, pdf, w, ns, alpha0,
-                          loglikes, num_frames, acoustic_scale, beam, K, S)
-    total = tok_cost + fw[tok_state]
+    # top-K mode (graphs too large for dense backpointers): store only the
+    # [T, B, K] kept-state ids and their winning arcs (no per-frame costs —
+    # those are lattice-only and the lattice path uses _decode_scan)
+    def kstep(alpha, inputs):
+        ll_t, t = inputs
+        new_alpha, best_arc = relax(alpha, ll_t)
+        neg_top, top_idx = jax.lax.top_k(-new_alpha, K)  # [B, K]
+        top_cost = -neg_top
+        keep = top_cost <= top_cost[:, :1] + beam
+        top_cost = jnp.where(keep, top_cost, BIG)
+        gated = jax.vmap(
+            lambda ti, tc: jnp.full((S,), BIG, jnp.float32).at[ti].set(tc)
+        )(top_idx, top_cost)
+        active = (t < num_frames)[:, None]
+        alpha_out = jnp.where(active, gated, alpha)
+        bp_state = jnp.where(active & keep, top_idx, -1)
+        bp_arc = jnp.where(
+            active & keep, jnp.take_along_axis(best_arc, top_idx, axis=1), -1
+        )
+        return alpha_out, (bp_state.astype(jnp.int32), bp_arc.astype(jnp.int32))
+
+    alpha, (bp_state, bp_arc) = jax.lax.scan(
+        kstep, alpha0, (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T))
+    )
+    total = alpha + fw[None, :]
     has_final = jnp.min(total, axis=1) < BIG
-    best_total = jnp.where(has_final[:, None], total, tok_cost)
-    slot = jnp.argmin(best_total, axis=1)
-    costs = jnp.take_along_axis(best_total, slot[:, None], 1)[:, 0]
-    end_states = jnp.take_along_axis(tok_state, slot[:, None], 1)[:, 0]
+    best_total = jnp.where(has_final[:, None], total, alpha)
+    end_states = jnp.argmin(best_total, axis=1).astype(jnp.int32)
+    costs = jnp.take_along_axis(best_total, end_states[:, None], 1)[:, 0]
     arcs = _backtrace_scan(bp_state, bp_arc, frm, end_states, num_frames)
     return end_states, has_final, costs, arcs
 
