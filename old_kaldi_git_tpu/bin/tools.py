@@ -1397,3 +1397,54 @@ def nnet3_average_tool(argv: List[str]) -> int:
     average_models(ams).save(args[-1])
     log.info("averaged %d models -> %s", len(ams), args[-1])
     return 0
+
+
+@tool("wav-reverberate")
+def wav_reverberate_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.feat.signal import add_noise, reverberate
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+    from old_kaldi_git_tpu.utils.wav import WaveData
+
+    po = ParseOptions(
+        "wav-reverberate [options] <wav-rspecifier> <wav-wspecifier>"
+    )
+
+    class Opts:
+        impulse_response = ""  # wav file with the RIR
+        additive_noise = ""  # wav rspecifier; mixed per utterance (by key)
+        snr_db = 20.0
+        volume = 0.0  # 0 = auto power normalization
+
+    o = Opts()
+    po.register("impulse-response", o, "impulse_response")
+    po.register("additive-noise", o, "additive_noise")
+    po.register("snr-db", o, "snr_db")
+    po.register("volume", o, "volume")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    rir = None
+    if o.impulse_response:
+        from old_kaldi_git_tpu.utils.wav import read_wav
+
+        rir = read_wav(o.impulse_response).data[0]
+    noises = (
+        RandomAccessTableReader(o.additive_noise, "wav")
+        if o.additive_noise else None
+    )
+    with TableWriter(args[1], "wav") as w:
+        for key, wave in SequentialTableReader(args[0], "wav"):
+            sig = wave.data[0]
+            if rir is not None:
+                sig = reverberate(
+                    sig, rir, volume=o.volume if o.volume else None
+                )
+            if noises is not None and key in noises:
+                sig = add_noise(sig, noises[key].data[0], o.snr_db)
+            w[key] = WaveData(samp_freq=wave.samp_freq, data=sig[None])
+    return 0

@@ -268,3 +268,40 @@ def test_pitch_octave_stability():
     Tn = out.shape[1]
     est = out[0, Tn // 5: 4 * Tn // 5, 1]
     assert np.percentile(np.abs(est - 120.0), 90) < 15.0
+
+
+def test_fft_convolve_matches_numpy():
+    from old_kaldi_git_tpu.feat.signal import fft_convolve
+
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=20000).astype(np.float32)
+    ker = rng.normal(size=1234).astype(np.float32)
+    got = fft_convolve(sig, ker)
+    want = np.convolve(sig.astype(np.float64), ker.astype(np.float64))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_reverberate_and_noise():
+    from old_kaldi_git_tpu.feat.signal import add_noise, reverberate
+
+    rng = np.random.default_rng(1)
+    sig = rng.normal(size=8000).astype(np.float32) * 1000
+    # delta RIR at a delay: shift_output realigns, so output ≈ input (power
+    # normalized)
+    rir = np.zeros(400, np.float32)
+    rir[100] = 1.0
+    out = reverberate(sig, rir)
+    assert out.shape == sig.shape
+    np.testing.assert_allclose(out, sig, rtol=1e-3, atol=1.0)
+    # real reverb changes the signal but keeps power
+    rir2 = np.exp(-np.arange(800) / 200.0).astype(np.float32) * \
+        rng.normal(size=800).astype(np.float32)
+    out2 = reverberate(sig, rir2)
+    assert np.mean(out2 ** 2) == pytest.approx(np.mean(sig ** 2), rel=0.01)
+    assert np.abs(out2 - sig).mean() > 1.0
+
+    noisy = add_noise(sig, rng.normal(size=3000).astype(np.float32), 10.0)
+    p_sig = np.mean(sig.astype(np.float64) ** 2)
+    p_noise = np.mean((noisy - sig).astype(np.float64) ** 2)
+    assert 10 * np.log10(p_sig / p_noise) == pytest.approx(10.0, abs=0.3)
