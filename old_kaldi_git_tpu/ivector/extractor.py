@@ -157,3 +157,55 @@ def extract_ivectors_per_spk(
         mean, _ = _posterior(ext, gamma, f)
         out[spk] = mean.astype(np.float32)
     return out
+
+
+def extract_online_ivectors(
+    ext: IvectorExtractor,
+    feats: np.ndarray,
+    period: int = 10,
+    stats_scale: float = 1.0,
+    max_count: float = 0.0,
+) -> np.ndarray:
+    """Online i-vectors: [T, D] feats → [T, ivec_dim], re-estimated every
+    `period` frames from CUMULATIVE stats up to that frame.
+
+    ~ online2/online-ivector-feature.cc OnlineIvectorFeature: the chain
+    recipes append this (repeated across each period) to the acoustic
+    features; max_count > 0 caps the stats weight so early frames keep
+    adapting (reference --max-count)."""
+    T = feats.shape[0]
+    out = np.zeros((T, ext.ivector_dim), np.float32)
+    gamma_tot = None
+    f_tot = None
+    cur = np.zeros(ext.ivector_dim, np.float32)
+    for start in range(0, T, period):
+        chunk = feats[start: start + period]
+        g1, f1 = _utt_stats(ext.ubm, chunk)
+        gamma_tot = g1 if gamma_tot is None else gamma_tot + g1
+        f_tot = f1 if f_tot is None else f_tot + f1
+        g, f = gamma_tot, f_tot
+        count = float(g.sum())
+        if max_count > 0 and count > max_count:
+            scale = max_count / count
+            g, f = g * scale, f * scale
+        if stats_scale != 1.0:
+            g, f = g * stats_scale, f * stats_scale
+        mean, _ = _posterior(ext, g, f)
+        cur = mean.astype(np.float32)
+        out[start: start + period] = cur
+    return out
+
+
+def append_ivectors(
+    feats: Dict[str, np.ndarray],
+    ext: IvectorExtractor,
+    period: int = 10,
+) -> Dict[str, np.ndarray]:
+    """{utt: [T, D]} → {utt: [T, D + ivec_dim]} with online i-vectors
+    appended — the chain/nnet3 recipes' input convention (features +
+    online iVectors, reference steps/nnet3/chain/train.py --online-ivector-dir)."""
+    out = {}
+    for k, x in feats.items():
+        iv = extract_online_ivectors(ext, x, period)
+        out[k] = np.concatenate([x, iv], axis=1).astype(np.float32)
+    return out

@@ -129,3 +129,41 @@ def test_decode_batch_sharded_over_mesh():
         assert rb.words == rs.words
         assert np.array_equal(rb.alignment, rs.alignment)
         assert abs(rb.cost - rs.cost) < 1e-3
+
+
+def test_online_ivectors_and_append():
+    """Online i-vectors converge toward the whole-utterance i-vector and
+    append_ivectors produces the chain recipes' input shape."""
+    from old_kaldi_git_tpu.ivector.extractor import (
+        append_ivectors,
+        extract_ivector,
+        extract_online_ivectors,
+        train_ivector_extractor,
+        train_ubm,
+    )
+
+    rng = np.random.default_rng(0)
+    # two "speakers" with shifted feature means
+    utts = {}
+    for s in range(2):
+        for i in range(4):
+            utts[f"s{s}u{i}"] = (
+                rng.normal(size=(60, 5)) + 3.0 * s
+            ).astype(np.float32)
+    ubm = train_ubm(np.concatenate(list(utts.values())), num_gauss=4,
+                    num_iters=3)
+    ext = train_ivector_extractor(ubm, list(utts.values()), ivector_dim=3,
+                                  num_iters=3)
+    x = utts["s1u0"]
+    online = extract_online_ivectors(ext, x, period=10)
+    assert online.shape == (60, 3)
+    whole = extract_ivector(ext, x)
+    # piecewise-constant per period; last estimate uses all stats = whole-utt
+    assert np.allclose(online[-1], whole, atol=1e-4)
+    assert np.allclose(online[0], online[9])
+    # early estimates differ from the final (it adapts over time)
+    assert np.abs(online[0] - online[-1]).max() > 1e-6
+
+    both = append_ivectors(utts, ext, period=10)
+    assert both["s0u0"].shape == (60, 8)
+    np.testing.assert_allclose(both["s1u0"][:, :5], x, atol=1e-6)
