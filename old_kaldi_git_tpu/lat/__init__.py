@@ -31,6 +31,8 @@ from old_kaldi_git_tpu.lat.determinize import (
     compact_lattice_to_lattice,
     determinize_lattice,
     determinize_lattice_pruned,
+    minimize_compact_lattice,
+    push_compact_lattice,
 )
 from old_kaldi_git_tpu.lat.ctm import (
     CtmEntry,

@@ -469,3 +469,126 @@ def compact_lattice_to_lattice(clat: CompactLattice) -> Lattice:
             else:
                 lat.finals[s] = (g, ac)
     return lat
+
+
+def push_compact_lattice(clat: CompactLattice) -> CompactLattice:
+    """~ PushCompactLatticeStrings/Weights (src/lat/push-lattice.cc): factor
+    each state's common (weight, tid-string) divisor out of its outgoing
+    arcs/final and fold it into the incoming arcs, moving weight and
+    strings as early as possible (enables more merging in minimization)."""
+    out = CompactLattice()
+    for _ in range(clat.num_states):
+        out.add_state()
+    out.start = clat.start
+    for s in range(clat.num_states):
+        for a in clat.arcs[s]:
+            out.arcs[s].append(
+                CompactLatticeArc(a.word, a.graph_cost, a.acoustic_cost,
+                                  a.tids, a.nextstate)
+            )
+        out.finals[s] = clat.finals[s]
+    # reverse topological order (reuse Lattice topsort via arc adjacency)
+    indeg = [0] * out.num_states
+    for s in range(out.num_states):
+        for a in out.arcs[s]:
+            indeg[a.nextstate] += 1
+    order = [s for s in range(out.num_states) if indeg[s] == 0]
+    i = 0
+    while i < len(order):
+        for a in out.arcs[order[i]]:
+            indeg[a.nextstate] -= 1
+            if indeg[a.nextstate] == 0:
+                order.append(a.nextstate)
+        i += 1
+    in_arcs: Dict[int, list] = {s: [] for s in range(out.num_states)}
+    for s in range(out.num_states):
+        for a in out.arcs[s]:
+            in_arcs[a.nextstate].append(a)
+    for s in reversed(order):
+        if s == out.start or not in_arcs[s]:
+            continue
+        items = []  # (weight, string) of everything leaving s
+        for a in out.arcs[s]:
+            items.append(((a.graph_cost, a.acoustic_cost), a.tids))
+        g, ac, string = out.finals[s]
+        if g != INF:
+            items.append(((g, ac), string))
+        if not items:
+            continue
+        div_w = min((w for w, _ in items), key=_w_key)
+        div_s: Optional[TidString] = None
+        for _, st in items:
+            div_s = st if div_s is None else _lcp(div_s, st)
+        if div_w == (0.0, 0.0) and not div_s:
+            continue
+        for a in out.arcs[s]:
+            a.graph_cost -= div_w[0]
+            a.acoustic_cost -= div_w[1]
+            a.tids = a.tids[len(div_s):]
+        if g != INF:
+            out.finals[s] = (g - div_w[0], ac - div_w[1], string[len(div_s):])
+        for a in in_arcs[s]:
+            a.graph_cost += div_w[0]
+            a.acoustic_cost += div_w[1]
+            a.tids = a.tids + div_s
+    return out
+
+
+def minimize_compact_lattice(clat: CompactLattice) -> CompactLattice:
+    """~ MinimizeCompactLattice (src/lat/minimize-lattice.cc): merge states
+    with identical suffix behavior (same final weight/string and the same
+    outgoing arcs up to the merged classes), after pushing.  Acyclic
+    lattices: one reverse-topological pass assigns canonical classes."""
+    pushed = push_compact_lattice(clat)
+    S = pushed.num_states
+    indeg = [0] * S
+    for s in range(S):
+        for a in pushed.arcs[s]:
+            indeg[a.nextstate] += 1
+    order = [s for s in range(S) if indeg[s] == 0]
+    i = 0
+    while i < len(order):
+        for a in pushed.arcs[order[i]]:
+            indeg[a.nextstate] -= 1
+            if indeg[a.nextstate] == 0:
+                order.append(a.nextstate)
+        i += 1
+    cls: Dict[int, int] = {}
+    sig_to_cls: Dict[tuple, int] = {}
+    for s in reversed(order):
+        arc_sig = tuple(sorted(
+            (a.word, round(a.graph_cost, 6), round(a.acoustic_cost, 6),
+             a.tids, cls[a.nextstate])
+            for a in pushed.arcs[s]
+        ))
+        g, ac, string = pushed.finals[s]
+        fin_sig = (round(g, 6) if g != INF else INF,
+                   round(ac, 6) if ac != INF else INF, string)
+        sig = (fin_sig, arc_sig)
+        if sig not in sig_to_cls:
+            sig_to_cls[sig] = len(sig_to_cls)
+        cls[s] = sig_to_cls[sig]
+    # rebuild with one state per class (keep the start's class as start)
+    out = CompactLattice()
+    cls_state: Dict[int, int] = {}
+
+    def get(c: int) -> int:
+        if c not in cls_state:
+            cls_state[c] = out.add_state()
+        return cls_state[c]
+
+    out.start = get(cls[pushed.start])
+    done = set()
+    for s in order:
+        c = cls[s]
+        if c in done:
+            continue
+        done.add(c)
+        sc = get(c)
+        out.finals[sc] = pushed.finals[s]
+        for a in pushed.arcs[s]:
+            out.arcs[sc].append(
+                CompactLatticeArc(a.word, a.graph_cost, a.acoustic_cost,
+                                  a.tids, get(cls[a.nextstate]))
+            )
+    return out

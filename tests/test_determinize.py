@@ -386,3 +386,38 @@ def test_native_determinize_pruned_beam():
                 assert key in got and got[key][0] == pytest.approx(cost, abs=1e-4)
         for key, (cost, _) in got.items():
             assert ref[tuple(key)][0] == pytest.approx(cost, abs=1e-4)
+
+
+def test_push_and_minimize_compact_lattice():
+    """Push + minimize preserve exact path semantics and shrink states."""
+    from old_kaldi_git_tpu.lat.determinize import (
+        minimize_compact_lattice,
+        push_compact_lattice,
+    )
+
+    rng = np.random.default_rng(21)
+    shrunk = 0
+    for _ in range(25):
+        lat = random_lattice(rng, num_states=12, num_arcs=30)
+        clat = determinize_lattice(lat)
+        if clat.num_states == 0:
+            continue
+        ref = clat_paths(clat)
+        pushed = push_compact_lattice(clat)
+        got_p = clat_paths(pushed)
+        assert set(got_p) == set(ref)
+        for key, (cost, tids) in ref.items():
+            assert got_p[key][0] == pytest.approx(cost, abs=1e-4)
+            assert got_p[key][1] == tids  # full-path tid strings preserved
+        mini = minimize_compact_lattice(clat)
+        got_m = clat_paths(mini)
+        assert set(got_m) == set(ref)
+        for key, (cost, tids) in ref.items():
+            assert got_m[key][0] == pytest.approx(cost, abs=1e-4)
+            assert got_m[key][1] == tids
+        assert mini.num_states <= clat.num_states
+        shrunk += mini.num_states < clat.num_states
+        # idempotent
+        again = minimize_compact_lattice(mini)
+        assert again.num_states == mini.num_states
+    assert shrunk >= 1  # minimization actually merges suffixes sometimes
