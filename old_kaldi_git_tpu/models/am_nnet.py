@@ -96,6 +96,35 @@ class AmNnet:
             logp = logp - jnp.asarray(self.log_priors)
         return logp
 
+    def loglikes_batch_chunked(
+        self, feats: jnp.ndarray, chunk: int = 150,
+    ) -> jnp.ndarray:
+        """Chunked evaluation with receptive-field overlap: equals
+        loglikes_batch exactly for finite-context models (TDNN/TDNN-F) while
+        bounding activation memory to O(chunk) frames.
+
+        ~ the reference's chunked decodables (DecodableAmNnetSimple
+        --frames-per-chunk with extra left/right context; the 'looped'
+        computation's role for unbounded utterances).  Recurrent layers
+        (lstmp/blstmp) have unbounded context: fall back to whole-utterance
+        evaluation for them."""
+        if any(l.kind in ("lstmp", "blstmp") for l in self.config.layers):
+            return self.loglikes_batch(feats)
+        feats = jnp.asarray(feats, jnp.float32)
+        B, T, D = feats.shape
+        if T <= chunk:
+            return self.loglikes_batch(feats)
+        lctx = self.config.left_context
+        rctx = self.config.right_context
+        outs = []
+        for s0 in range(0, T, chunk):
+            e0 = min(s0 + chunk, T)
+            lo = max(0, s0 - lctx)
+            hi = min(T, e0 + rctx)
+            piece = self.loglikes_batch(feats[:, lo:hi])
+            outs.append(piece[:, s0 - lo: s0 - lo + (e0 - s0)])
+        return jnp.concatenate(outs, axis=1)
+
     # -- serialization (framework-native; models are pytrees) -----------------
     def save(self, path: str) -> None:
         with open(path, "wb") as f:

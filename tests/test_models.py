@@ -367,3 +367,21 @@ def test_average_models():
     x = jnp.zeros((1, 10, 8), jnp.float32)
     out = mid.loglikes_batch(x)
     assert out.shape == (1, 10, 5) and bool(jnp.isfinite(out).all())
+
+
+def test_chunked_loglikes_equal_whole():
+    """Chunked eval with receptive-field overlap == whole-utterance eval
+    for finite-context models (the looped/chunked decodable oracle)."""
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.tdnn import make_tdnnf
+
+    cfg = make_tdnnf(10, 20, hidden_dim=32, bottleneck_dim=8, num_layers=3,
+                     time_stride=2)
+    am = AmNnet.init(cfg)
+    am.set_priors_from_alignment_counts(np.ones(20))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 137, 10)).astype(np.float32)
+    whole = np.asarray(am.loglikes_batch(jnp.asarray(x)))
+    chunked = np.asarray(am.loglikes_batch_chunked(jnp.asarray(x), chunk=40))
+    assert chunked.shape == whole.shape
+    np.testing.assert_allclose(chunked, whole, atol=2e-4)
