@@ -1418,12 +1418,14 @@ def wav_reverberate_tool(argv: List[str]) -> int:
         additive_noise = ""  # wav rspecifier; mixed per utterance (by key)
         snr_db = 20.0
         volume = 0.0  # 0 = auto power normalization
+        seed = 0  # noise-window randomization (reproducible per run)
 
     o = Opts()
     po.register("impulse-response", o, "impulse_response")
     po.register("additive-noise", o, "additive_noise")
     po.register("snr-db", o, "snr_db")
     po.register("volume", o, "volume")
+    po.register("seed", o, "seed")
     args = po.parse(argv)
     if len(args) != 2:
         print(po.print_usage(), file=sys.stderr)
@@ -1437,6 +1439,7 @@ def wav_reverberate_tool(argv: List[str]) -> int:
         RandomAccessTableReader(o.additive_noise, "wav")
         if o.additive_noise else None
     )
+    rng = np.random.default_rng(o.seed)  # one stream: windows vary per utt
     with TableWriter(args[1], "wav") as w:
         for key, wave in SequentialTableReader(args[0], "wav"):
             sig = wave.data[0]
@@ -1445,6 +1448,6 @@ def wav_reverberate_tool(argv: List[str]) -> int:
                     sig, rir, volume=o.volume if o.volume else None
                 )
             if noises is not None and key in noises:
-                sig = add_noise(sig, noises[key].data[0], o.snr_db)
+                sig = add_noise(sig, noises[key].data[0], o.snr_db, rng=rng)
             w[key] = WaveData(samp_freq=wave.samp_freq, data=sig[None])
     return 0

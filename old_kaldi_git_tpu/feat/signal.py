@@ -83,7 +83,10 @@ def add_noise(
     random window."""
     signal = np.asarray(signal, np.float64)
     noise = np.asarray(noise, np.float64)
-    rng = rng or np.random.default_rng(0)
+    # fresh entropy by default: a fixed seed here would give every
+    # utterance the identical noise window, collapsing augmentation
+    # diversity (pass an explicit rng for reproducible pipelines)
+    rng = rng if rng is not None else np.random.default_rng()
     if len(noise) < len(signal):
         reps = int(np.ceil(len(signal) / len(noise)))
         noise = np.tile(noise, reps)

@@ -183,13 +183,15 @@ def extract_online_ivectors(
         g1, f1 = _utt_stats(ext.ubm, chunk)
         gamma_tot = g1 if gamma_tot is None else gamma_tot + g1
         f_tot = f1 if f_tot is None else f_tot + f1
+        # reference order: the posterior scale applies DURING accumulation,
+        # and --max-count caps the SCALED count
         g, f = gamma_tot, f_tot
+        if stats_scale != 1.0:
+            g, f = g * stats_scale, f * stats_scale
         count = float(g.sum())
         if max_count > 0 and count > max_count:
             scale = max_count / count
             g, f = g * scale, f * scale
-        if stats_scale != 1.0:
-            g, f = g * stats_scale, f * stats_scale
         mean, _ = _posterior(ext, g, f)
         cur = mean.astype(np.float32)
         out[start: start + period] = cur

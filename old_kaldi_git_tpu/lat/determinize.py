@@ -66,6 +66,27 @@ def _lcp(a: TidString, b: TidString) -> TidString:
     return a[:n]
 
 
+
+def _clat_topo_order(clat: "CompactLattice") -> List[int]:
+    """Kahn topological order of a CompactLattice; KaldiError on cycles."""
+    n = clat.num_states
+    indeg = [0] * n
+    for s in range(n):
+        for a in clat.arcs[s]:
+            indeg[a.nextstate] += 1
+    order = [s for s in range(n) if indeg[s] == 0]
+    i = 0
+    while i < len(order):
+        for a in clat.arcs[order[i]]:
+            indeg[a.nextstate] -= 1
+            if indeg[a.nextstate] == 0:
+                order.append(a.nextstate)
+        i += 1
+    if len(order) != n:
+        raise KaldiError("compact lattice has a cycle")
+    return order
+
+
 @dataclasses.dataclass
 class CompactLatticeArc:
     word: int  # word id (0 only for the implicit "end" never stored)
@@ -107,19 +128,7 @@ class CompactLattice:
     ) -> Tuple[List[int], List[int], float]:
         """(words, tids, cost); the acceptor is acyclic and deterministic."""
         n = self.num_states
-        # topological order (acyclic by construction from an acyclic lattice)
-        indeg = [0] * n
-        for s in range(n):
-            for a in self.arcs[s]:
-                indeg[a.nextstate] += 1
-        order = [s for s in range(n) if indeg[s] == 0]
-        i = 0
-        while i < len(order):
-            for a in self.arcs[order[i]]:
-                indeg[a.nextstate] -= 1
-                if indeg[a.nextstate] == 0:
-                    order.append(a.nextstate)
-            i += 1
+        order = _clat_topo_order(self)
         dist = [INF] * n
         back: List[Optional[Tuple[int, CompactLatticeArc]]] = [None] * n
         dist[self.start] = 0.0
@@ -487,19 +496,7 @@ def push_compact_lattice(clat: CompactLattice) -> CompactLattice:
                                   a.tids, a.nextstate)
             )
         out.finals[s] = clat.finals[s]
-    # reverse topological order (reuse Lattice topsort via arc adjacency)
-    indeg = [0] * out.num_states
-    for s in range(out.num_states):
-        for a in out.arcs[s]:
-            indeg[a.nextstate] += 1
-    order = [s for s in range(out.num_states) if indeg[s] == 0]
-    i = 0
-    while i < len(order):
-        for a in out.arcs[order[i]]:
-            indeg[a.nextstate] -= 1
-            if indeg[a.nextstate] == 0:
-                order.append(a.nextstate)
-        i += 1
+    order = _clat_topo_order(out)
     in_arcs: Dict[int, list] = {s: [] for s in range(out.num_states)}
     for s in range(out.num_states):
         for a in out.arcs[s]:
@@ -540,19 +537,7 @@ def minimize_compact_lattice(clat: CompactLattice) -> CompactLattice:
     outgoing arcs up to the merged classes), after pushing.  Acyclic
     lattices: one reverse-topological pass assigns canonical classes."""
     pushed = push_compact_lattice(clat)
-    S = pushed.num_states
-    indeg = [0] * S
-    for s in range(S):
-        for a in pushed.arcs[s]:
-            indeg[a.nextstate] += 1
-    order = [s for s in range(S) if indeg[s] == 0]
-    i = 0
-    while i < len(order):
-        for a in pushed.arcs[order[i]]:
-            indeg[a.nextstate] -= 1
-            if indeg[a.nextstate] == 0:
-                order.append(a.nextstate)
-        i += 1
+    order = _clat_topo_order(pushed)
     cls: Dict[int, int] = {}
     sig_to_cls: Dict[tuple, int] = {}
     for s in reversed(order):

@@ -29,17 +29,17 @@ def compute_prob(
     """(mean CE in nats/frame, frame accuracy) in eval mode.
 
     ~ nnet3-compute-prob on cross-entropy egs."""
+    from old_kaldi_git_tpu.utils.batching import pad_feature_batch
+
     keys = [k for k in sorted(feats) if k in pdf_labels]
     if not keys:
         return float("nan"), float("nan")
-    T = max(feats[k].shape[0] for k in keys)
-    D = feats[keys[0]].shape[1]
-    x = np.zeros((len(keys), T, D), np.float32)
+    keys, x, _nf = pad_feature_batch(feats, keys=keys)
+    T = x.shape[1]
     y = np.zeros((len(keys), T), np.int32)
     m = np.zeros((len(keys), T), np.float32)
     for i, k in enumerate(keys):
         t = min(feats[k].shape[0], len(pdf_labels[k]))
-        x[i, :t] = feats[k][:t]
         y[i, :t] = pdf_labels[k][:t]
         m[i, :t] = 1.0
     logits = am.logits(jnp.asarray(x))

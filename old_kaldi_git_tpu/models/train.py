@@ -232,14 +232,9 @@ def train_ce(
     # priors from averaged model posteriors over (a sample of) the training
     # data — reference nnet3-adjust-priors; hard alignment counts leave
     # aligner-skipped pdfs with ~zero prior and a spurious decode boost
-    keys = sorted(feats)[:64]
-    T = max(feats[k].shape[0] for k in keys)
-    D = feats[keys[0]].shape[1]
-    sample = np.zeros((len(keys), T, D), np.float32)
-    nf = np.zeros(len(keys), np.int32)
-    for i, k in enumerate(keys):
-        sample[i, : feats[k].shape[0]] = feats[k]
-        nf[i] = feats[k].shape[0]
+    from old_kaldi_git_tpu.utils.batching import pad_feature_batch
+
+    _, sample, nf = pad_feature_batch(feats, keys=sorted(feats)[:64])
     out.set_priors_from_posteriors(sample, nf)
     return out
 
@@ -255,6 +250,10 @@ def average_models(ams: Sequence[AmNnet], weights: Optional[Sequence[float]] = N
         raise ValueError("average_models: no models")
     if weights is None:
         weights = [1.0 / len(ams)] * len(ams)
+    if len(weights) != len(ams):
+        raise ValueError(
+            f"average_models: {len(weights)} weights for {len(ams)} models"
+        )
     total = float(sum(weights))
 
     def avg(*leaves):
@@ -266,7 +265,8 @@ def average_models(ams: Sequence[AmNnet], weights: Optional[Sequence[float]] = N
     variables = jax.tree.map(avg, *[am.variables for am in ams])
     log_priors = None
     if ams[0].log_priors is not None:
-        log_priors = np.log(np.mean(
-            [np.exp(am.log_priors) for am in ams], axis=0
-        )).astype(np.float32)
+        prior = np.zeros_like(np.exp(ams[0].log_priors), dtype=np.float64)
+        for w_i, am in zip(weights, ams):
+            prior += (w_i / total) * np.exp(am.log_priors)
+        log_priors = np.log(prior).astype(np.float32)
     return AmNnet(ams[0].config, variables, log_priors)

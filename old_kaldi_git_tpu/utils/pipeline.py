@@ -93,19 +93,26 @@ class Pipeline:
                              f"{time.strftime('%F %T')}\n")
                     lf.flush()
                     # capture the stage's stdout/stderr AND logging output
-                    # into the stage log (exp/*/log/*.log behavior)
+                    # into the stage log (exp/*/log/*.log behavior).  The
+                    # framework's loggers live under 'okt' with
+                    # propagate=False and a handler bound to the original
+                    # stderr, so the capture handler must attach to BOTH the
+                    # root logger (third-party libs) and 'okt' directly.
                     handler = logging.StreamHandler(lf)
                     handler.setFormatter(
                         logging.Formatter("%(levelname).1s %(message)s")
                     )
                     root = logging.getLogger()
+                    okt = logging.getLogger("okt")
                     root.addHandler(handler)
+                    okt.addHandler(handler)
                     try:
                         with contextlib.redirect_stdout(lf), \
                                 contextlib.redirect_stderr(lf):
                             fn(self.ctx)
                     finally:
                         root.removeHandler(handler)
+                        okt.removeHandler(handler)
                     lf.write(f"# done in {time.time() - t0:.1f}s\n")
             else:
                 fn(self.ctx)
