@@ -603,6 +603,7 @@ def extract_segments_tool(argv: List[str]) -> int:
 
 @tool("gmm-latgen-faster")
 def gmm_latgen_faster_tool(argv: List[str]) -> int:
+    _jnp()  # decode on the host platform regardless of JAX_PLATFORMS
     from old_kaldi_git_tpu.decoder.csr import fst_to_csr
     from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
     from old_kaldi_git_tpu.fst.symbols import SymbolTable
@@ -1451,3 +1452,7 @@ def wav_reverberate_tool(argv: List[str]) -> int:
                 sig = add_noise(sig, noises[key].data[0], o.snr_db, rng=rng)
             w[key] = WaveData(samp_freq=wave.samp_freq, data=sig[None])
     return 0
+
+
+# registration side-effect: the training-pipeline tool batch
+from old_kaldi_git_tpu.bin import train_tools  # noqa: E402,F401  (isort:skip)

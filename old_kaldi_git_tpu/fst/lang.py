@@ -236,3 +236,23 @@ def make_unigram_grammar_fst(
         fst.add_arc(s, Arc(wid, wid, -math.log(c / max(total, 1)), s))
     fst.arcsort("ilabel")
     return fst
+
+
+def load_lang_dir(
+    path: str, silence_phone: str = "SIL", sil_prob: float = 0.5
+) -> Lang:
+    """Rebuild a Lang from a prepare-lang output directory (lexicon.txt is
+    reread so the original pronunciations survive the round trip)."""
+    import os
+
+    lex: Dict[str, List[str]] = {}
+    with open(os.path.join(path, "lexicon.txt")) as f:
+        for ln in f:
+            parts = ln.split()
+            if len(parts) >= 2:
+                lex.setdefault(parts[0], []).append(" ".join(parts[1:]))
+    return Lang(
+        Lexicon.from_dict({w: [p.split() for p in v] for w, v in lex.items()}),
+        silence_phone=silence_phone,
+        sil_prob=sil_prob,
+    )

@@ -154,3 +154,86 @@ def mixup(am: AmDiagGmm, target_total: int, occs: Optional[np.ndarray] = None,
     out = AmDiagGmm(new_pdfs)
     log.info("mixup: %d → %d gaussians", current, out.num_gauss)
     return out
+
+
+# ---------------------------------------------------------------------------
+# accumulator files (reference gmm-acc-stats-ali writes "<GmmAccs>" objects;
+# gmm-sum-accs adds them; gmm-est consumes them).  One file carries both the
+# GMM stats and the transition-occupancy vector, like the reference's
+# (TransitionAccs, AccumAmDiagGmm) pair.
+# ---------------------------------------------------------------------------
+
+
+def write_accs(f, accs: AccumAmDiagGmm, trans_stats: np.ndarray) -> None:
+    from old_kaldi_git_tpu.utils import io_funcs as iof
+
+    iof.init_kaldi_output_stream(f, True)
+    iof.write_token(f, "<GmmAccs>")
+    iof.write_vector(f, np.asarray(trans_stats, np.float64), dtype=np.float64)
+    P, M = accs.occ.shape
+    D = accs.mean_acc.shape[2]
+    iof.write_int32(f, P)
+    iof.write_int32(f, M)
+    iof.write_int32(f, D)
+    iof.write_matrix(f, accs.occ, dtype=np.float64)
+    iof.write_matrix(f, accs.mean_acc.reshape(P * M, D), dtype=np.float64)
+    iof.write_matrix(f, accs.var_acc.reshape(P * M, D), dtype=np.float64)
+    iof.write_double(f, accs.tot_like)
+    iof.write_double(f, accs.tot_frames)
+    iof.write_token(f, "</GmmAccs>")
+
+
+def read_accs(f):
+    from old_kaldi_git_tpu.utils import io_funcs as iof
+
+    if not iof.init_kaldi_input_stream(f):
+        raise KaldiError("accs file must be binary")
+    iof.expect_token(f, "<GmmAccs>")
+    trans_stats = iof.read_vector(f)
+    P = iof.read_int32(f)
+    M = iof.read_int32(f)
+    D = iof.read_int32(f)
+    accs = AccumAmDiagGmm.__new__(AccumAmDiagGmm)
+    accs.occ = iof.read_matrix(f)
+    accs.mean_acc = iof.read_matrix(f).reshape(P, M, D)
+    accs.var_acc = iof.read_matrix(f).reshape(P, M, D)
+    accs.tot_like = iof.read_float(f)
+    accs.tot_frames = iof.read_float(f)
+    iof.expect_token(f, "</GmmAccs>")
+    return accs, np.asarray(trans_stats, np.float64)
+
+
+def init_am_from_tree_stats(ctx_dep, stats) -> AmDiagGmm:
+    """One single-Gaussian pdf per tree leaf from the leaf's pooled stats,
+    falling back to global stats for starved leaves (reference
+    gmm-init-model; stats = {event → GaussClusterable})."""
+    N = ctx_dep.N
+    leaf_stats: List[object] = [None] * ctx_dep.num_pdfs
+    for event, st in stats.items():
+        d = dict(event)
+        window = [d[i] for i in range(N)]
+        pdf = ctx_dep.compute(window, d[-1])
+        if leaf_stats[pdf] is None:
+            leaf_stats[pdf] = st.copy()
+        else:
+            leaf_stats[pdf].add(st)
+    glob = None
+    for st in leaf_stats:
+        if st is not None:
+            if glob is None:
+                glob = st.copy()
+            else:
+                glob.add(st)
+    if glob is None or glob.count <= 0:
+        raise KaldiError("init_am_from_tree_stats: no stats")
+    gmean = glob.x / glob.count
+    gvar = np.maximum(glob.x2 / glob.count - gmean**2, 1e-3)
+    pdfs = []
+    for st in leaf_stats:
+        if st is not None and st.count > 3.0:
+            mean = st.x / st.count
+            var = np.maximum(st.x2 / st.count - mean**2, 1e-3)
+        else:
+            mean, var = gmean.copy(), gvar.copy()
+        pdfs.append(DiagGmm(np.ones(1), mean[None, :], var[None, :]))
+    return AmDiagGmm(pdfs)

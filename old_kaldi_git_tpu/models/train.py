@@ -270,3 +270,92 @@ def average_models(ams: Sequence[AmNnet], weights: Optional[Sequence[float]] = N
             prior += (w_i / total) * np.exp(am.log_priors)
         log_priors = np.log(prior).astype(np.float32)
     return AmNnet(ams[0].config, variables, log_priors)
+
+
+def combine_models(
+    ams: Sequence[AmNnet],
+    feats: Dict[str, np.ndarray],
+    pdf_labels: Dict[str, np.ndarray],
+    num_steps: int = 60,
+    lr: float = 0.3,
+    max_utts: int = 64,
+) -> AmNnet:
+    """Optimized model combination (reference nnet3-combine /
+    src/nnet3/nnet-combine.cc): find convex-ish combination weights over the
+    last-iteration models that maximize the CE objective on the given
+    (held-out) examples.
+
+    The reference optimizes per-component weights with L-BFGS on the CPU;
+    here ONE weight per model, softmax-parameterized and optimized with Adam
+    — the whole search is a single jitted loop over a stacked parameter
+    tree, so it runs on the MXU (stack-axis contraction = matmul)."""
+    if len(ams) == 1:
+        return ams[0]
+    from old_kaldi_git_tpu.utils.batching import pad_feature_batch
+
+    model = ams[0].model()
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[am.variables["params"] for am in ams],
+    )
+    stacked_bs = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[am.variables.get("batch_stats", {}) for am in ams],
+    )
+    keys = [k for k in sorted(feats) if k in pdf_labels][:max_utts]
+    keys, x, nf = pad_feature_batch(feats, keys=keys)
+    T = x.shape[1]
+    y = np.zeros((len(keys), T), np.int32)
+    m = np.zeros((len(keys), T), np.float32)
+    for i, k in enumerate(keys):
+        t = min(int(nf[i]), len(pdf_labels[k]))
+        y[i, :t] = pdf_labels[k][:t]
+        m[i, :t] = 1.0
+    x, y, m = jnp.asarray(x), jnp.asarray(y), jnp.asarray(m)
+
+    def objf(logw):
+        w = jax.nn.softmax(logw)
+        params = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1), stacked)
+        bs = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1), stacked_bs)
+        logits = model.apply(
+            {"params": params, "batch_stats": bs}, x, train=False
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+        return -(ll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(logw0):
+        def body(carry, _):
+            logw, opt_state = carry
+            loss, g = jax.value_and_grad(objf)(logw)
+            updates, opt_state = opt.update(g, opt_state, logw)
+            return (optax.apply_updates(logw, updates), opt_state), loss
+
+        (logw, _), losses = jax.lax.scan(
+            body, (logw0, opt.init(logw0)), None, length=num_steps
+        )
+        return logw, losses
+
+    logw0 = jnp.zeros(len(ams), jnp.float32)
+    logw, losses = run(logw0)
+    w = np.asarray(jax.nn.softmax(logw))
+    log.info(
+        "combine_models: %d models, CE %.4f → %.4f, weights %s",
+        len(ams), float(losses[0]), float(losses[-1]), np.round(w, 3),
+    )
+    params = jax.tree.map(
+        lambda s: np.asarray(jnp.tensordot(jnp.asarray(w), s, axes=1)),
+        stacked,
+    )
+    bs = jax.tree.map(
+        lambda s: np.asarray(jnp.tensordot(jnp.asarray(w), s, axes=1)),
+        stacked_bs,
+    )
+    out = AmNnet(
+        ams[0].config, {"params": params, "batch_stats": bs},
+        ams[0].log_priors,
+    )
+    return out

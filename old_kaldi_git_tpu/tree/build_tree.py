@@ -325,3 +325,59 @@ def build_tree(
         table[phone] = TableEventMap(KEY_PDF_CLASS, sub)
     log.info("build_tree: %d leaves (max %d)", counter[0], max_leaves)
     return ContextDependency(N, P, TableEventMap(P, table))
+
+
+# ---------------------------------------------------------------------------
+# tree-stats files (reference bin/acc-tree-stats writes BuildTreeStatsType;
+# bin/sum-tree-stats adds; bin/build-tree consumes).
+# ---------------------------------------------------------------------------
+
+
+def write_tree_stats(f, stats: Dict[tuple, GaussClusterable]) -> None:
+    from old_kaldi_git_tpu.utils import io_funcs as iof
+
+    iof.init_kaldi_output_stream(f, True)
+    iof.write_token(f, "<TreeStats>")
+    iof.write_int32(f, len(stats))
+    for event, gc in sorted(stats.items()):
+        iof.write_int32(f, len(event))
+        for k, v in event:
+            iof.write_int32(f, int(k))
+            iof.write_int32(f, int(v))
+        iof.write_double(f, gc.count)
+        iof.write_vector(f, gc.x, dtype=np.float64)
+        iof.write_vector(f, gc.x2, dtype=np.float64)
+    iof.write_token(f, "</TreeStats>")
+
+
+def read_tree_stats(f) -> Dict[tuple, GaussClusterable]:
+    from old_kaldi_git_tpu.utils import io_funcs as iof
+
+    if not iof.init_kaldi_input_stream(f):
+        raise KaldiError("tree-stats file must be binary")
+    iof.expect_token(f, "<TreeStats>")
+    n = iof.read_int32(f)
+    stats: Dict[tuple, GaussClusterable] = {}
+    for _ in range(n):
+        ne = iof.read_int32(f)
+        event = tuple(
+            (iof.read_int32(f), iof.read_int32(f)) for _ in range(ne)
+        )
+        gc = GaussClusterable()
+        gc.count = iof.read_float(f)
+        gc.x = np.asarray(iof.read_vector(f), np.float64)
+        gc.x2 = np.asarray(iof.read_vector(f), np.float64)
+        stats[event] = gc
+    iof.expect_token(f, "</TreeStats>")
+    return stats
+
+
+def sum_tree_stats(
+    dsts: Dict[tuple, GaussClusterable], src: Dict[tuple, GaussClusterable]
+) -> Dict[tuple, GaussClusterable]:
+    for event, gc in src.items():
+        if event in dsts:
+            dsts[event].add(gc)
+        else:
+            dsts[event] = gc.copy()
+    return dsts

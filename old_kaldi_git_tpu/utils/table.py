@@ -181,9 +181,23 @@ def register_holder(name: str, factory: Callable[[], Holder]) -> None:
     _HOLDERS[name] = factory
 
 
+# holders registered by other modules as an import side-effect; loaded on
+# demand so "post"/"lat"/"fst" tables work without a prior explicit import
+_LAZY_PROVIDERS = {
+    "lat": "old_kaldi_git_tpu.lat.holder",
+    "clat": "old_kaldi_git_tpu.lat.holder",
+    "fst": "old_kaldi_git_tpu.fst.holder",
+    "post": "old_kaldi_git_tpu.hmm.posterior",
+}
+
+
 def get_holder(name: str) -> Holder:
     if isinstance(name, Holder):
         return name
+    if name not in _HOLDERS and name in _LAZY_PROVIDERS:
+        import importlib
+
+        importlib.import_module(_LAZY_PROVIDERS[name])
     if name not in _HOLDERS:
         raise KaldiError(f"unknown holder {name!r}; have {sorted(_HOLDERS)}")
     return _HOLDERS[name]()

@@ -1,0 +1,271 @@
+"""CLI GMM training pipeline: the train_mono.sh / train_deltas.sh binary
+composition (SURVEY.md §3.2) driven end-to-end through ark files.
+
+gmm-init-mono → compile-train-graphs → align-equal-compiled →
+(gmm-acc-stats-ali → gmm-sum-accs → gmm-est → gmm-align-compiled)* →
+mkgraph → gmm-latgen-faster → compute-wer 0.00, plus the tree-building and
+transform-estimation tool chains.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(args, cwd, check=True):
+    r = subprocess.run(
+        [sys.executable, "-m", "old_kaldi_git_tpu.bin"] + args,
+        check=False, capture_output=True, text=True, cwd=str(cwd),
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    if check and r.returncode != 0:
+        raise AssertionError(
+            f"{args[0]} failed rc={r.returncode}\n{r.stdout}\n{r.stderr}")
+    return r
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from old_kaldi_git_tpu.recipes.yesno import (
+        WORD_PRONS,
+        compute_feats,
+        make_corpus,
+    )
+    from old_kaldi_git_tpu.utils.table import TableWriter
+
+    d = tmp_path_factory.mktemp("gmmcli")
+    tw, tt, sw, st = make_corpus(31, 8)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    with TableWriter(f"ark:{d}/train.ark", "mat") as w:
+        for k, f in tf.items():
+            w[k] = f
+    with TableWriter(f"ark:{d}/test.ark", "mat") as w:
+        for k, f in sf.items():
+            w[k] = f
+    with TableWriter(f"ark:{d}/text.ark", "text") as w:
+        for k, words in tt.items():
+            w[k] = " ".join(words)
+    with TableWriter(f"ark:{d}/ref.ark", "text") as w:
+        for k, words in st.items():
+            w[k] = " ".join(words)
+    with open(d / "lexicon.txt", "w") as f:
+        for word, prons in WORD_PRONS.items():
+            f.write(f"{word} {' '.join(prons)}\n")
+    # unigram ARPA estimated from the training transcripts (the same
+    # distribution make_unigram_grammar_fst uses in the recipe)
+    import math
+
+    counts = {"yes": 0, "no": 0, "</s>": 0}
+    for words in tt.values():
+        for w in words:
+            counts[w] += 1
+        counts["</s>"] += 1
+    total = sum(counts.values())
+    with open(d / "arpa.lm", "w") as f:
+        f.write(f"\n\\data\\\nngram 1={len(counts) + 1}\n\n\\1-grams:\n")
+        for w, c in counts.items():
+            f.write(f"{math.log10(c / total):.6f} {w}\n")
+        f.write("-99 <s>\n\n\\end\\\n")
+    run(["prepare-lang", "lexicon.txt", "lang"], d)
+    return d, tf, sf, st
+
+
+def test_gmm_cli_training_pipeline(corpus):
+    d, tf, sf, st = corpus
+    run(["gmm-init-mono", "lang", "ark:train.ark", "0.mdl", "mono.tree"], d)
+    run(["compile-train-graphs", "mono.tree", "0.mdl", "lang",
+         "ark:text.ark", "ark:gra.fsts"], d)
+    run(["align-equal-compiled", "0.mdl", "ark:gra.fsts", "ark:train.ark",
+         "ark:ali.0.ark"], d)
+
+    # map-reduce stats: split utterances into two "jobs", sum the accs, and
+    # check the reduced file matches a single-pass acc (P2 semantics)
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    keys = sorted(tf)
+    half = len(keys) // 2
+    ali = read_table(f"ark:{d}/ali.0.ark", "ivec")
+    from old_kaldi_git_tpu.utils.table import TableWriter
+
+    for name, sel in (("a", keys[:half]), ("b", keys[half:])):
+        with TableWriter(f"ark:{d}/ali.0.{name}.ark", "ivec") as w:
+            for k in sel:
+                w[k] = np.asarray(ali[k], np.int32)
+    run(["gmm-acc-stats-ali", "0.mdl", "ark:train.ark",
+         "ark:ali.0.a.ark", "0.a.acc"], d)
+    run(["gmm-acc-stats-ali", "0.mdl", "ark:train.ark",
+         "ark:ali.0.b.ark", "0.b.acc"], d)
+    run(["gmm-sum-accs", "0.acc", "0.a.acc", "0.b.acc"], d)
+    run(["gmm-acc-stats-ali", "0.mdl", "ark:train.ark", "ark:ali.0.ark",
+         "0.ref.acc"], d)
+    from old_kaldi_git_tpu.gmm.mle import read_accs
+
+    with open(d / "0.acc", "rb") as f:
+        summed, trans_sum = read_accs(f)
+    with open(d / "0.ref.acc", "rb") as f:
+        single, trans_single = read_accs(f)
+    np.testing.assert_allclose(summed.occ, single.occ, rtol=1e-10)
+    np.testing.assert_allclose(trans_sum, trans_single)
+
+    run(["gmm-est", "--mix-up=30", "0.mdl", "0.acc", "1.mdl"], d)
+    # iterate align / accumulate / re-estimate with a mixup schedule
+    # (train_mono.sh's realign_iters + power-of-2-ish gaussian growth)
+    mixup = [45, 60, 80, 100, 110, 120, 0, 0]
+    cur = 1
+    for it, mix in enumerate(mixup, start=1):
+        run(["gmm-align-compiled", "--beam=200", f"{cur}.mdl", "ark:gra.fsts",
+             "ark:train.ark", f"ark:ali.{cur}.ark"], d)
+        run(["gmm-acc-stats-ali", f"{cur}.mdl", "ark:train.ark",
+             f"ark:ali.{cur}.ark", f"{cur}.acc"], d)
+        run(["gmm-est", f"--mix-up={mix}", f"{cur}.mdl", f"{cur}.acc",
+             f"{cur + 1}.mdl"], d)
+        cur += 1
+    os.replace(d / f"{cur}.mdl", d / "final.mdl")
+    os.replace(d / f"ali.{cur - 1}.ark", d / "ali.1.ark")
+
+    # training likelihood is logged at each estimation
+    r1 = run(["gmm-est", "--mix-up=0", f"{cur - 1}.mdl", f"{cur - 1}.acc",
+              "tmp.mdl"], d)
+    assert "avg like/frame" in r1.stderr
+
+    # decode the held-out set through mkgraph + latgen
+    run(["mkgraph", "lang", "arpa.lm", "final.mdl", "graph"], d)
+    run(["gmm-latgen-faster", "--beam=24", "--acoustic-scale=0.1",
+         "--word-symbol-table=graph/words.txt", "final.mdl",
+         "graph/HCLG.fst", "ark:test.ark", "ark:lat.ark", "ark:hyp.ark"], d)
+    out = run(["compute-wer", "ark:ref.ark", "ark:hyp.ark"], d)
+    assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
+
+
+def test_tree_and_posterior_and_transform_tools(corpus):
+    d, tf, sf, st = corpus
+    assert (d / "final.mdl").exists(), "training pipeline test must run first"
+
+    # tree building chain on the final alignments
+    run(["acc-tree-stats", "final.mdl", "ark:train.ark", "ark:ali.1.ark",
+         "tree.stats"], d)
+    run(["sum-tree-stats", "tree.sum.stats", "tree.stats"], d)
+    from old_kaldi_git_tpu.fst.lang import load_lang_dir
+
+    lang = load_lang_dir(str(d / "lang"))
+    phones = ":".join(str(p) for p in lang.real_phone_ids)
+    run(["cluster-phones", "tree.sum.stats", phones, "questions.txt"], d)
+    run(["build-tree", "--max-leaves=50", "--thresh=5",
+         "--questions=questions.txt", "tree.sum.stats", "final.mdl",
+         "tri.tree"], d)
+    run(["gmm-init-model", "tri.tree", "tree.sum.stats", "final.mdl",
+         "tri0.mdl"], d)
+    run(["convert-ali", "final.mdl", "tri0.mdl", "tri.tree",
+         "ark:ali.1.ark", "ark:ali.tri.ark"], d)
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    ali_m = read_table(f"ark:{d}/ali.1.ark", "ivec")
+    ali_t = read_table(f"ark:{d}/ali.tri.ark", "ivec")
+    assert set(ali_m) == set(ali_t)
+    for k in ali_m:
+        assert len(ali_m[k]) == len(ali_t[k])
+    # the converted alignment decodes to the same phone sequence
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+    from old_kaldi_git_tpu.hmm.hmm_utils import alignment_to_phones
+
+    mono = AmGmmModel.load(str(d / "final.mdl"))
+    tri = AmGmmModel.load(str(d / "tri0.mdl"))
+    k0 = sorted(ali_m)[0]
+    assert (alignment_to_phones(mono.tm, ali_m[k0])
+            == alignment_to_phones(tri.tm, ali_t[k0]))
+
+    # posterior chain: ali → post → weight silence → pdf post
+    run(["ali-to-post", "ark:ali.1.ark", "ark:post.ark"], d)
+    sil_id = lang.silence_id
+    run(["weight-silence-post", "0.0", str(sil_id), "final.mdl",
+         "ark:post.ark", "ark:wpost.ark"], d)
+    run(["post-to-pdf-post", "final.mdl", "ark:wpost.ark",
+         "ark:pdfpost.ark"], d)
+    run(["post-to-weights", "ark:wpost.ark", "ark:pw.ark"], d)
+    pw = read_table(f"ark:{d}/pw.ark", "vec")
+    # silence frames got weight 0
+    assert any(np.any(np.asarray(v) == 0.0) for v in pw.values())
+
+    # LDA chain (on static feats, target dim 8)
+    run(["acc-lda", "final.mdl", "ark:train.ark", "ark:pdfpost.ark",
+         "lda.acc"], d)
+    run(["est-lda", "--dim=8", "lda.acc", "lda.mat"], d)
+    run(["transform-feats", "lda.mat", "ark:train.ark", "ark:ldafeats.ark"], d)
+    ldaf = read_table(f"ark:{d}/ldafeats.ark", "mat")
+    assert next(iter(ldaf.values())).shape[1] == 8
+
+    # MLLT chain in the LDA space, mirroring train_lda_mllt.sh: build an
+    # LDA-space single-Gaussian model from the mono alignments, then
+    # estimate the square rotation there and compose it onto the LDA matrix
+    run(["acc-tree-stats", "--context-width=1", "--central-position=0",
+         "final.mdl", "ark:ldafeats.ark", "ark:ali.1.ark",
+         "lda.tree.stats"], d)
+    run(["gmm-init-model", "mono.tree", "lda.tree.stats", "final.mdl",
+         "lda0.mdl"], d)
+    run(["gmm-acc-mllt", "lda0.mdl", "ark:ldafeats.ark", "ark:pdfpost.ark",
+         "mllt.acc"], d)
+    run(["est-mllt", "mllt.acc", "mllt.mat"], d)
+    run(["gmm-transform-means", "mllt.mat", "lda0.mdl", "mllt.mdl"], d)
+    run(["compose-transforms", "mllt.mat", "lda.mat", "ldamllt.mat"], d)
+    lm = read_table  # noqa: F841  (keep namespace tidy)
+    from old_kaldi_git_tpu.utils import io_funcs as iof
+
+    with open(d / "ldamllt.mat", "rb") as f:
+        iof.init_kaldi_input_stream(f)
+        composed = iof.read_matrix(f)
+    assert composed.shape == (8, next(iter(tf.values())).shape[1])
+
+    # fMLLR per utterance (min-count low for the tiny corpus)
+    run(["gmm-est-fmllr", "--fmllr-min-count=10", "final.mdl",
+         "ark:train.ark", "ark:wpost.ark", "ark:fmllr.ark"], d)
+    trans = read_table(f"ark:{d}/fmllr.ark", "mat")
+    assert trans
+    D = next(iter(tf.values())).shape[1]
+    for m in trans.values():
+        assert m.shape == (D, D + 1)
+    run(["transform-feats", f"ark:{d}/fmllr.ark", "ark:train.ark",
+         "ark:fmllrfeats.ark"], d)
+
+    # misc utilities
+    run(["copy-int-vector", "ark:ali.1.ark", "ark:ali.copy.ark"], d)
+    run(["copy-matrix", "--scale=2.0", "ark:train.ark", "ark:t2.ark"], d)
+    t2 = read_table(f"ark:{d}/t2.ark", "mat")
+    np.testing.assert_allclose(t2[k0], np.asarray(tf[k0]) * 2.0, rtol=1e-5)
+    out = run(["show-transitions", "lang/phones.txt", "final.mdl"], d)
+    assert "Transition-state" in out.stdout
+    run(["align-text", "ark:ref.ark", "ark:ref.ark", "ark:at.ark"], d)
+    at = read_table(f"ark:{d}/at.ark", "text")
+    assert all("<eps>" not in v for v in at.values())
+
+
+def test_gmm_boost_silence(corpus):
+    d, tf, sf, st = corpus
+    assert (d / "final.mdl").exists()
+    from old_kaldi_git_tpu.fst.lang import load_lang_dir
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+
+    lang = load_lang_dir(str(d / "lang"))
+    run(["gmm-boost-silence", "--boost=1.5", str(lang.silence_id),
+         "final.mdl", "boosted.mdl"], d)
+    base = AmGmmModel.load(str(d / "final.mdl"))
+    boosted = AmGmmModel.load(str(d / "boosted.mdl"))
+    tm = base.tm
+    sil_pdfs = {tm.tid_to_pdf(t) for t in range(1, tm.num_tids + 1)
+                if tm.tid_to_phone(t) == lang.silence_id}
+    x = np.ones((1, base.am.dim))
+    for pdf in range(base.am.num_pdfs):
+        delta = (boosted.am.pdfs[pdf].loglikes(x)[0]
+                 - base.am.pdfs[pdf].loglikes(x)[0])
+        if pdf in sil_pdfs:
+            assert abs(delta - np.log(1.5)) < 1e-6
+        else:
+            assert abs(delta) < 1e-9
