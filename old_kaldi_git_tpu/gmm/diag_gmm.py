@@ -85,6 +85,35 @@ class DiagGmm:
         p = np.exp(comp)
         return p / p.sum(axis=1, keepdims=True)
 
+    # -- single-GMM files (gmm-global-* tools: one <DiagGmm> per file) -------
+    def write(self, f) -> None:
+        iof.write_token(f, "<DiagGmm>")
+        iof.write_vector(f, self.weights.astype(np.float32))
+        iof.write_matrix(f, self.means.astype(np.float32))
+        iof.write_matrix(f, self.vars.astype(np.float32))
+        iof.write_token(f, "</DiagGmm>")
+
+    @staticmethod
+    def read(f) -> "DiagGmm":
+        iof.expect_token(f, "<DiagGmm>")
+        w = iof.read_vector(f)
+        means = iof.read_matrix(f)
+        variances = iof.read_matrix(f)
+        iof.expect_token(f, "</DiagGmm>")
+        return DiagGmm(w, means, variances)
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            iof.init_kaldi_output_stream(f, True)
+            self.write(f)
+
+    @staticmethod
+    def load(path: str) -> "DiagGmm":
+        with open(path, "rb") as f:
+            if not iof.init_kaldi_input_stream(f):
+                raise KaldiError("DiagGmm.load: expected binary stream")
+            return DiagGmm.read(f)
+
 
 class AmDiagGmm:
     """All pdfs' GMMs, plus padded stacked tensors for TPU evaluation."""

@@ -64,12 +64,47 @@ def train_ubm(
 
 @dataclasses.dataclass
 class IvectorExtractor:
-    ubm: DiagGmm
+    ubm: DiagGmm  # DiagGmm or FullGmm (reference uses full-cov; §2.7)
     T: np.ndarray  # [C, D, R]
 
     @property
     def ivector_dim(self) -> int:
         return self.T.shape[2]
+
+    # -- serialization (ivector-extractor-init / final.ie equivalent) --------
+    def save(self, path: str) -> None:
+        from old_kaldi_git_tpu.gmm.full_gmm import FullGmm
+        from old_kaldi_git_tpu.utils import io_funcs as iof
+
+        with open(path, "wb") as f:
+            iof.init_kaldi_output_stream(f, True)
+            iof.write_token(f, "<IvectorExtractor>")
+            iof.write_int32(f, 1 if isinstance(self.ubm, FullGmm) else 0)
+            self.ubm.write(f)
+            c, d, r = self.T.shape
+            iof.write_int32(f, r)
+            iof.write_matrix(f, self.T.reshape(c * d, r).astype(np.float64),
+                             dtype=np.float64)
+            iof.write_token(f, "</IvectorExtractor>")
+
+    @staticmethod
+    def load(path: str) -> "IvectorExtractor":
+        from old_kaldi_git_tpu.gmm.full_gmm import FullGmm
+        from old_kaldi_git_tpu.utils import io_funcs as iof
+        from old_kaldi_git_tpu.utils.log import KaldiError
+
+        with open(path, "rb") as f:
+            if not iof.init_kaldi_input_stream(f):
+                raise KaldiError("IvectorExtractor.load: expected binary")
+            iof.expect_token(f, "<IvectorExtractor>")
+            kind = iof.read_int32(f)
+            ubm = FullGmm.read(f) if kind == 1 else DiagGmm.read(f)
+            r = iof.read_int32(f)
+            flat = iof.read_matrix(f)
+            c, d = ubm.num_mix, ubm.dim
+            T = np.asarray(flat, np.float64).reshape(c, d, r)
+            iof.expect_token(f, "</IvectorExtractor>")
+            return IvectorExtractor(ubm, T)
 
 
 def _utt_stats(ubm: DiagGmm, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -80,15 +115,25 @@ def _utt_stats(ubm: DiagGmm, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]
     return gamma, f
 
 
+def _sigma_inv_T(ext: "IvectorExtractor") -> np.ndarray:
+    """Σ_c⁻¹ T_c [C, D, R] for a diagonal OR full-covariance UBM (the
+    reference IvectorExtractor uses a full-cov UBM; ivector-extractor.cc
+    keeps Sigma_inv_M_ in exactly this layout)."""
+    if hasattr(ext.ubm, "covars"):  # FullGmm
+        return np.einsum("cde,cer->cdr", ext.ubm.inv_covars, ext.T,
+                         optimize=True)
+    return ext.T / ext.ubm.vars[:, :, None]
+
+
 def _posterior(ext: IvectorExtractor, gamma: np.ndarray, f: np.ndarray):
     """Gaussian posterior over w: (mean, precision L)."""
     c, d, r = ext.T.shape
-    inv_var = 1.0 / ext.ubm.vars  # [C, D]
+    sit = _sigma_inv_T(ext)  # [C, D, R]
     # L = I + Σ_c γ_c T_cᵀ Σ_c⁻¹ T_c
     L = np.eye(r) + np.einsum(
-        "c,cdr,cd,cds->rs", gamma, ext.T, inv_var, ext.T, optimize=True
+        "c,cdr,cds->rs", gamma, ext.T, sit, optimize=True
     )
-    b = np.einsum("cdr,cd,cd->r", ext.T, inv_var, f, optimize=True)
+    b = np.einsum("cdr,cd->r", sit, f, optimize=True)
     mean = np.linalg.solve(L, b)
     return mean, L
 
@@ -99,6 +144,50 @@ def extract_ivector(ext: IvectorExtractor, feats: np.ndarray) -> np.ndarray:
     return mean.astype(np.float32)
 
 
+def init_ivector_extractor(ubm, ivector_dim: int = 32,
+                           seed: int = 0) -> IvectorExtractor:
+    """Random T init (reference ivector-extractor-init)."""
+    rng = np.random.default_rng(seed)
+    c, d = ubm.means.shape
+    return IvectorExtractor(
+        ubm, 0.1 * rng.standard_normal((c, d, ivector_dim)))
+
+
+def acc_ivector_extractor_stats(
+    ext: IvectorExtractor, utt_feats: Sequence[np.ndarray]
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """E-step map job (reference ivector-extractor-acc-stats):
+    A_c = Σ_u γ_uc E[w wᵀ], B_c = Σ_u f_uc E[w]ᵀ; returns (A, B, aux)."""
+    c, d, r = ext.T.shape
+    A = np.zeros((c, r, r))
+    B = np.zeros((c, d, r))
+    tot_auxf = 0.0
+    for x in utt_feats:
+        gamma, f = _utt_stats(ext.ubm, x)
+        mean, L = _posterior(ext, gamma, f)
+        cov = np.linalg.inv(L)
+        ww = cov + np.outer(mean, mean)
+        A += gamma[:, None, None] * ww[None]
+        B += f[:, :, None] * mean[None, None, :]
+        tot_auxf += float(mean @ mean)
+    return A, B, tot_auxf
+
+
+def est_ivector_extractor(
+    ext: IvectorExtractor, A: np.ndarray, B: np.ndarray
+) -> IvectorExtractor:
+    """M-step (reference IvectorExtractorStats::Update): per-gaussian row
+    solve T_c = B_c A_c⁻¹ (Σ⁻¹ cancels in the stationarity condition, so
+    the update is covariance-free)."""
+    T = ext.T.copy()
+    for ci in range(T.shape[0]):
+        try:
+            T[ci] = np.linalg.solve(A[ci].T, B[ci].T).T
+        except np.linalg.LinAlgError:
+            pass
+    return IvectorExtractor(ext.ubm, T)
+
+
 def train_ivector_extractor(
     ubm: DiagGmm,
     utt_feats: Sequence[np.ndarray],
@@ -106,33 +195,14 @@ def train_ivector_extractor(
     num_iters: int = 5,
     seed: int = 0,
 ) -> IvectorExtractor:
-    """EM for T (reference IvectorExtractorStats::Update)."""
-    rng = np.random.default_rng(seed)
-    c, d = ubm.means.shape
-    ext = IvectorExtractor(ubm, 0.1 * rng.standard_normal((c, d, ivector_dim)))
-    stats = [(g, f) for g, f in (_utt_stats(ubm, x) for x in utt_feats)]
-    inv_var = 1.0 / ubm.vars
+    """EM for T (reference IvectorExtractorStats::Update); ubm may be a
+    DiagGmm or a FullGmm."""
+    ext = init_ivector_extractor(ubm, ivector_dim, seed)
     for it in range(num_iters):
-        # E-step: accumulate per-gaussian  A_c = Σ_u γ_uc E[w wᵀ],
-        #                                  B_c = Σ_u f_uc E[w]ᵀ
-        r = ivector_dim
-        A = np.zeros((c, r, r))
-        B = np.zeros((c, d, r))
-        tot_auxf = 0.0
-        for gamma, f in stats:
-            mean, L = _posterior(ext, gamma, f)
-            cov = np.linalg.inv(L)
-            ww = cov + np.outer(mean, mean)
-            A += gamma[:, None, None] * ww[None]
-            B += f[:, :, None] * mean[None, None, :]
-            tot_auxf += float(mean @ mean)
-        # M-step: per-(gaussian, dim) row solve  T_cd = B_cd A_c⁻¹
-        for ci in range(c):
-            try:
-                ext.T[ci] = np.linalg.solve(A[ci].T, B[ci].T).T
-            except np.linalg.LinAlgError:
-                pass
-        log.info("ivector iter %d: mean |w|² %.4f", it, tot_auxf / len(stats))
+        A, B, tot_auxf = acc_ivector_extractor_stats(ext, utt_feats)
+        ext = est_ivector_extractor(ext, A, B)
+        log.info("ivector iter %d: mean |w|² %.4f", it,
+                 tot_auxf / max(len(utt_feats), 1))
     return ext
 
 
