@@ -1456,3 +1456,4 @@ def wav_reverberate_tool(argv: List[str]) -> int:
 
 # registration side-effect: the training-pipeline tool batch
 from old_kaldi_git_tpu.bin import train_tools  # noqa: E402,F401  (isort:skip)
+from old_kaldi_git_tpu.bin import spkid_tools  # noqa: E402,F401  (isort:skip)

@@ -1001,8 +1001,8 @@ def gmm_est_fmllr_tool(argv: List[str]) -> int:
     model = _load_model(args[0])
     posts = RandomAccessTableReader(args[2], "post")
     feats = dict(SequentialTableReader(args[1], "mat"))
-    spk2utt = (_read_map(o.spk2utt) if o.spk2utt
-               else {k: [k] for k in feats})
+    spk2utt = ({k: v.split() for k, v in _read_map(o.spk2utt).items()}
+               if o.spk2utt else {k: [k] for k in feats})
     n = 0
     with TableWriter(args[3], "mat") as w:
         for spk, utts in spk2utt.items():
@@ -1065,7 +1065,7 @@ def transform_feats_tool(argv: List[str]) -> int:
         for k, feats in SequentialTableReader(args[1], "mat"):
             x = np.asarray(feats, np.float64)
             if per_spk:
-                spk = utt2spk[k][0] if utt2spk and k in utt2spk else k
+                spk = utt2spk[k] if utt2spk and k in utt2spk else k
                 if spk not in trans:
                     log.warning("%s: no transform for speaker %s", k, spk)
                     continue

@@ -79,6 +79,77 @@ class AccumAmDiagGmm:
         self.tot_frames += other.tot_frames
 
 
+class AccumDiagGmm:
+    """Single-GMM sufficient statistics (the gmm-global-* tool family:
+    reference mle-diag-gmm.h AccumDiagGmm used standalone, with optional
+    Gaussian preselection as in gmm-global-acc-stats + --gselect)."""
+
+    def __init__(self, num_mix: int, dim: int):
+        self.occ = np.zeros(num_mix, np.float64)
+        self.mean_acc = np.zeros((num_mix, dim), np.float64)
+        self.var_acc = np.zeros((num_mix, dim), np.float64)
+        self.tot_like = 0.0
+        self.tot_frames = 0.0
+
+    def accumulate(self, gmm: DiagGmm, feats: np.ndarray,
+                   gsel: Optional[np.ndarray] = None,
+                   weights: Optional[np.ndarray] = None) -> float:
+        x = np.asarray(feats, np.float64)
+        comp = gmm.component_loglikes(x)  # [T, M]
+        if gsel is not None:
+            masked = np.full_like(comp, -np.inf)
+            np.put_along_axis(masked, gsel,
+                              np.take_along_axis(comp, gsel, axis=1), axis=1)
+            comp = masked
+        m = comp.max(axis=1, keepdims=True)
+        like = m + np.log(np.exp(comp - m).sum(axis=1, keepdims=True))
+        post = np.exp(comp - like)
+        w = np.ones(len(x)) if weights is None else np.asarray(weights)
+        post = post * w[:, None]
+        self.occ += post.sum(0)
+        self.mean_acc += post.T @ x
+        self.var_acc += post.T @ (x**2)
+        self.tot_like += float((like[:, 0] * w).sum())
+        self.tot_frames += float(w.sum())
+        return float((like[:, 0] * w).sum())
+
+    def add(self, other: "AccumDiagGmm") -> None:
+        self.occ += other.occ
+        self.mean_acc += other.mean_acc
+        self.var_acc += other.var_acc
+        self.tot_like += other.tot_like
+        self.tot_frames += other.tot_frames
+
+    def write(self, f) -> None:
+        from old_kaldi_git_tpu.utils import io_funcs as iof
+
+        iof.init_kaldi_output_stream(f, True)
+        iof.write_token(f, "<GmmGlobalAccs>")
+        iof.write_vector(f, self.occ, dtype=np.float64)
+        iof.write_matrix(f, self.mean_acc, dtype=np.float64)
+        iof.write_matrix(f, self.var_acc, dtype=np.float64)
+        iof.write_double(f, self.tot_like)
+        iof.write_double(f, self.tot_frames)
+        iof.write_token(f, "</GmmGlobalAccs>")
+
+    @staticmethod
+    def read(f) -> "AccumDiagGmm":
+        from old_kaldi_git_tpu.utils import io_funcs as iof
+
+        if not iof.init_kaldi_input_stream(f):
+            raise KaldiError("GmmGlobalAccs must be binary")
+        iof.expect_token(f, "<GmmGlobalAccs>")
+        occ = np.asarray(iof.read_vector(f), np.float64)
+        accs = AccumDiagGmm(len(occ), 1)
+        accs.occ = occ
+        accs.mean_acc = np.asarray(iof.read_matrix(f), np.float64)
+        accs.var_acc = np.asarray(iof.read_matrix(f), np.float64)
+        accs.tot_like = iof.read_float(f)
+        accs.tot_frames = iof.read_float(f)
+        iof.expect_token(f, "</GmmGlobalAccs>")
+        return accs
+
+
 def mle_diag_gmm_update(
     gmm: DiagGmm,
     occ: np.ndarray,

@@ -73,6 +73,32 @@ class Plda:
         )
         return float(ll_same - ll_diff)
 
+    # -- serialization (plda.cc Write/Read framing) --------------------------
+    def save(self, path: str) -> None:
+        from old_kaldi_git_tpu.utils import io_funcs as iof
+
+        with open(path, "wb") as f:
+            iof.init_kaldi_output_stream(f, True)
+            iof.write_token(f, "<Plda>")
+            iof.write_vector(f, self.mean, dtype=np.float64)
+            iof.write_matrix(f, self.transform, dtype=np.float64)
+            iof.write_vector(f, self.psi, dtype=np.float64)
+            iof.write_token(f, "</Plda>")
+
+    @staticmethod
+    def load(path: str) -> "Plda":
+        from old_kaldi_git_tpu.utils import io_funcs as iof
+
+        with open(path, "rb") as f:
+            if not iof.init_kaldi_input_stream(f):
+                raise KaldiError("Plda.load: expected binary stream")
+            iof.expect_token(f, "<Plda>")
+            mean = np.asarray(iof.read_vector(f), np.float64)
+            transform = np.asarray(iof.read_matrix(f), np.float64)
+            psi = np.asarray(iof.read_vector(f), np.float64)
+            iof.expect_token(f, "</Plda>")
+            return Plda(mean=mean, transform=transform, psi=psi)
+
 
 def _simultaneous_diag(
     within: np.ndarray, between: np.ndarray
