@@ -9,6 +9,7 @@ fstbin-style fstinfo/fstprint on the framework FST format.
 
 from __future__ import annotations
 
+import math
 import sys
 from typing import Callable, Dict, List
 
@@ -841,7 +842,13 @@ def lattice_lmrescore_const_arpa_tool(argv: List[str]) -> int:
 
 @tool("lattice-to-nbest")
 def lattice_to_nbest_tool(argv: List[str]) -> int:
-    from old_kaldi_git_tpu.lat.lattice import lattice_nbest
+    """N best paths per lattice, written as linear lattices keyed
+    <key>-1..<key>-n (reference src/latbin/lattice-to-nbest.cc: the
+    scales rank paths; output arcs keep the original separate costs)."""
+    from old_kaldi_git_tpu.lat.lattice import (
+        lattice_nbest_paths,
+        linear_lattice_from_path,
+    )
     from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
 
     po = ParseOptions(
@@ -861,14 +868,169 @@ def lattice_to_nbest_tool(argv: List[str]) -> int:
     if len(args) != 2:
         print(po.print_usage(), file=sys.stderr)
         return 1
-    with TableWriter(args[1], "text") as w:
+    with TableWriter(args[1], "lat") as w:
         for key, lat in SequentialTableReader(args[0], "lat"):
-            for i, (ws, cost) in enumerate(
-                lattice_nbest(lat, o.n, o.lm_scale, o.acoustic_scale)
-            ):
-                w[f"{key}-{i + 1}"] = (
-                    f"{cost:.4f} " + " ".join(str(x) for x in ws)
-                )
+            paths = lattice_nbest_paths(lat, o.n, o.lm_scale, o.acoustic_scale)
+            for i, (arcs, final) in enumerate(paths):
+                w[f"{key}-{i + 1}"] = linear_lattice_from_path(arcs, final)
+    return 0
+
+
+@tool("nbest-to-linear")
+def nbest_to_linear_tool(argv: List[str]) -> int:
+    """Split linear (n-best) lattices into alignment / word / cost tables
+    (reference src/latbin/nbest-to-linear.cc)."""
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "nbest-to-linear <nbest-rspecifier> <ali-wspecifier> "
+        "[<words-wspecifier> [<lmcost-wspecifier> [<accost-wspecifier>]]]"
+    )
+    args = po.parse(argv)
+    if len(args) not in (2, 3, 4, 5):
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    wri = [TableWriter(a, f) for a, f in
+           zip(args[1:], ("ivec", "text", "text", "text"))]
+    n_err = 0
+    for key, lat in SequentialTableReader(args[0], "lat"):
+        ali: List[int] = []
+        words: List[int] = []
+        lm_cost = ac_cost = 0.0
+        s, ok = lat.start, True
+        seen = 0
+        while not lat.is_final(s):
+            if len(lat.arcs[s]) != 1 or seen > lat.num_states:
+                log.warning("lattice %s is not linear", key)
+                n_err += 1
+                ok = False
+                break
+            a = lat.arcs[s][0]
+            if a.ilabel:
+                ali.append(a.ilabel)
+            if a.olabel:
+                words.append(a.olabel)
+            lm_cost += a.graph_cost
+            ac_cost += a.acoustic_cost
+            s = a.nextstate
+            seen += 1
+        if not ok:
+            continue
+        g, ac = lat.finals[s]
+        lm_cost += g
+        ac_cost += ac
+        wri[0][key] = np.asarray(ali, np.int32)
+        if len(wri) > 1:
+            wri[1][key] = " ".join(str(x) for x in words)
+        if len(wri) > 2:
+            wri[2][key] = f"{lm_cost:.6g}"
+        if len(wri) > 3:
+            wri[3][key] = f"{ac_cost:.6g}"
+    for w in wri:
+        w.close()
+    return 0 if n_err == 0 else 1
+
+
+@tool("linear-to-nbest")
+def linear_to_nbest_tool(argv: List[str]) -> int:
+    """Inverse of nbest-to-linear: build linear lattices from alignments +
+    words (+ optional costs; reference src/latbin/linear-to-nbest.cc)."""
+    from old_kaldi_git_tpu.lat.lattice import Lattice, LatticeArc
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "linear-to-nbest <ali-rspecifier> <words-rspecifier> "
+        "<lmcost-rspecifier|''> <accost-rspecifier|''> <nbest-wspecifier>"
+    )
+    args = po.parse(argv)
+    if len(args) != 5:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    words_r = RandomAccessTableReader(args[1], "text")
+    lm_r = RandomAccessTableReader(args[2], "text") if args[2] else None
+    ac_r = RandomAccessTableReader(args[3], "text") if args[3] else None
+    with TableWriter(args[4], "lat") as w:
+        for key, ali in SequentialTableReader(args[0], "ivec"):
+            if key not in words_r:
+                log.warning("no words for %s", key)
+                continue
+            ws = [int(x) for x in words_r[key].split()]
+            lm_cost = float(lm_r[key]) if lm_r is not None else 0.0
+            ac_cost = float(ac_r[key]) if ac_r is not None else 0.0
+            lat = Lattice()
+            cur = lat.add_state(0)
+            lat.start = cur
+            n = max(len(ali), len(ws), 1)
+            for i in range(n):
+                tid = int(ali[i]) if i < len(ali) else 0
+                wd = ws[i] if i < len(ws) else 0
+                nxt = lat.add_state(i + 1 if tid else 0)
+                # put all costs on the first arc, like the reference
+                g = lm_cost if i == 0 else 0.0
+                ac = ac_cost if i == 0 else 0.0
+                lat.arcs[cur].append(LatticeArc(tid, wd, g, ac, nxt))
+                cur = nxt
+            lat.finals[cur] = (0.0, 0.0)
+            w[key] = lat
+    return 0
+
+
+@tool("lattice-combine")
+def lattice_combine_tool(argv: List[str]) -> int:
+    """Union lattices with the same key across several archives
+    (reference src/latbin/lattice-combine.cc / fst::Union; --lat-weights
+    scales each archive's posterior contribution via added graph cost)."""
+    from old_kaldi_git_tpu.lat.lattice import lattice_union
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "lattice-combine [options] <lat-rspecifier1> <lat-rspecifier2> "
+        "[...] <lat-wspecifier>"
+    )
+
+    class Opts:
+        lat_weights = ""  # colon-separated, e.g. 0.5:0.5
+
+    o = Opts()
+    po.register("lat-weights", o, "lat_weights")
+    args = po.parse(argv)
+    if len(args) < 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    n_in = len(args) - 1
+    weights = ([float(x) for x in o.lat_weights.split(":")]
+               if o.lat_weights else [1.0] * n_in)
+    if len(weights) != n_in:
+        log.error("--lat-weights needs %d values", n_in)
+        return 1
+    readers = [RandomAccessTableReader(a, "lat") for a in args[1:-1]]
+    n_done = 0
+    with TableWriter(args[-1], "lat") as w:
+        for key, lat in SequentialTableReader(args[0], "lat"):
+            lats, wts = [lat], [weights[0]]
+            for r, wt in zip(readers, weights[1:]):
+                if key in r:
+                    lats.append(r[key])
+                    wts.append(wt)
+            for la, wt in zip(lats, wts):
+                if wt != 1.0:  # -log posterior weight on the start arcs
+                    la.arcs[la.start] = [
+                        type(a)(a.ilabel, a.olabel,
+                                a.graph_cost - math.log(max(wt, 1e-30)),
+                                a.acoustic_cost, a.nextstate)
+                        for a in la.arcs[la.start]
+                    ]
+            w[key] = lattice_union(lats) if len(lats) > 1 else lats[0]
+            n_done += 1
+    log.info("combined %d lattices", n_done)
     return 0
 
 

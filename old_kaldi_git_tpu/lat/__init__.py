@@ -18,7 +18,10 @@ from old_kaldi_git_tpu.lat.lattice import (
     lattice_from_decode,
     lattice_best_path,
     lattice_nbest,
+    lattice_nbest_paths,
     lattice_prune,
+    lattice_union,
+    linear_lattice_from_path,
     lattice_arc_posteriors,
     lattice_to_word_fst,
     lattice_word_posteriors,

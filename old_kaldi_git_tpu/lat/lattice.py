@@ -351,6 +351,91 @@ def lattice_prune(
     return out
 
 
+def lattice_nbest_paths(
+    lat: Lattice, n: int, lm_scale: float = 1.0, ac_scale: float = 0.1
+) -> List[Tuple[List[LatticeArc], Tuple[float, float]]]:
+    """N best full paths as arc sequences (reference lattice-to-nbest:
+    src/latbin/lattice-to-nbest.cc uses NbestAsFsts; paths, not distinct
+    word sequences).  Returns [(arcs, (final_graph, final_acoustic))],
+    best path first."""
+    order = _topo_order(lat)
+    ns = lat.num_states
+    # per state: up to n partial paths (cost, prev_state, prev_rank, arc_idx)
+    entries: List[List[Tuple[float, int, int, int]]] = [[] for _ in range(ns)]
+    entries[lat.start] = [(0.0, -1, -1, -1)]
+    for s in order:
+        if not entries[s]:
+            continue
+        for ai, a in enumerate(lat.arcs[s]):
+            w = lat.combined(a, lm_scale, ac_scale)
+            dst = a.nextstate
+            add = [(c + w, s, r, ai) for r, (c, _, _, _) in enumerate(entries[s])]
+            merged = sorted(entries[dst] + add, key=lambda e: e[0])[:n]
+            entries[dst] = merged
+    # candidate endpoints: (total_cost, state, rank)
+    cands: List[Tuple[float, int, int]] = []
+    for s in range(ns):
+        if lat.is_final(s):
+            g, ac = lat.finals[s]
+            fc = lm_scale * g + ac_scale * ac
+            for r, (c, _, _, _) in enumerate(entries[s]):
+                cands.append((c + fc, s, r))
+    cands.sort(key=lambda e: e[0])
+    out = []
+    for _, s, r in cands[:n]:
+        arcs: List[LatticeArc] = []
+        cur, rank = s, r
+        while True:
+            _, ps, pr, ai = entries[cur][rank]
+            if ps < 0:
+                break
+            arcs.append(lat.arcs[ps][ai])
+            cur, rank = ps, pr
+        out.append((arcs[::-1], lat.finals[s]))
+    return out
+
+
+def linear_lattice_from_path(
+    arcs: Sequence[LatticeArc], final: Tuple[float, float]
+) -> Lattice:
+    """Build a linear (single-path) lattice from an arc sequence."""
+    lat = Lattice()
+    t = 0
+    cur = lat.add_state(t)
+    lat.start = cur
+    for a in arcs:
+        if a.ilabel:
+            t += 1
+        nxt = lat.add_state(t)
+        lat.arcs[cur].append(
+            LatticeArc(a.ilabel, a.olabel, a.graph_cost, a.acoustic_cost, nxt)
+        )
+        cur = nxt
+    lat.finals[cur] = final
+    return lat
+
+
+def lattice_union(lats: Sequence[Lattice]) -> Lattice:
+    """Union of lattices via a shared start state with free eps arcs
+    (reference lattice-combine / fst::Union role)."""
+    out = Lattice()
+    start = out.add_state(0)
+    out.start = start
+    for lat in lats:
+        off = out.num_states
+        for s in range(lat.num_states):
+            out.add_state(lat.state_time[s])
+        for s in range(lat.num_states):
+            for a in lat.arcs[s]:
+                out.arcs[off + s].append(
+                    LatticeArc(a.ilabel, a.olabel, a.graph_cost,
+                               a.acoustic_cost, off + a.nextstate)
+                )
+            out.finals[off + s] = lat.finals[s]
+        out.arcs[start].append(LatticeArc(0, 0, 0.0, 0.0, off + lat.start))
+    return out
+
+
 def lattice_nbest(
     lat: Lattice, n: int, lm_scale: float = 1.0, ac_scale: float = 0.1
 ) -> List[Tuple[List[int], float]]:

@@ -125,8 +125,27 @@ def test_decode_lattice_cli_pipeline(tmp_path):
          "ark:lat.ark", "ark:clat.ark"], tmp_path)
     run(["lattice-to-nbest", "--n=3", "--acoustic-scale=1.0", "ark:lat.ark",
          "ark:nbest.ark"], tmp_path)
-    nb = read_table(f"ark:{tmp_path}/nbest.ark", "text")
+    nb = read_table(f"ark:{tmp_path}/nbest.ark", "lat")
     assert any(k.endswith("-1") for k in nb)
+    # nbest → linear tables → nbest round trip; -1 entries match best path
+    run(["nbest-to-linear", "ark:nbest.ark", "ark:nb_ali.ark",
+         "ark:nb_words.ark", "ark:nb_lm.ark", "ark:nb_ac.ark"], tmp_path)
+    nb_words = read_table(f"ark:{tmp_path}/nb_words.ark", "text")
+    run(["lattice-best-path", "--acoustic-scale=1.0", "ark:latp.ark",
+         "ark:hyp2i.ark"], tmp_path)
+    hyp2i = read_table(f"ark:{tmp_path}/hyp2i.ark", "text")
+    for k, words in hyp2i.items():
+        assert nb_words[k + "-1"] == words
+    run(["linear-to-nbest", "ark:nb_ali.ark", "ark:nb_words.ark",
+         "ark:nb_lm.ark", "ark:nb_ac.ark", "ark:nbest2.ark"], tmp_path)
+    nb2 = read_table(f"ark:{tmp_path}/nbest2.ark", "lat")
+    assert set(nb2) == set(nb)
+    # combining a lattice with itself keeps the best path intact
+    run(["lattice-combine", "--lat-weights=0.5:0.5", "ark:lat.ark",
+         "ark:lat.ark", "ark:comb.ark"], tmp_path)
+    run(["lattice-best-path", "--acoustic-scale=1.0", "ark:comb.ark",
+         "ark:hyp3i.ark"], tmp_path)
+    assert read_table(f"ark:{tmp_path}/hyp3i.ark", "text") == hyp2i
     # alignments have one tid per frame
     ali = read_table(f"ark:{tmp_path}/ali.ark", "ivec")
     k0 = sorted(sf)[0]

@@ -160,6 +160,46 @@ def test_lattice_nbest_and_posteriors():
     assert len(cn) >= 1
 
 
+def test_lattice_nbest_paths_linear_union():
+    from old_kaldi_git_tpu.lat.lattice import (
+        lattice_nbest_paths,
+        lattice_union,
+        linear_lattice_from_path,
+    )
+
+    lang, topo, cd, tm, csr = _decode_system()
+    phones = [lang.phones[p] for p in ("Y", "EH", "S")]
+    ll = _fake_loglikes(tm, cd, lang, phones, sep=1.0)
+    T = ll.shape[0]
+    res = decode_batch(
+        csr, ll[None], [T],
+        ViterbiOptions(beam=40.0, max_active=200, acoustic_scale=1.0),
+        want_lattice=True,
+    )[0]
+    lat = lattice_from_decode(
+        csr, ll, res.frame_states, res.frame_costs, 1.0, lattice_beam=30.0
+    )
+    nbest = lattice_nbest(lat, 5, lm_scale=1.0, ac_scale=1.0)
+    paths = lattice_nbest_paths(lat, 5, lm_scale=1.0, ac_scale=1.0)
+    assert len(paths) >= 1
+    # path costs ranked and the best agrees with lattice_best_path
+    costs = []
+    for arcs, (fg, fac) in paths:
+        c = sum(a.graph_cost + a.acoustic_cost for a in arcs) + fg + fac
+        costs.append(c)
+    assert costs == sorted(costs)
+    assert costs[0] == pytest.approx(nbest[0][1], abs=1e-3)
+    # linear lattice of path i reproduces its words and cost
+    lins = [linear_lattice_from_path(arcs, fin) for arcs, fin in paths]
+    w0, _, c0 = lattice_best_path(lins[0], 1.0, 1.0)
+    words, _, cost = lattice_best_path(lat, 1.0, 1.0)
+    assert w0 == words and c0 == pytest.approx(cost, abs=1e-3)
+    # union of all linear paths has the same best path as the lattice
+    uni = lattice_union(lins)
+    wu, _, cu = lattice_best_path(uni, 1.0, 1.0)
+    assert wu == words and cu == pytest.approx(cost, abs=1e-3)
+
+
 def test_lattice_prune_keeps_best():
     lang, topo, cd, tm, csr = _decode_system()
     phones = [lang.phones[p] for p in ("N", "OW")]
