@@ -810,12 +810,12 @@ def lattice_determinize_pruned_tool(argv: List[str]) -> int:
 def lattice_lmrescore_const_arpa_tool(argv: List[str]) -> int:
     from old_kaldi_git_tpu.fst.symbols import SymbolTable
     from old_kaldi_git_tpu.lat.rescore import lmrescore_compact_lattice
-    from old_kaldi_git_tpu.lm.arpa import parse_arpa
+    from old_kaldi_git_tpu.lm.arpa import load_lm
     from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
 
     po = ParseOptions(
         "lattice-lmrescore-const-arpa [options] --words=words.txt "
-        "<clat-rspecifier> <arpa-file> <clat-wspecifier>"
+        "<clat-rspecifier> <const-arpa-or-arpa-file> <clat-wspecifier>"
     )
 
     class Opts:
@@ -829,8 +829,7 @@ def lattice_lmrescore_const_arpa_tool(argv: List[str]) -> int:
     if len(args) != 3 or not o.words:
         print(po.print_usage(), file=sys.stderr)
         return 1
-    with open(args[1]) as f:
-        lm = parse_arpa(f.read())
+    lm = load_lm(args[1])
     words = SymbolTable.read(o.words)
     with TableWriter(args[2], "clat") as w:
         for key, clat in SequentialTableReader(args[0], "clat"):
@@ -1619,3 +1618,4 @@ def wav_reverberate_tool(argv: List[str]) -> int:
 # registration side-effect: the training-pipeline tool batch
 from old_kaldi_git_tpu.bin import train_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import spkid_tools  # noqa: E402,F401  (isort:skip)
+from old_kaldi_git_tpu.bin import lat_tools  # noqa: E402,F401  (isort:skip)

@@ -176,3 +176,61 @@ def arpa_to_fst(
         log.warning("arpa_to_fst: skipped %d ngrams with OOV words", skipped)
     log.info("G: %d states, %d arcs", fst.num_states, fst.num_arcs)
     return fst
+
+
+# ---------------------------------------------------------------------------
+# const-arpa binary format (reference src/lm/const-arpa-lm.cc role: a
+# pre-parsed LM that loads much faster than re-reading the ARPA text).
+# Layout: magic line b"CARPA1\n", then order, then the trie as three
+# parallel numpy arrays (flattened key strings, logprobs, backoffs).
+# ---------------------------------------------------------------------------
+
+_CARPA_MAGIC = b"CARPA1\n"
+
+
+def write_const_arpa(lm: ArpaLm, path: str) -> None:
+    import numpy as _np
+
+    keys = []
+    probs = _np.empty(len(lm.ngrams), _np.float64)
+    bos = _np.empty(len(lm.ngrams), _np.float64)
+    for i, (ng, (p, b)) in enumerate(lm.ngrams.items()):
+        keys.append("\x01".join(ng))
+        probs[i] = p
+        bos[i] = b
+    with open(path, "wb") as f:
+        f.write(_CARPA_MAGIC)
+        f.write(f"{lm.order}\n".encode())
+        blob = "\x00".join(keys).encode("utf-8")
+        f.write(f"{len(blob)} {len(keys)}\n".encode())
+        f.write(blob)
+        f.write(probs.tobytes())
+        f.write(bos.tobytes())
+
+
+def read_const_arpa(path: str) -> ArpaLm:
+    import numpy as _np
+
+    with open(path, "rb") as f:
+        if f.read(len(_CARPA_MAGIC)) != _CARPA_MAGIC:
+            raise ValueError(f"{path}: not a const-arpa file")
+        order = int(f.readline())
+        nblob, n = (int(x) for x in f.readline().split())
+        keys = f.read(nblob).decode("utf-8").split("\x00") if nblob else []
+        probs = _np.frombuffer(f.read(8 * n), _np.float64)
+        bos = _np.frombuffer(f.read(8 * n), _np.float64)
+    ngrams = {
+        tuple(k.split("\x01")): (float(p), float(b))
+        for k, p, b in zip(keys, probs, bos)
+    }
+    return ArpaLm(order=order, ngrams=ngrams)
+
+
+def load_lm(path: str) -> ArpaLm:
+    """Load an LM from either const-arpa binary or ARPA text."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_CARPA_MAGIC))
+    if magic == _CARPA_MAGIC:
+        return read_const_arpa(path)
+    with open(path) as f:
+        return parse_arpa(f.read())

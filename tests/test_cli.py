@@ -146,10 +146,164 @@ def test_decode_lattice_cli_pipeline(tmp_path):
     run(["lattice-best-path", "--acoustic-scale=1.0", "ark:comb.ark",
          "ark:hyp3i.ark"], tmp_path)
     assert read_table(f"ark:{tmp_path}/hyp3i.ark", "text") == hyp2i
+
     # alignments have one tid per frame
     ali = read_table(f"ark:{tmp_path}/ali.ark", "ivec")
     k0 = sorted(sf)[0]
     assert len(ali[k0]) == sf[k0].shape[0]
+
+    # --- second tool batch (lat_tools) over the same lattices ---
+    # 1best == first nbest entry; copy round-trips
+    run(["lattice-1best", "--acoustic-scale=1.0", "ark:lat.ark",
+         "ark:best.ark"], tmp_path)
+    run(["nbest-to-linear", "ark:best.ark", "ark:b_ali.ark", "ark:b_w.ark"],
+        tmp_path)
+    assert read_table(f"ark:{tmp_path}/b_w.ark", "text") == hyp2i
+    run(["lattice-copy", "ark:lat.ark", "ark:latc.ark"], tmp_path)
+    run(["lattice-best-path", "--acoustic-scale=1.0", "ark:latc.ark",
+         "ark:hyp4i.ark"], tmp_path)
+    assert read_table(f"ark:{tmp_path}/hyp4i.ark", "text") == hyp2i
+    # rmali drops tids, best words unchanged
+    run(["lattice-rmali", "ark:lat.ark", "ark:latr.ark"], tmp_path)
+    run(["lattice-best-path", "--acoustic-scale=1.0", "ark:latr.ark",
+         "ark:hyp5i.ark"], tmp_path)
+    assert read_table(f"ark:{tmp_path}/hyp5i.ark", "text") == hyp2i
+    # gmm-decode-faster gives the same words as the lattice best path
+    run(["gmm-decode-faster", "--beam=20", "--acoustic-scale=1.0",
+         "final.mdl", "HCLG.fst", "ark:feats.ark", "ark:hyp6i.ark",
+         "ark:ali6.ark"], tmp_path)
+    assert read_table(f"ark:{tmp_path}/hyp6i.ark", "text") == hyp2i
+    # rescoring acoustics with the same model keeps the best path
+    run(["gmm-rescore-lattice", "final.mdl", "ark:lat.ark", "ark:feats.ark",
+         "ark:latg.ark"], tmp_path)
+    run(["lattice-best-path", "--acoustic-scale=1.0", "ark:latg.ark",
+         "ark:hyp7i.ark"], tmp_path)
+    assert read_table(f"ark:{tmp_path}/hyp7i.ark", "text") == hyp2i
+    run(["gmm-compute-likes", "final.mdl", "ark:feats.ark", "ark:ll.ark"],
+        tmp_path)
+    run(["lattice-rescore-mapped", "final.mdl", "ark:lat.ark", "ark:ll.ark",
+         "ark:latm.ark"], tmp_path)
+    run(["lattice-best-path", "--acoustic-scale=1.0", "ark:latm.ark",
+         "ark:hyp8i.ark"], tmp_path)
+    assert read_table(f"ark:{tmp_path}/hyp8i.ark", "text") == hyp2i
+    # posteriors from lattices; frame posts sum to ≤ 1 + tol
+    run(["lattice-to-post", "--acoustic-scale=1.0", "final.mdl",
+         "ark:lat.ark", "ark:post.ark"], tmp_path)
+    post = read_table(f"ark:{tmp_path}/post.ark", "post")
+    assert post and all(
+        sum(wt for _, wt in frame) < 1.01 for p in post.values() for frame in p
+    )
+    # determinize → push → minimize chain preserves key set
+    run(["lattice-determinize", "ark:lat.ark", "ark:clat2.ark"], tmp_path)
+    run(["lattice-push", "ark:clat2.ark", "ark:clat3.ark"], tmp_path)
+    run(["lattice-minimize", "ark:clat3.ark", "ark:clat4.ark"], tmp_path)
+    assert set(read_table(f"ark:{tmp_path}/clat4.ark", "clat")) == set(hyp2i)
+    # boost-ali against own alignment leaves graph costs unchanged (0 errors)
+    run(["lattice-boost-ali", "--b=1.0", "final.mdl", "ark:best.ark",
+         "ark:b_ali.ark", "ark:latb.ark"], tmp_path)
+    run(["nbest-to-linear", "ark:latb.ark", "ark:bb_ali.ark", "ark:bb_w.ark",
+         "ark:bb_lm.ark", "ark:bb_ac.ark"], tmp_path)
+    run(["nbest-to-linear", "ark:best.ark", "ark:b2_ali.ark", "ark:b2_w.ark",
+         "ark:b2_lm.ark", "ark:b2_ac.ark"], tmp_path)
+    assert (read_table(f"ark:{tmp_path}/bb_lm.ark", "text")
+            == read_table(f"ark:{tmp_path}/b2_lm.ark", "text"))
+    # word FSTs + add-penalty
+    run(["lattice-to-fst", "--acoustic-scale=1.0", "ark:lat.ark",
+         "ark:wfst.ark"], tmp_path)
+    assert set(read_table(f"ark:{tmp_path}/wfst.ark", "fst")) == set(hyp2i)
+    run(["lattice-add-penalty", "--word-ins-penalty=0.5", "ark:lat.ark",
+         "ark:latpen.ark"], tmp_path)
+    # word alignment + CTM need a lang dir with the lexicon
+    lexdir = tmp_path / "langdir"
+    lexdir.mkdir()
+    from old_kaldi_git_tpu.recipes.yesno import WORD_PRONS
+
+    (lexdir / "lexicon.txt").write_text(
+        "".join(f"{w} {' '.join(p)}\n" for w, p in WORD_PRONS.items())
+    )
+    run(["lattice-align-words-lexicon", "--acoustic-scale=1.0",
+         "langdir", "final.mdl", "ark:lat.ark", "ark:walign.ark"], tmp_path)
+    wal = read_table(f"ark:{tmp_path}/walign.ark", "text")
+    assert set(wal) == set(hyp2i)
+    out = run(["lattice-to-ctm-conf", "--acoustic-scale=1.0", "final.mdl",
+               "langdir", "ark:lat.ark", "-"], tmp_path)
+    assert out.stdout.strip()
+
+
+def test_misc_tool_batch(tmp_path):
+    """vector/posterior/feat-info/fst/const-arpa tools."""
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    with TableWriter(f"ark:{tmp_path}/v.ark", "vec") as w:
+        w["a"] = np.array([1.0, 2.0], np.float32)
+        w["b"] = np.array([3.0, 4.0], np.float32)
+    run(["vector-scale", "--scale=2.0", "ark:v.ark", "ark:v2.ark"], tmp_path)
+    v2 = read_table(f"ark:{tmp_path}/v2.ark", "vec")
+    assert np.allclose(v2["a"], [2.0, 4.0])
+    run(["vector-sum", "ark:v.ark", "ark:v2.ark", "ark:vs.ark"], tmp_path)
+    assert np.allclose(read_table(f"ark:{tmp_path}/vs.ark", "vec")["b"],
+                       [9.0, 12.0])
+    run(["vector-sum", "--sum-all", "ark:v.ark", "tot.vec"], tmp_path)
+    from old_kaldi_git_tpu.utils.io_funcs import init_kaldi_input_stream, read_vector
+
+    with open(tmp_path / "tot.vec", "rb") as f:
+        assert init_kaldi_input_stream(f)
+        assert np.allclose(read_vector(f), [4.0, 6.0])
+
+    import old_kaldi_git_tpu.hmm.posterior  # register "post" holder
+
+    with TableWriter(f"ark:{tmp_path}/p.ark", "post") as w:
+        w["a"] = [[(1, 0.5), (2, 0.5)], [(3, 1.0)]]
+    run(["copy-post", "--scale=0.5", "ark:p.ark", "ark:p2.ark"], tmp_path)
+    p2 = read_table(f"ark:{tmp_path}/p2.ark", "post")
+    assert p2["a"][1][0][1] == pytest.approx(0.5)
+    run(["sum-post", "ark:p.ark", "ark:p2.ark", "ark:ps.ark"], tmp_path)
+    ps = read_table(f"ark:{tmp_path}/ps.ark", "post")
+    assert dict(ps["a"][0])[1] == pytest.approx(0.75)
+    run(["scale-post", "ark:p.ark", "2.0", "ark:p3.ark"], tmp_path)
+    assert dict(read_table(f"ark:{tmp_path}/p3.ark", "post")["a"][0])[2] \
+        == pytest.approx(1.0)
+
+    with TableWriter(f"ark:{tmp_path}/m.ark", "mat") as w:
+        w["a"] = np.zeros((7, 3), np.float32)
+    run(["feat-to-len", "ark:m.ark", "ark:len.ark"], tmp_path)
+    assert read_table(f"ark:{tmp_path}/len.ark", "text")["a"] == "7"
+    out = run(["feat-to-dim", "ark:m.ark", "-"], tmp_path)
+    assert out.stdout.strip() == "3"
+
+    from old_kaldi_git_tpu.utils.wav import write_wav
+
+    write_wav(str(tmp_path / "w.wav"), np.zeros(8000, np.float32), 16000.0)
+    (tmp_path / "wav.scp").write_text(f"w {tmp_path}/w.wav\n")
+    run(["wav-to-duration", "scp:wav.scp", "ark:dur.ark"], tmp_path)
+    assert float(read_table(f"ark:{tmp_path}/dur.ark", "text")["w"]) \
+        == pytest.approx(0.5)
+
+    # fst extras: a stochastic one-state FST; equivalence with itself
+    from old_kaldi_git_tpu.fst.vector_fst import Arc, VectorFst
+
+    f = VectorFst()
+    s = f.add_state()
+    f.start = s
+    f.finals[s] = -math.log(0.5)
+    f.add_arc(s, Arc(1, 1, -math.log(0.5), s))
+    with open(tmp_path / "a.fst", "wb") as fh:
+        f.write(fh)
+    assert run(["fstisstochastic", "a.fst"], tmp_path,
+               check=False).returncode == 0
+    assert run(["fstequivalent", "a.fst", "a.fst"], tmp_path,
+               check=False).returncode == 0
+    run(["fsttablecompose", "a.fst", "a.fst", "c.fst"], tmp_path)
+
+    # const-arpa round trip through the CLI
+    import tests.test_lattice as tl
+
+    (tmp_path / "lm.arpa").write_text(tl.ARPA_TEXT)
+    run(["arpa-to-const-arpa", "lm.arpa", "lm.carpa"], tmp_path)
+    from old_kaldi_git_tpu.lm.arpa import load_lm, parse_arpa
+
+    assert load_lm(str(tmp_path / "lm.carpa")).ngrams \
+        == parse_arpa(tl.ARPA_TEXT).ngrams
 
 
 def test_lattice_holder_roundtrip(tmp_path):
