@@ -1619,3 +1619,4 @@ def wav_reverberate_tool(argv: List[str]) -> int:
 from old_kaldi_git_tpu.bin import train_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import spkid_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import lat_tools  # noqa: E402,F401  (isort:skip)
+from old_kaldi_git_tpu.bin import nnet3_tools  # noqa: E402,F401  (isort:skip)

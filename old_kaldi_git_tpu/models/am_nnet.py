@@ -142,3 +142,37 @@ class AmNnet:
         with open(path, "rb") as f:
             d = pickle.load(f)
         return AmNnet(d["config"], d["variables"], d["log_priors"])
+
+
+@dataclasses.dataclass
+class AmNnetModel:
+    """The nnet3 'final.mdl' bundle: TransitionModel + AmNnet (+ priors in
+    the AmNnet).  Reference parity: src/nnet3/am-nnet-simple.h models are
+    always written behind a TransitionModel in final.mdl; the decode/align
+    tools need the tid→pdf map from it."""
+
+    am: AmNnet
+    tm: Any  # TransitionModel
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "kind": "am-nnet-model",
+                    "config": self.am.config,
+                    "variables": jax.tree.map(np.asarray, self.am.variables),
+                    "log_priors": self.am.log_priors,
+                    "tm": self.tm,
+                },
+                f,
+            )
+
+    @staticmethod
+    def load(path: str) -> "AmNnetModel":
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        if d.get("kind") != "am-nnet-model":
+            raise ValueError(f"{path}: not an AmNnetModel bundle")
+        return AmNnetModel(
+            AmNnet(d["config"], d["variables"], d["log_priors"]), d["tm"]
+        )

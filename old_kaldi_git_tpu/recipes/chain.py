@@ -85,6 +85,73 @@ class ChainModel:
     den: DenominatorGraph
     frame_subsampling_factor: int
 
+    def save(self, path: str) -> None:
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "am": {"config": self.am.config,
+                           "variables": jax.tree.map(np.asarray,
+                                                     self.am.variables),
+                           "log_priors": self.am.log_priors},
+                    "ctx_dep": self.ctx_dep,
+                    "tm": self.tm,
+                    "den": self.den,
+                    "fsf": self.frame_subsampling_factor,
+                },
+                f,
+            )
+
+    @staticmethod
+    def load(path: str) -> "ChainModel":
+        import pickle
+
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        am = AmNnet(d["am"]["config"], d["am"]["variables"],
+                    d["am"]["log_priors"])
+        return ChainModel(am, d["ctx_dep"], d["tm"], d["den"], d["fsf"])
+
+
+def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
+                    fsf: int):
+    """Jitted LF-MMI(+xent) train step over batched supervision arrays —
+    shared by train_chain and the nnet3-chain-train CLI tool."""
+
+    def loss_fn(params, batch_stats, bf, b_pdf, b_allowed, b_nf, b_sl,
+                b_adv, b_xent):
+        logits_full, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, bf, train=True,
+            mutable=["batch_stats"],
+        )
+        logits = logits_full[:, ::fsf][:, : b_allowed.shape[1]]
+        loss, metrics = chain_loss(
+            logits, den, b_pdf, b_allowed, b_nf, b_sl, b_adv, loss_opts
+        )
+        if loss_opts.xent_regularize > 0:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ll = jnp.take_along_axis(logp, b_xent[..., None], axis=-1)[..., 0]
+            mask = jnp.arange(logits.shape[1])[None, :] < b_nf[:, None]
+            xent = -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+            loss = loss + loss_opts.xent_regularize * xent
+            metrics = {**metrics, "xent": xent}
+        return loss, (mutated["batch_stats"], metrics)
+
+    @jax.jit
+    def step_fn(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent):
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, bf, b_pdf, b_allowed, b_nf,
+          b_sl, b_adv, b_xent)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (TrainState(new_params, new_bs, new_opt, state.step + 1),
+                loss, metrics)
+
+    return step_fn
+
 
 def build_chain_objects(
     gmm_model: AmGmmModel,
@@ -223,32 +290,7 @@ def train_chain(
     state = TrainState(params, am.variables.get("batch_stats", {}),
                        optimizer.init(params), 0)
 
-    def loss_fn(params, batch_stats, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent):
-        logits_full, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats}, bf, train=True,
-            mutable=["batch_stats"],
-        )
-        logits = logits_full[:, ::fsf][:, : b_allowed.shape[1]]
-        loss, metrics = chain_loss(
-            logits, den, b_pdf, b_allowed, b_nf, b_sl, b_adv, loss_opts
-        )
-        if loss_opts.xent_regularize > 0:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            ll = jnp.take_along_axis(logp, b_xent[..., None], axis=-1)[..., 0]
-            mask = jnp.arange(logits.shape[1])[None, :] < b_nf[:, None]
-            xent = -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-            loss = loss + loss_opts.xent_regularize * xent
-            metrics = {**metrics, "xent": xent}
-        return loss, (mutated["batch_stats"], metrics)
-
-    @jax.jit
-    def step_fn(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent):
-        (loss, (new_bs, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent)
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_bs, new_opt, state.step + 1), loss, metrics
+    step_fn = make_chain_step(model, den, optimizer, loss_opts, fsf)
 
     rng = np.random.default_rng(opts.seed)
     order = np.arange(len(sup_keys))

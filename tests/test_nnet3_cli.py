@@ -1,0 +1,175 @@
+"""nnet3 / chain CLI pipeline: init → egs → train → diagnostics → decode.
+
+Mirrors the reference binary composition (SURVEY.md §3.4):
+ali-to-pdf → nnet3-get-egs → nnet3-shuffle-egs → nnet3-train →
+nnet3-am-init → nnet3-latgen-faster → compute-wer; and the chain side:
+ali-to-phones → chain-est-phone-lm → chain-build-tree →
+chain-make-den-fst → nnet3-chain-get-egs → nnet3-chain-train →
+nnet3-chain-compute-prob.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+XCONFIG = """
+input name=input dim={D}
+relu-batchnorm-layer name=tdnn1 dim=48 input=Append(-2,-1,0,1,2)
+relu-batchnorm-layer name=tdnn2 dim=48 input=Append(-1,0,1)
+output-layer name=output dim={P}
+"""
+
+
+def run(args, cwd, check=True):
+    r = subprocess.run(
+        [sys.executable, "-m", "old_kaldi_git_tpu.bin"] + args,
+        check=False, capture_output=True, text=True, cwd=str(cwd),
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    if check and r.returncode != 0:
+        raise AssertionError(
+            f"{args[0]} failed rc={r.returncode}\n{r.stdout}\n{r.stderr}")
+    return r
+
+
+@pytest.fixture(scope="module")
+def system(tmp_path_factory):
+    """Mono GMM trained in-process + its artifacts on disk for the CLI."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats,
+        make_corpus,
+        make_lang,
+    )
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+    from old_kaldi_git_tpu.utils.table import TableWriter
+
+    d = tmp_path_factory.mktemp("nnet3cli")
+    tw, tt, sw, st = make_corpus(31, 6)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    lang = make_lang()
+    model, alis = train_mono(tf, tt, lang,
+                             MonoTrainOptions(num_iters=10, totgauss=80))
+    model.save(str(d / "final.mdl"))
+    phones = lang.real_phone_ids
+    topo = model.tm.topo
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    hclg = mkgraph(lang, g, cd, model.tm)
+    with open(d / "HCLG.fst", "wb") as f:
+        hclg.write(f)
+    lang.words.write(str(d / "words.txt"))
+    with TableWriter(f"ark:{d}/train.ark", "mat") as w:
+        for k, f in tf.items():
+            w[k] = f
+    with TableWriter(f"ark:{d}/test.ark", "mat") as w:
+        for k, f in sf.items():
+            w[k] = f
+    with TableWriter(f"ark:{d}/ali.ark", "ivec") as w:
+        for k, a in alis.items():
+            if a is not None:
+                w[k] = np.asarray(a, np.int32)
+    with TableWriter(f"ark:{d}/ref.ark", "text") as w:
+        for k, words in st.items():
+            w[k] = " ".join(words)
+    # per-utterance training graphs for nnet3-align-compiled
+    from old_kaldi_git_tpu.decoder.graph import GraphCompiler
+
+    import old_kaldi_git_tpu.fst.holder  # noqa: F401 — "fst" table holder
+
+    gc = GraphCompiler(lang, cd, model.tm)
+    with TableWriter(f"ark:{d}/gra.fsts", "fst") as w:
+        for k in sorted(tf):
+            w[k] = gc.compile_graph_from_text(tt[k])
+    D = next(iter(tf.values())).shape[1]
+    P = model.am.num_pdfs
+    all_phones = ":".join(str(p) for p in model.tm.topo.phones)
+    return d, D, P, all_phones
+
+
+def test_nnet3_ce_cli_pipeline(system):
+    d, D, P, _phones = system
+    (d / "nnet.xconfig").write_text(XCONFIG.format(D=D, P=P))
+    run(["nnet3-init", "nnet.xconfig", "0.raw"], d)
+    out = run(["nnet3-info", "0.raw"], d)
+    assert f"output-dim: {P}" in out.stdout
+    run(["ali-to-pdf", "final.mdl", "ark:ali.ark", "ark:pdfali.ark"], d)
+    run(["nnet3-get-egs", "--frames-per-eg=32", "ark:train.ark",
+         "ark:pdfali.ark", "ark:egs.ark"], d)
+    run(["nnet3-shuffle-egs", "--srand=1", "ark:egs.ark",
+         "ark:egs_shuf.ark"], d)
+    # round-robin split + recombine covers copy-egs
+    run(["nnet3-copy-egs", "ark:egs_shuf.ark", "ark:egs1.ark",
+         "ark:egs2.ark"], d)
+    r0 = run(["nnet3-compute-prob", "0.raw", "ark:egs_shuf.ark"], d)
+    ce0 = float(re.search(r"log-probability per frame: (\S+)", r0.stdout)[1])
+    run(["nnet3-train", "--num-epochs=30", "--minibatch-size=16", "0.raw",
+         "ark:egs_shuf.ark", "1.raw"], d)
+    r1 = run(["nnet3-compute-prob", "1.raw", "ark:egs_shuf.ark"], d)
+    ce1 = float(re.search(r"log-probability per frame: (\S+)", r1.stdout)[1])
+    assert ce1 > ce0 + 0.1, (ce0, ce1)  # log-prob improved by training
+    # priors = averaged model posteriors (nnet3-adjust-priors role)
+    run(["nnet3-adjust-priors", "1.raw", "ark:egs_shuf.ark", "2.raw"], d)
+    run(["nnet3-am-init", "final.mdl", "2.raw", "am.mdl"], d)
+    # decode the held-out set and score
+    run(["nnet3-latgen-faster", "--beam=24", "--acoustic-scale=1.0",
+         "--word-symbol-table=words.txt", "am.mdl", "HCLG.fst",
+         "ark:test.ark", "ark:lat.ark", "ark:hyp.ark"], d)
+    out = run(["compute-wer", "ark:ref.ark", "ark:hyp.ark"], d)
+    assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
+    # nnet3 alignment over the training graphs: one tid per frame
+    run(["nnet3-align-compiled", "--beam=200", "am.mdl", "ark:gra.fsts",
+         "ark:train.ark", "ark:nnet_ali.ark"], d)
+    from old_kaldi_git_tpu.utils.table import read_table as rt
+
+    ali = rt(f"ark:{d}/nnet_ali.ark", "ivec")
+    feats = rt(f"ark:{d}/train.ark", "mat")
+    k0 = sorted(ali)[0]
+    assert len(ali[k0]) == feats[k0].shape[0]
+
+
+def test_nnet3_chain_cli_pipeline(system):
+    d, D, _P, phones = system
+    run(["ali-to-phones", "final.mdl", "ark:ali.ark", "ark:phoneseq.ark"], d)
+    run(["chain-est-phone-lm", "--ngram-order=2", "ark:phoneseq.ark",
+         "phone_lm.fst"], d)
+    run(["chain-build-tree", "--context-width=1", "final.mdl",
+         "ark:train.ark", "ark:ali.ark", "chain.tree"], d)
+    run(["chain-make-den-fst", "chain.tree", "phone_lm.fst", "den.pkl"], d)
+    run(["nnet3-chain-get-egs", "--frame-subsampling-factor=3", "final.mdl",
+         "chain.tree", "den.pkl", "ark:train.ark", "ark:ali.ark",
+         "ark:cegs.ark"], d)
+    run(["nnet3-shuffle-egs", "--chain", "--srand=1", "ark:cegs.ark",
+         "ark:cegs_shuf.ark"], d)
+    # chain model: output dim = chain tree pdfs
+    from old_kaldi_git_tpu.tree.context_dep import ContextDependency
+
+    with open(d / "chain.tree", "rb") as f:
+        n_pdfs = ContextDependency.read(f).num_pdfs
+    (d / "chain.xconfig").write_text(XCONFIG.format(D=D, P=n_pdfs))
+    run(["nnet3-chain-init", "--frame-subsampling-factor=3", "chain.tree",
+         "den.pkl", "chain.xconfig", phones, "chain0.mdl"], d)
+    r0 = run(["nnet3-chain-compute-prob", "chain0.mdl",
+              "ark:cegs_shuf.ark"], d)
+    obj0 = float(re.search(r"objective per frame: (\S+)", r0.stdout)[1])
+    run(["nnet3-chain-train", "--num-epochs=8", "--minibatch-size=8",
+         "chain0.mdl", "ark:cegs_shuf.ark", "chain1.mdl"], d)
+    r1 = run(["nnet3-chain-compute-prob", "chain1.mdl",
+              "ark:cegs_shuf.ark"], d)
+    obj1 = float(re.search(r"objective per frame: (\S+)", r1.stdout)[1])
+    assert np.isfinite(obj0) and np.isfinite(obj1)
+    assert obj1 > obj0 + 0.1, (obj0, obj1)  # LF-MMI objective improved
