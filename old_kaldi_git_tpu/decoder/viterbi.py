@@ -391,6 +391,164 @@ def _decode_and_backtrace(frm, pdf, w, ns, start, loglikes,
     return end_states, has_final, costs, arcs
 
 
+@partial(jax.jit, static_argnames=("K", "E", "S"))
+def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
+                        num_frames, acoustic_scale, beam, K, E, S):
+    """TOKEN-SPARSE beam decode: per-frame work O(B·(E + E·log E)),
+    independent of graph size — for graphs whose dense [B, S] alpha (or
+    [T, B, S] winning-arc store) cannot fit HBM.  This is the TPU shape of
+    the reference's token-passing ProcessEmitting (expand out-arcs of the
+    active tokens only; src/decoder/lattice-faster-decoder.cc), with the
+    hash-map dedup replaced by a lexicographic sort over (dest, cost):
+
+      tokens [B, K] (state id, cost)  — cost-sorted, slot 0 = best
+      → CSR row expansion of the K states into a static arc budget E
+        (searchsorted over the cumulative out-degrees; arcs beyond E are
+        dropped from the WORST tokens — graceful beam shrink)
+      → candidate (dest, cost, arc) triples
+      → lax.sort by (dest, cost): the first entry of each dest run is its
+        Viterbi min (the ε-free dedup)
+      → top-K + beam gate → next token set.
+
+    Sorting E elements per frame is the price of graph-size independence;
+    the dense scatter-min kernels stay 4-5x faster where they fit and are
+    auto-selected in decode_batch.
+
+    Returns (tok_state [B,K], tok_cost [B,K], bp_state [T,B,K],
+    bp_arc [T,B,K], bp_cost [T,B,K]) — same contract as _decode_scan.
+    """
+    B, T, P = loglikes.shape
+    j = jnp.arange(E, dtype=jnp.int32)
+
+    tok_state0 = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(start)
+    tok_cost0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
+
+    def frame_update(tok_state, tok_cost, ll_t, t):
+        live = (tok_state >= 0) & (tok_cost < BIG)
+        s_cl = jnp.maximum(tok_state, 0)
+        deg = jnp.where(live, row_ptr[s_cl + 1] - row_ptr[s_cl], 0)
+        cum = jnp.cumsum(deg, axis=1)  # [B, K] inclusive
+        total = cum[:, -1:]
+        k_of = jax.vmap(
+            lambda c: jnp.searchsorted(c, j, side="right")
+        )(cum).astype(jnp.int32)  # [B, E] in [0, K]
+        k_cl = jnp.minimum(k_of, K - 1)
+        prev = jnp.where(
+            k_cl > 0, jnp.take_along_axis(cum, jnp.maximum(k_cl - 1, 0), 1), 0
+        )
+        within = j[None, :] - prev
+        src = jnp.take_along_axis(tok_state, k_cl, 1)
+        src_cl = jnp.maximum(src, 0)
+        arc = jnp.minimum(row_ptr[src_cl] + within, frm.shape[0] - 1)
+        valid = (j[None, :] < total) & (src >= 0)
+        ac = acoustic_scale * jnp.take_along_axis(
+            ll_t, jnp.minimum(pdf[arc], P - 1), axis=1
+        )
+        cost = jnp.take_along_axis(tok_cost, k_cl, 1) + w[arc] - ac
+        dest = jnp.where(valid, ns[arc], S)  # sentinel sorts last
+        cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)
+        dest_s, cost_s, arc_s = jax.lax.sort(
+            (dest, cost, arc), dimension=1, num_keys=2
+        )
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool), dest_s[:, 1:] != dest_s[:, :-1]], axis=1
+        )
+        cand = jnp.where(first & (dest_s < S), cost_s, BIG)
+        neg_top, sel = jax.lax.top_k(-cand, K)  # [B, K] ascending cost
+        new_cost = -neg_top
+        new_state = jnp.take_along_axis(dest_s, sel, 1)
+        new_arc = jnp.take_along_axis(arc_s, sel, 1)
+        keep = new_cost <= new_cost[:, :1] + beam
+        new_cost = jnp.where(keep, new_cost, BIG)
+        new_state = jnp.where(keep, new_state, -1)
+        new_arc = jnp.where(keep, new_arc, -1)
+        active = (t < num_frames)[:, None]
+        out_state = jnp.where(active, new_state, tok_state)
+        out_cost = jnp.where(active, new_cost, tok_cost)
+        bp_state = jnp.where(active, new_state, -1)
+        bp_arc = jnp.where(active, new_arc, -1)
+        bp_cost = jnp.where(active, new_cost, BIG)
+        return out_state, out_cost, bp_state, bp_arc, bp_cost
+
+    def step(carry, inputs):
+        tok_state, tok_cost = carry
+        ll_t, t = inputs
+        out_state, out_cost, bp_state, bp_arc, bp_cost = frame_update(
+            tok_state, tok_cost, ll_t, t
+        )
+        return (out_state, out_cost), (bp_state, bp_arc, bp_cost)
+
+    (tok_state, tok_cost), (bp_state, bp_arc, bp_cost) = jax.lax.scan(
+        step, (tok_state0, tok_cost0),
+        (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T)),
+    )
+    return tok_state, tok_cost, bp_state, bp_arc, bp_cost
+
+
+def _token_budget(graph: CsrGraph, K: int) -> int:
+    """Static arc-expansion budget E for the token-sparse decoder: generous
+    multiple of the expected active out-degree, capped at the full arc
+    count, rounded up to a lane-friendly multiple."""
+    A = graph.num_arcs
+    mean_deg = max(1.0, A / max(1, graph.num_states))
+    E = int(min(A, max(4.0 * K * mean_deg, 8.0 * K)))
+    return max(128, (E + 127) // 128 * 128)
+
+
+def decode_batch_tokens(
+    graph: CsrGraph,
+    loglikes: np.ndarray,
+    num_frames: Sequence[int],
+    opts: Optional[ViterbiOptions] = None,
+    want_lattice: bool = False,
+) -> List[Optional[DecodeResult]]:
+    """Token-sparse analog of decode_batch (for graphs too large for the
+    dense kernels; also selectable for testing)."""
+    opts = opts or ViterbiOptions()
+    B, T, P = loglikes.shape
+    K = max(4, min(opts.max_active, graph.num_states))
+    E = _token_budget(graph, K)
+    num_frames = np.asarray(num_frames, np.int32)
+    frm = np.repeat(
+        np.arange(graph.num_states, dtype=np.int32), graph.out_degree()
+    )
+    fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
+    nf_dev = jnp.asarray(num_frames)
+    frm_dev = jnp.asarray(frm)
+    tok_state, tok_cost, bp_state, bp_arc, bp_cost = _decode_scan_tokens(
+        jnp.asarray(graph.row_ptr), frm_dev, jnp.asarray(graph.pdf),
+        jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
+        graph.start, jnp.asarray(loglikes, jnp.float32), nf_dev,
+        float(opts.acoustic_scale), float(opts.beam), K, E,
+        graph.num_states,
+    )
+    tok_state_h = np.asarray(tok_state)
+    tok_cost_h = np.asarray(tok_cost)
+    end_states = np.zeros(B, np.int32)
+    costs = np.zeros(B, np.float64)
+    use_final = np.zeros(B, bool)
+    for b in range(B):
+        sb = tok_state_h[b]
+        cb = np.where(sb >= 0, tok_cost_h[b], BIG)
+        total = cb + fw[np.maximum(sb, 0)]
+        if total.min() >= BIG:
+            total = cb
+        else:
+            use_final[b] = True
+        slot = int(np.argmin(total))
+        costs[b] = float(total[slot])
+        end_states[b] = sb[slot]
+    arcs = np.asarray(
+        _backtrace_scan(bp_state, bp_arc, frm_dev,
+                        jnp.asarray(np.maximum(end_states, 0)), nf_dev)
+    )
+    return results_from_arcs(
+        graph, arcs, end_states, use_final, costs, num_frames,
+        frame_states=np.asarray(bp_state) if want_lattice else None,
+        frame_costs=np.asarray(bp_cost) if want_lattice else None,
+    )
+
+
 @dataclasses.dataclass
 class DecodeResult:
     words: List[int]
@@ -417,12 +575,15 @@ def decode_batch(
     """
     opts = opts or ViterbiOptions()
     B, T, P = loglikes.shape
-    # dense mode (K == S, beam-only pruning) measured 4x faster than the
-    # top-K path even at ~5k states; auto-select it whenever the [T, B, S]
-    # winning-arc tensor fits a memory budget.  max_active then only
-    # matters for graphs too large for dense backpointers (where it is the
-    # reference's search-effort knob).  Lattice generation transfers the
-    # per-frame token sets to the host, so it keeps the top-K bound.
+    # three regimes by graph size (SURVEY.md §7.3 hard-part 1):
+    # 1. dense (K == S, beam-only pruning): 4x faster than top-K even at
+    #    ~5k states; picked whenever the [T, B, S] winning-arc tensor fits.
+    # 2. top-K with dense [B, S] alpha scatter: medium graphs.
+    # 3. token-sparse (decode_batch_tokens): huge graphs where even a
+    #    [B, S] alpha would blow HBM — per-frame work independent of S.
+    if B * graph.num_states * 4 > 2_000_000_000:
+        return decode_batch_tokens(graph, loglikes, num_frames, opts,
+                                   want_lattice)
     dense_ok = (
         not want_lattice
         and T * B * graph.num_states * 4 <= 4_000_000_000

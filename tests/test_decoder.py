@@ -134,6 +134,64 @@ def test_decode_batch_recovers_words():
         ).shape[0]
 
 
+def test_token_sparse_decoder_matches_dense():
+    """decode_batch_tokens (huge-graph path) agrees with the dense kernels
+    on words, alignment and cost; with ample E/K it is exact Viterbi."""
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch_tokens
+
+    lang, topo, cd, tm = _toy_system()
+    g = make_unigram_grammar_fst([["yes"], ["no"], ["yes", "no"]], lang.words)
+    hclg = mkgraph(lang, g, cd, tm)
+    csr = fst_to_csr(hclg, tm.tid_to_pdf_array())
+
+    def phone_ids(words):
+        m = {"yes": ["Y", "EH", "S"], "no": ["N", "OW"]}
+        return [lang.phones[p] for w in words for p in m[w]]
+
+    cases = [["yes"], ["no", "yes"], ["no", "no", "no"]]
+    lls = [_simulate_loglikes(tm, cd, lang, phone_ids(c), frames_per_phone=6,
+                              sep=2.0) for c in cases]
+    T = max(l.shape[0] for l in lls)
+    loglikes = np.full((len(cases), T, cd.num_pdfs), -20.0, np.float32)
+    nf = np.zeros(len(cases), np.int32)
+    for i, l in enumerate(lls):
+        loglikes[i, : l.shape[0]] = l
+        nf[i] = l.shape[0]
+    opts = ViterbiOptions(beam=30.0, max_active=200, acoustic_scale=1.0)
+    dense = decode_batch(csr, loglikes, nf, opts)
+    sparse = decode_batch_tokens(csr, loglikes, nf, opts)
+    for d, s in zip(dense, sparse):
+        assert d is not None and s is not None
+        assert s.words == d.words
+        assert np.array_equal(s.alignment, d.alignment)
+        assert s.cost == pytest.approx(d.cost, abs=1e-3)
+    # lattice token sets: the sparse path's best path must survive in its
+    # frame token sets, and generated lattices carry the same best path
+    from old_kaldi_git_tpu.lat.lattice import lattice_best_path, lattice_from_decode
+
+    sparse_lat = decode_batch_tokens(csr, loglikes, nf, opts,
+                                     want_lattice=True)
+    for i, res in enumerate(sparse_lat):
+        lat = lattice_from_decode(
+            csr, loglikes[i, : nf[i]], res.frame_states, res.frame_costs,
+            1.0, lattice_beam=20.0,
+        )
+        assert lat is not None
+        words, _tids, cost = lattice_best_path(lat, 1.0, 1.0)
+        assert words == res.words
+        assert cost == pytest.approx(res.cost, abs=0.1)
+    # tight expansion budget degrades gracefully (drops worst tokens' arcs)
+    import old_kaldi_git_tpu.decoder.viterbi as vit
+
+    orig = vit._token_budget
+    vit._token_budget = lambda g, K: 128
+    try:
+        tight = decode_batch_tokens(csr, loglikes, nf, opts)
+    finally:
+        vit._token_budget = orig
+    assert [t.words for t in tight] == [d.words for d in dense]
+
+
 def test_decode_respects_graph_prior():
     """With uninformative acoustics the decoder must follow graph costs."""
     lang, topo, cd, tm = _toy_system()
