@@ -167,15 +167,6 @@ def align_batch(
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("K", "S"))
-def _decode_scan_from(frm, pdf, w, ns, alpha0, loglikes, num_frames,
-                      acoustic_scale, beam, K, S):
-    """Like _decode_scan but starting from a given alpha [B, S] — the
-    streaming decoder's carried beam state (reference AdvanceDecoding)."""
-    return _decode_scan_impl(frm, pdf, w, ns, alpha0, loglikes, num_frames,
-                             acoustic_scale, beam, K, S)
-
-
-@partial(jax.jit, static_argnames=("K", "S"))
 def _decode_scan(frm, pdf, w, ns, start, loglikes, num_frames,
                  acoustic_scale, beam, K, S):
     """Dense frame-synchronous beam search: alpha [B, S] over ALL graph

@@ -25,13 +25,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from old_kaldi_git_tpu.decoder.csr import CsrGraph
 from old_kaldi_git_tpu.decoder.viterbi import (
     BIG,
     ViterbiOptions,
     _backtrace_scan,
-    _decode_scan_from,
+    _decode_scan_impl,
 )
+
+
+@partial(jax.jit, static_argnames=("K", "S", "Tc"), donate_argnums=(5, 6))
+def _chunk_update(frm, pdf, w, ns, alpha, bps_buf, bpa_buf, ll, t0, nvalid,
+                  acoustic_scale, beam, K, S, Tc):
+    """One streaming chunk, fully on-device: advance the dense beam state
+    and append the chunk's [Tc, 1, K] backpointers into the preallocated
+    device buffers (donated → updated in place).  Nothing but the [1, K]
+    token set ever crosses the device link per chunk; the full backtrace
+    stays on device until results are requested (the offline fused path's
+    'backpointers never leave the device' rule applied to streaming)."""
+    tok_state, tok_cost, bp_s, bp_a, _bp_c, alpha2 = _decode_scan_impl(
+        frm, pdf, w, ns, alpha, ll, nvalid, acoustic_scale, beam, K, S
+    )
+    bps_buf = jax.lax.dynamic_update_slice(bps_buf, bp_s, (t0, 0, 0))
+    bpa_buf = jax.lax.dynamic_update_slice(bpa_buf, bp_a, (t0, 0, 0))
+    return alpha2, tok_state, tok_cost, bps_buf, bpa_buf
 from old_kaldi_git_tpu.feat.compute import Mfcc, MfccOptions
 from old_kaldi_git_tpu.feat.functions import DeltaFeaturesOptions, compute_deltas
 from old_kaldi_git_tpu.feat.window import num_frames as count_frames
@@ -168,6 +187,8 @@ class StreamingDecoder:
         am_left_context: int = 0,
         am_right_context: int = 0,
         endpoint_rules: Optional[List[EndpointRule]] = None,
+        max_frames: int = 6000,
+        chunk_quantum: int = 32,
     ):
         self.graph = graph
         self.am = am_loglikes_fn  # [1, T, D] feats → [1, T, P] loglikes
@@ -180,6 +201,8 @@ class StreamingDecoder:
         self.rules = endpoint_rules or default_endpoint_rules()
 
         self.K = max(4, min(self.opts.max_active, graph.num_states))
+        self.max_frames = max_frames
+        self.chunk_quantum = chunk_quantum
         self._frm = jnp.asarray(
             np.repeat(np.arange(graph.num_states, dtype=np.int32), graph.out_degree())
         )
@@ -196,12 +219,17 @@ class StreamingDecoder:
         )
         self._feat_buf = np.zeros((0, 0), np.float32)
         self._frames_decoded = 0
-        self._bp_state: List[np.ndarray] = []
-        self._bp_arc: List[np.ndarray] = []
+        # device-resident backpointer buffers: appended to in place inside
+        # the jitted chunk update, read only by the on-device backtrace
+        self._bps_buf = jnp.full((self.max_frames, 1, self.K), -1, jnp.int32)
+        self._bpa_buf = jnp.full((self.max_frames, 1, self.K), -1, jnp.int32)
+        self._last_tokens = None
 
     def advance(self, new_feats: np.ndarray) -> None:
         """Feed newly finalized feature frames; decodes them chunk-wise with
-        AM receptive-field context re-evaluated at chunk edges."""
+        AM receptive-field context re-evaluated at chunk edges.  Chunks are
+        padded up to a multiple of chunk_quantum so the jitted chunk program
+        compiles once; only the [1, K] token set crosses the device link."""
         if new_feats.size == 0:
             return
         if self._feat_buf.size == 0:
@@ -212,26 +240,37 @@ class StreamingDecoder:
         n_new = total - self._frames_decoded
         if n_new <= 0:
             return
+        if total > self.max_frames:
+            raise ValueError(
+                f"stream exceeds max_frames={self.max_frames}; raise it or "
+                "endpoint/reset the utterance"
+            )
         lo = max(0, self._frames_decoded - self.lctx)
         ctx_feats = self._feat_buf[lo:total]
         ll = np.asarray(self.am(jnp.asarray(ctx_feats[None])))[0]
         ll_new = ll[self._frames_decoded - lo :]
         T = ll_new.shape[0]
-        tok_state, tok_cost, bp_s, bp_a, bp_c, alpha = _decode_scan_from(
-            self._frm, self._pdf, self._w, self._ns, self.alpha,
-            jnp.asarray(ll_new[None]), jnp.asarray([T], jnp.int32),
-            float(self.opts.acoustic_scale), float(self.opts.beam),
-            self.K, self.graph.num_states,
+        q = self.chunk_quantum
+        Tc = (T + q - 1) // q * q
+        ll_pad = np.zeros((1, Tc, ll_new.shape[1]), np.float32)
+        ll_pad[0, :T] = ll_new
+        alpha, tok_state, tok_cost, self._bps_buf, self._bpa_buf = (
+            _chunk_update(
+                self._frm, self._pdf, self._w, self._ns, self.alpha,
+                self._bps_buf, self._bpa_buf, jnp.asarray(ll_pad),
+                self._frames_decoded, jnp.asarray([T], jnp.int32),
+                float(self.opts.acoustic_scale), float(self.opts.beam),
+                self.K, self.graph.num_states, Tc,
+            )
         )
         self.alpha = alpha
         self._last_tokens = (np.asarray(tok_state)[0], np.asarray(tok_cost)[0])
-        self._bp_state.append(np.asarray(bp_s)[:, 0])
-        self._bp_arc.append(np.asarray(bp_a)[:, 0])
         self._frames_decoded = total
 
     # -- results ---------------------------------------------------------------
     def _backtrace(self) -> Tuple[List[int], List[int]]:
-        """(words, tids) of the current best path."""
+        """(words, tids) of the current best path (backtrace on device;
+        transfers [max_frames] arc ids)."""
         if self._frames_decoded == 0:
             return [], []
         tok_state, tok_cost = self._last_tokens
@@ -240,15 +279,13 @@ class StreamingDecoder:
             total = tok_cost
         slot = int(np.argmin(total))
         state = int(tok_state[slot])
-        bp_state = np.concatenate(self._bp_state)[:, None, :]
-        bp_arc = np.concatenate(self._bp_arc)[:, None, :]
         arcs = np.asarray(
             _backtrace_scan(
-                jnp.asarray(bp_state), jnp.asarray(bp_arc), self._frm,
+                self._bps_buf, self._bpa_buf, self._frm,
                 jnp.asarray([state], np.int32),
                 jnp.asarray([self._frames_decoded], np.int32),
             )
-        )[:, 0]
+        )[: self._frames_decoded, 0]
         if (arcs < 0).any():
             return [], []
         words: List[int] = []
