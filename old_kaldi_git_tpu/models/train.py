@@ -98,6 +98,17 @@ def make_optimizer(opts: NnetTrainOptions, num_steps: int):
             if opts.momentum > 0
             else optax.identity()
         )
+    elif opts.optimizer == "ng-sgd":
+        # reference NnetTrainer default: NG preconditioning + momentum
+        from old_kaldi_git_tpu.models.natural_gradient import (
+            scale_by_natural_gradient,
+        )
+
+        core = optax.chain(
+            scale_by_natural_gradient(),
+            optax.trace(decay=opts.momentum) if opts.momentum > 0
+            else optax.identity(),
+        )
     else:
         raise ValueError(f"unknown optimizer {opts.optimizer}")
     return optax.chain(

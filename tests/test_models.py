@@ -385,3 +385,91 @@ def test_chunked_loglikes_equal_whole():
     chunked = np.asarray(am.loglikes_batch_chunked(jnp.asarray(x), chunk=40))
     assert chunked.shape == whole.shape
     np.testing.assert_allclose(chunked, whole, atol=2e-4)
+
+
+def test_natural_gradient_preconditioner():
+    """NG-SGD transform: decorrelates ill-conditioned gradients (faster
+    convergence than plain SGD at the same lr) while preserving update
+    norm (the reference's gamma renormalization)."""
+    import jax
+    import optax
+
+    from old_kaldi_git_tpu.models.natural_gradient import (
+        scale_by_natural_gradient,
+    )
+
+    # stochastic least squares with badly scaled inputs: the Fisher factor
+    # F_in ≈ E[x xᵀ] = diag(scales²); preconditioning by its inverse
+    # equalizes the per-dimension convergence rates (the NG-SGD claim)
+    rng = np.random.default_rng(0)
+    din, dout, B = 16, 64, 32
+    scales = np.logspace(0, 1.0, din).astype(np.float32)
+    Wstar = rng.standard_normal((din, dout)).astype(np.float32)
+    batches = []
+    for _ in range(150):
+        x = (rng.standard_normal((B, din)) * scales).astype(np.float32)
+        y = x @ Wstar + 0.1 * rng.standard_normal((B, dout)).astype(np.float32)
+        batches.append((jnp.asarray(x), jnp.asarray(y)))
+
+    def run(tx, lr=5e-3):
+        opt = optax.chain(tx, optax.scale(-lr))
+        W = jnp.zeros((din, dout), jnp.float32)
+        st = opt.init(W)
+
+        @jax.jit
+        def step(W, st, x, y):
+            g = jax.grad(
+                lambda W: 0.5 * jnp.mean(jnp.square(x @ W - y))
+            )(W)
+            up, st2 = opt.update(g, st, W)
+            return W + up, st2
+
+        for x, y in batches:
+            W, st = step(W, st, x, y)
+        return float(jnp.mean(jnp.square(W - jnp.asarray(Wstar))))
+
+    plain = run(optax.identity())
+    ng = run(scale_by_natural_gradient(alpha=0.25, update_period=1))
+    # gradient-estimated factors give a consistent (if milder than the
+    # activation-based reference) decorrelation win at equal lr
+    assert ng < plain * 0.85, (plain, ng)
+    # norm preservation: a single preconditioned update has the gradient's
+    # Frobenius norm (biases pass through untouched)
+    tx = scale_by_natural_gradient()
+    params = {"kernel": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32),
+              "bias": jnp.ones((3,), jnp.float32)}
+    st = tx.init(params)
+    g = {"kernel": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32),
+         "bias": jnp.full((3,), 2.0, jnp.float32)}
+    up, _ = tx.update(g, st)
+    assert float(jnp.linalg.norm(up["kernel"])) == pytest.approx(
+        float(jnp.linalg.norm(g["kernel"])), rel=1e-4)
+    assert np.allclose(up["bias"], g["bias"])
+
+
+def test_ng_sgd_trains_tdnn():
+    """optimizer='ng-sgd' end-to-end in the CE trainer (loss decreases)."""
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.tdnn import make_tdnn
+    from old_kaldi_git_tpu.models.train import NnetTrainOptions, train_ce
+
+    rng = np.random.default_rng(0)
+    D, P = 8, 5
+    feats, labels = {}, {}
+    centers = rng.standard_normal((P, D)) * 3
+    for i in range(20):
+        lab = rng.integers(0, P, 40)
+        feats[f"u{i}"] = (centers[lab] +
+                          rng.standard_normal((40, D))).astype(np.float32)
+        labels[f"u{i}"] = lab.astype(np.int32)
+    am = AmNnet.init(make_tdnn(D, P, 16, 1))
+    opts = NnetTrainOptions(num_epochs=10, minibatch_size=8, chunk_width=40,
+                            optimizer="ng-sgd", initial_lr=0.1,
+                            final_lr=0.03)
+    out = train_ce(am, feats, labels, opts)
+    import jax
+
+    logits = out.logits(jnp.asarray(feats["u0"][None]))
+    acc = float((jnp.argmax(logits[0], -1) ==
+                 jnp.asarray(labels["u0"])).mean())
+    assert acc > 0.5, acc
