@@ -902,3 +902,103 @@ def nnet3_adjust_priors_tool(argv: List[str]) -> int:
     am.set_priors_from_posteriors(bf, nf)
     am.save(args[2])
     return 0
+
+
+@tool("online2-wav-nnet3-latgen-faster")
+def online2_wav_nnet3_latgen_tool(argv: List[str]) -> int:
+    """Simulated-real-time streaming decode with an nnet3 AM
+    (reference online2bin/online2-wav-nnet3-latgen-faster.cc): chunked
+    audio → streaming features → chunked AM evaluation with receptive-field
+    context → carried-beam decoding with endpointing; prints RTF."""
+    import time as _time
+
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions
+    from old_kaldi_git_tpu.feat.compute import MfccOptions
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+    from old_kaldi_git_tpu.models.am_nnet import AmNnetModel
+    from old_kaldi_git_tpu.online.streaming import (
+        OnlineFeaturePipeline,
+        StreamingDecoder,
+    )
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    jnp = _jnp()
+    po = ParseOptions(
+        "online2-wav-nnet3-latgen-faster [options] <am-nnet-model> "
+        "<hclg-fst> <wav-rspecifier> <words-wspecifier>"
+    )
+
+    class Opts:
+        beam = 16.0
+        max_active = 7000
+        acoustic_scale = 1.0
+        chunk_seconds = 0.5
+        word_symbol_table = ""
+        samp_freq = 16000.0
+        silence_phone_id = 1
+
+    o = Opts()
+    for name, attr in (("beam", "beam"), ("max-active", "max_active"),
+                       ("acoustic-scale", "acoustic_scale"),
+                       ("chunk-seconds", "chunk_seconds"),
+                       ("word-symbol-table", "word_symbol_table"),
+                       ("samp-freq", "samp_freq"),
+                       ("silence-phone-id", "silence_phone_id")):
+        po.register(name, o, attr)
+    args = po.parse(argv)
+    if len(args) != 4:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    bundle = AmNnetModel.load(args[0])
+    with open(args[1], "rb") as f:
+        hclg = VectorFst.read(f)
+    csr = fst_to_csr(hclg, bundle.tm.tid_to_pdf_array())
+    words_tab = (
+        SymbolTable.read(o.word_symbol_table) if o.word_symbol_table else None
+    )
+    mfcc_opts = MfccOptions()
+    mfcc_opts.frame_opts.samp_freq = o.samp_freq
+    mfcc_opts.frame_opts.dither = 0.0
+
+    def am_fn(feats):
+        return bundle.am.loglikes_batch(jnp.asarray(feats))
+
+    vopts = ViterbiOptions(beam=o.beam, max_active=o.max_active,
+                           acoustic_scale=o.acoustic_scale)
+    chunk = int(o.chunk_seconds * o.samp_freq)
+    tot_audio = tot_wall = 0.0
+    with TableWriter(args[3], "text") as w:
+        for key, wave in SequentialTableReader(args[2], "wav"):
+            pipe = OnlineFeaturePipeline(mfcc_opts)
+            dec = StreamingDecoder(
+                csr, am_fn, silence_phones=[o.silence_phone_id],
+                tid_to_phone=bundle.tm.tid_to_phone_array(), opts=vopts,
+                am_left_context=bundle.am.config.left_context,
+                am_right_context=bundle.am.config.right_context,
+            )
+            samples = wave.data[0]
+            t0 = _time.perf_counter()
+            for lo in range(0, len(samples), chunk):
+                feats = pipe.accept_waveform(samples[lo: lo + chunk])
+                dec.advance(feats)
+                if dec.endpoint_detected():
+                    log.info("%s: endpoint detected", key)
+                    break
+            else:
+                dec.advance(pipe.input_finished(), final=True)
+            wall = _time.perf_counter() - t0
+            hyp = dec.best_words()
+            text = " ".join(
+                words_tab[x] if words_tab else str(x) for x in hyp
+            )
+            w[key] = text
+            dur = len(samples) / o.samp_freq
+            tot_audio += dur
+            tot_wall += wall
+            print(f"{key} ({dur:.2f}s, RTF {wall / max(dur, 1e-9):.3f}): {text}")
+    if tot_audio:
+        print(f"overall RTF {tot_wall / tot_audio:.3f} "
+              f"({tot_audio:.1f}s audio in {tot_wall:.1f}s)")
+    return 0

@@ -1386,7 +1386,7 @@ def online_wav_gmm_latgen_tool(argv: List[str]) -> int:
                 if dec.endpoint_detected():
                     log.info("%s: endpoint detected", key)
                     break
-            dec.advance(pipe.input_finished())
+            dec.advance(pipe.input_finished(), final=True)
             wall = _time.perf_counter() - t0
             hyp = dec.best_words()
             text = " ".join(

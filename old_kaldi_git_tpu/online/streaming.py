@@ -225,18 +225,24 @@ class StreamingDecoder:
         self._bpa_buf = jnp.full((self.max_frames, 1, self.K), -1, jnp.int32)
         self._last_tokens = None
 
-    def advance(self, new_feats: np.ndarray) -> None:
+    def advance(self, new_feats: np.ndarray, final: bool = False) -> None:
         """Feed newly finalized feature frames; decodes them chunk-wise with
         AM receptive-field context re-evaluated at chunk edges.  Chunks are
         padded up to a multiple of chunk_quantum so the jitted chunk program
-        compiles once; only the [1, K] token set crosses the device link."""
-        if new_feats.size == 0:
-            return
-        if self._feat_buf.size == 0:
-            self._feat_buf = new_feats.copy()
-        else:
-            self._feat_buf = np.concatenate([self._feat_buf, new_feats])
-        total = len(self._feat_buf)
+        compiles once; only the [1, K] token set crosses the device link.
+
+        The last `am_right_context` frames are HELD BACK until more audio
+        (or final=True) arrives, so every decoded frame's loglikes were
+        computed with full right context — the reference's online decodable
+        does the same by reporting fewer NumFramesReady than feature frames.
+        """
+        if new_feats.size != 0:
+            if self._feat_buf.size == 0:
+                self._feat_buf = new_feats.copy()
+            else:
+                self._feat_buf = np.concatenate([self._feat_buf, new_feats])
+        avail = len(self._feat_buf) if self._feat_buf.size else 0
+        total = avail if final else max(self._frames_decoded, avail - self.rctx)
         n_new = total - self._frames_decoded
         if n_new <= 0:
             return
@@ -245,10 +251,11 @@ class StreamingDecoder:
                 f"stream exceeds max_frames={self.max_frames}; raise it or "
                 "endpoint/reset the utterance"
             )
+        # AM context window covers held-back future frames too (right ctx)
         lo = max(0, self._frames_decoded - self.lctx)
-        ctx_feats = self._feat_buf[lo:total]
+        ctx_feats = self._feat_buf[lo:avail]
         ll = np.asarray(self.am(jnp.asarray(ctx_feats[None])))[0]
-        ll_new = ll[self._frames_decoded - lo :]
+        ll_new = ll[self._frames_decoded - lo :][:n_new]
         T = ll_new.shape[0]
         q = self.chunk_quantum
         Tc = (T + q - 1) // q * q

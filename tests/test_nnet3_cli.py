@@ -173,3 +173,65 @@ def test_nnet3_chain_cli_pipeline(system):
     obj1 = float(re.search(r"objective per frame: (\S+)", r1.stdout)[1])
     assert np.isfinite(obj0) and np.isfinite(obj1)
     assert obj1 > obj0 + 0.1, (obj0, obj1)  # LF-MMI objective improved
+
+
+def test_online2_wav_nnet3_latgen(tmp_path):
+    """Streaming nnet3 decode CLI: online features → chunked TDNN eval with
+    context re-computation → carried beam + endpointing."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.feat.compute import MfccOptions
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.models.am_nnet import AmNnetModel
+    from old_kaldi_git_tpu.online.streaming import OnlineFeaturePipeline
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.nnet3 import train_tdnn
+    from old_kaldi_git_tpu.recipes.yesno import SAMP_FREQ, make_corpus, make_lang
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+    from old_kaldi_git_tpu.utils.table import read_table
+    from old_kaldi_git_tpu.utils.wav import write_wav
+
+    tw, tt, sw, st = make_corpus(24, 3)
+    mo = MfccOptions()
+    mo.frame_opts.samp_freq = SAMP_FREQ
+    mo.frame_opts.dither = 0.0
+    tf = {}
+    for k, wav in tw.items():
+        pipe = OnlineFeaturePipeline(mo)
+        parts = [pipe.accept_waveform(wav), pipe.input_finished()]
+        tf[k] = np.concatenate([p for p in parts if p.size])
+    lang = make_lang()
+    model, alis = train_mono(tf, tt, lang,
+                             MonoTrainOptions(num_iters=8, totgauss=60))
+    from old_kaldi_git_tpu.models.train import NnetTrainOptions
+
+    am = train_tdnn(model, tf, alis, hidden_dim=48, num_layers=2,
+                    opts=NnetTrainOptions(num_epochs=60, minibatch_size=8,
+                                          chunk_width=64))
+    AmNnetModel(am, model.tm).save(str(tmp_path / "am.mdl"))
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    phones = lang.real_phone_ids
+    topo = model.tm.topo
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones}
+    )
+    with open(tmp_path / "HCLG.fst", "wb") as f:
+        mkgraph(lang, g, cd, model.tm).write(f)
+    lang.words.write(str(tmp_path / "words.txt"))
+    for k, wav in sw.items():
+        write_wav(str(tmp_path / f"{k}.wav"), wav, SAMP_FREQ)
+    (tmp_path / "wav.scp").write_text(
+        "".join(f"{k} {tmp_path}/{k}.wav\n" for k in sw)
+    )
+    out = run(["online2-wav-nnet3-latgen-faster", "--beam=20",
+               "--acoustic-scale=1.0", f"--samp-freq={SAMP_FREQ}",
+               f"--silence-phone-id={lang.silence_id}",
+               "--word-symbol-table=words.txt", "am.mdl", "HCLG.fst",
+               "scp:wav.scp", "ark:hyp.ark"], tmp_path)
+    assert "overall RTF" in out.stdout
+    hyps = read_table(f"ark:{tmp_path}/hyp.ark", "text")
+    errs = sum(hyps[k].split() != list(st[k]) for k in st)
+    assert errs == 0, (hyps, st)
