@@ -1620,3 +1620,4 @@ from old_kaldi_git_tpu.bin import train_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import spkid_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import lat_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import nnet3_tools  # noqa: E402,F401  (isort:skip)
+from old_kaldi_git_tpu.bin import util_tools  # noqa: E402,F401  (isort:skip)

@@ -1,0 +1,240 @@
+"""Data-dir / info utility tools (the reference's utils/*.pl + *-info rows).
+
+utt2spk-to-spk2utt, spk2utt-to-utt2spk (utils/utt2spk_to_spk2utt.pl and
+inverse), validate-data-dir (utils/validate_data_dir.sh), split-data
+(utils/split_data.sh), tree-info, am-info, wav-copy, est-pca.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List
+
+import numpy as np
+
+from old_kaldi_git_tpu.bin.tools import tool
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
+from old_kaldi_git_tpu.utils.parse_options import ParseOptions
+
+log = get_logger("util_tools")
+
+
+@tool("utt2spk-to-spk2utt")
+def utt2spk_to_spk2utt_tool(argv: List[str]) -> int:
+    po = ParseOptions("utt2spk-to-spk2utt <utt2spk-file|-> [<spk2utt-file|->]")
+    args = po.parse(argv)
+    if len(args) not in (1, 2):
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    fin = sys.stdin if args[0] == "-" else open(args[0])
+    spk2utt: dict = {}
+    for ln in fin:
+        parts = ln.split()
+        if len(parts) != 2:
+            continue
+        spk2utt.setdefault(parts[1], []).append(parts[0])
+    if fin is not sys.stdin:
+        fin.close()
+    out = sys.stdout if len(args) == 1 or args[1] == "-" else open(args[1], "w")
+    for spk in sorted(spk2utt):
+        out.write(f"{spk} {' '.join(sorted(spk2utt[spk]))}\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+@tool("spk2utt-to-utt2spk")
+def spk2utt_to_utt2spk_tool(argv: List[str]) -> int:
+    po = ParseOptions("spk2utt-to-utt2spk <spk2utt-file|-> [<utt2spk-file|->]")
+    args = po.parse(argv)
+    if len(args) not in (1, 2):
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    fin = sys.stdin if args[0] == "-" else open(args[0])
+    pairs = []
+    for ln in fin:
+        parts = ln.split()
+        for u in parts[1:]:
+            pairs.append((u, parts[0]))
+    if fin is not sys.stdin:
+        fin.close()
+    out = sys.stdout if len(args) == 1 or args[1] == "-" else open(args[1], "w")
+    for u, s in sorted(pairs):
+        out.write(f"{u} {s}\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+@tool("validate-data-dir")
+def validate_data_dir_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.utils.data_dir import DataDir
+
+    po = ParseOptions("validate-data-dir <data-dir>")
+    args = po.parse(argv)
+    if len(args) != 1:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    try:
+        d = DataDir(args[0])
+        d.validate()
+    except KaldiError as e:
+        print(f"validate-data-dir: FAILED: {e}", file=sys.stderr)
+        return 1
+    print(f"validate-data-dir: OK ({len(d.utts)} utterances)")
+    return 0
+
+
+@tool("split-data")
+def split_data_tool(argv: List[str]) -> int:
+    """Shard a data dir into <data>/split<N>/{1..N}/ keeping speakers
+    together (reference utils/split_data.sh)."""
+    from old_kaldi_git_tpu.utils.data_dir import DataDir
+
+    po = ParseOptions("split-data <data-dir> <num-splits>")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    d = DataDir(args[0])
+    n = int(args[1])
+    shards = d.split(n)
+    maps = ("wav.scp", "text", "utt2spk", "feats.scp", "segments",
+            "utt2dur", "cmvn.scp")
+    for i, utts in enumerate(shards, start=1):
+        sub = os.path.join(args[0], f"split{n}", str(i))
+        os.makedirs(sub, exist_ok=True)
+        keep = set(utts)
+        for name in maps:
+            src = os.path.join(args[0], name)
+            if not os.path.exists(src):
+                continue
+            with open(src) as f, open(os.path.join(sub, name), "w") as g:
+                for ln in f:
+                    parts = ln.split(None, 1)
+                    if parts and parts[0] in keep:
+                        g.write(ln)
+        # spk2utt regenerated from the shard's utt2spk
+        u2s = os.path.join(sub, "utt2spk")
+        if os.path.exists(u2s):
+            spk2utt: dict = {}
+            with open(u2s) as f:
+                for ln in f:
+                    p = ln.split()
+                    if len(p) == 2:
+                        spk2utt.setdefault(p[1], []).append(p[0])
+            with open(os.path.join(sub, "spk2utt"), "w") as g:
+                for spk in sorted(spk2utt):
+                    g.write(f"{spk} {' '.join(sorted(spk2utt[spk]))}\n")
+    log.info("split %d utterances into %d shards", len(d.utts), n)
+    return 0
+
+
+@tool("tree-info")
+def tree_info_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.tree.context_dep import ContextDependency
+
+    po = ParseOptions("tree-info <tree-file>")
+    args = po.parse(argv)
+    if len(args) != 1:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with open(args[0], "rb") as f:
+        cd = ContextDependency.read(f)
+    print(f"num-pdfs {cd.num_pdfs}")
+    print(f"context-width {cd.N}")
+    print(f"central-position {cd.P}")
+    return 0
+
+
+@tool("am-info")
+def am_info_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+
+    po = ParseOptions("am-info <gmm-model>")
+    args = po.parse(argv)
+    if len(args) != 1:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    m = AmGmmModel.load(args[0])
+    print(f"number of phones {len(m.tm.topo.phones)}")
+    print(f"number of pdfs {m.am.num_pdfs}")
+    print(f"number of transition-ids {m.tm.num_tids}")
+    print(f"feature dimension {m.am.dim}")
+    print(f"number of gaussians {m.am.num_gauss}")
+    return 0
+
+
+@tool("wav-copy")
+def wav_copy_tool(argv: List[str]) -> int:
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions("wav-copy <wav-rspecifier> <wav-wspecifier>")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    n = 0
+    with TableWriter(args[1], "wav") as w:
+        for key, wave in SequentialTableReader(args[0], "wav"):
+            w[key] = wave
+            n += 1
+    log.info("copied %d waves", n)
+    return 0
+
+
+@tool("est-pca")
+def est_pca_tool(argv: List[str]) -> int:
+    """PCA transform from features (reference bin/est-pca.cc; used for
+    i-vector whitening and dimension reduction)."""
+    from old_kaldi_git_tpu.utils.io_funcs import BINARY_HEADER, write_matrix
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions("est-pca [options] <feats-rspecifier> <pca-matrix-out>")
+
+    class Opts:
+        dim = 0  # 0 = keep all
+        normalize_variance = False
+        normalize_mean = True
+
+    o = Opts()
+    po.register("dim", o, "dim")
+    po.register("normalize-variance", o, "normalize_variance")
+    po.register("normalize-mean", o, "normalize_mean")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    n = 0
+    s1 = s2 = None
+    for _k, f in SequentialTableReader(args[0], "mat"):
+        f = np.asarray(f, np.float64)
+        if s1 is None:
+            s1 = f.sum(0)
+            s2 = f.T @ f
+        else:
+            s1 += f.sum(0)
+            s2 += f.T @ f
+        n += f.shape[0]
+    if not n:
+        log.error("no features")
+        return 1
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    dim = o.dim if o.dim > 0 else len(evals)
+    T = evecs[:, :dim].T  # [dim, D]
+    if o.normalize_variance:
+        T = T / np.sqrt(np.maximum(evals[:dim], 1e-10))[:, None]
+    if o.normalize_mean:
+        # affine: append -T @ mean as the last column (Kaldi convention)
+        T = np.concatenate([T, (-T @ mean)[:, None]], axis=1)
+    with open(args[1], "wb") as fo:
+        fo.write(BINARY_HEADER)
+        write_matrix(fo, T.astype(np.float32))
+    log.info("PCA: %d frames, kept %d of %d dims (top eval %.3g)",
+             n, dim, len(evals), float(evals[0]))
+    return 0

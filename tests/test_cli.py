@@ -479,3 +479,64 @@ def test_fst_cli_tools(tmp_path):
         tmp_path)
     out = run(["fstinfo", "proj.fst"], tmp_path)
     assert "# of states" in out.stdout
+
+
+def test_util_tool_batch(tmp_path):
+    """data-dir utilities + info tools + est-pca."""
+    # utt2spk <-> spk2utt round trip
+    (tmp_path / "utt2spk").write_text("u1 spkA\nu2 spkA\nu3 spkB\n")
+    run(["utt2spk-to-spk2utt", "utt2spk", "spk2utt"], tmp_path)
+    assert (tmp_path / "spk2utt").read_text() == "spkA u1 u2\nspkB u3\n"
+    run(["spk2utt-to-utt2spk", "spk2utt", "utt2spk2"], tmp_path)
+    assert (tmp_path / "utt2spk2").read_text() == (tmp_path / "utt2spk").read_text()
+
+    # data dir: create, validate, split
+    from old_kaldi_git_tpu.utils.wav import write_wav
+
+    ddir = tmp_path / "data"
+    ddir.mkdir()
+    for i in range(6):
+        write_wav(str(tmp_path / f"u{i}.wav"), np.zeros(1600, np.float32),
+                  16000.0)
+    (ddir / "wav.scp").write_text(
+        "".join(f"u{i} {tmp_path}/u{i}.wav\n" for i in range(6)))
+    (ddir / "text").write_text("".join(f"u{i} yes no\n" for i in range(6)))
+    (ddir / "utt2spk").write_text(
+        "".join(f"u{i} spk{i % 3}\n" for i in range(6)))
+    out = run(["validate-data-dir", "data"], tmp_path)
+    assert "OK (6 utterances)" in out.stdout
+    run(["split-data", "data", "2"], tmp_path)
+    seen = []
+    for i in (1, 2):
+        sub = ddir / "split2" / str(i)
+        assert (sub / "wav.scp").exists() and (sub / "spk2utt").exists()
+        seen += [ln.split()[0] for ln in (sub / "text").read_text().splitlines()]
+    assert sorted(seen) == [f"u{i}" for i in range(6)]
+
+    # est-pca decorrelates correlated features
+    from old_kaldi_git_tpu.utils.table import TableWriter
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((500, 2)).astype(np.float32)
+    corr = np.concatenate([base, base @ np.array([[1, .5], [.5, 1]],
+                                                 np.float32)], axis=1)
+    with TableWriter(f"ark:{tmp_path}/pca_feats.ark", "mat") as w:
+        w["a"] = corr
+    run(["est-pca", "--dim=2", "--normalize-variance=true",
+         "ark:pca_feats.ark", "pca.mat"], tmp_path)
+    from old_kaldi_git_tpu.utils.io_funcs import (
+        init_kaldi_input_stream,
+        read_matrix,
+    )
+
+    with open(tmp_path / "pca.mat", "rb") as f:
+        assert init_kaldi_input_stream(f)
+        T = read_matrix(f)
+    assert T.shape == (2, 5)  # affine column appended
+    proj = corr @ T[:, :4].T + T[:, 4]
+    cov = np.cov(proj.T)
+    assert np.allclose(cov, np.eye(2), atol=0.15), cov
+
+    # wav-copy round trip
+    (tmp_path / "wav.scp").write_text(f"u0 {tmp_path}/u0.wav\n")
+    run(["wav-copy", "scp:wav.scp", "ark:w2.ark"], tmp_path)

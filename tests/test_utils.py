@@ -278,3 +278,34 @@ def test_pipeline_stages(tmp_path):
     ran.clear()
     build(stage=30).run()
     assert ran == [30]
+
+
+def test_profiling_utilities():
+    """time_jitted / profile accumulator / roofline (SURVEY §5 tracing)."""
+    import jax.numpy as jnp
+
+    from old_kaldi_git_tpu.utils.profiling import (
+        print_profile,
+        profile,
+        roofline,
+        time_jitted,
+    )
+
+    import jax
+
+    f = jax.jit(lambda x: x @ x)
+    x = jnp.ones((64, 64))
+    t = time_jitted(f, x, iters=2)
+    assert 0 < t < 10
+    with profile("unit-test-section"):
+        pass
+    out = print_profile(reset=True)
+    assert "unit-test-section" in out
+    # 2*N^3 flops matmul at N=1024: compute-bound on the MXU roofline
+    r = roofline(flops=2 * 1024**3, bytes_moved=3 * 4 * 1024**2,
+                 seconds=1e-3)
+    assert r["bound"] == "compute" and r["achieved_tflops"] > 0
+    # streaming-style op: memory-bound
+    r2 = roofline(flops=1024, bytes_moved=1 << 30, seconds=1e-2)
+    assert r2["bound"] == "memory"
+    assert 0 < r2["frac_of_peak"] < 1
