@@ -301,8 +301,8 @@ def test_profiling_utilities():
         pass
     out = print_profile(reset=True)
     assert "unit-test-section" in out
-    # 2*N^3 flops matmul at N=1024: compute-bound on the MXU roofline
-    r = roofline(flops=2 * 1024**3, bytes_moved=3 * 4 * 1024**2,
+    # 2*N^3 flops matmul at N=4096 (AI ≈ 687 flops/byte): compute-bound
+    r = roofline(flops=2 * 4096**3, bytes_moved=3 * 4 * 4096**2,
                  seconds=1e-3)
     assert r["bound"] == "compute" and r["achieved_tflops"] > 0
     # streaming-style op: memory-bound
