@@ -962,32 +962,35 @@ def online2_wav_nnet3_latgen_tool(argv: List[str]) -> int:
     mfcc_opts.frame_opts.samp_freq = o.samp_freq
     mfcc_opts.frame_opts.dither = 0.0
 
-    def am_fn(feats):
-        return bundle.am.loglikes_batch(jnp.asarray(feats))
+    # looped evaluation: the AM runs as a streaming stack with carried
+    # recurrent state / per-layer context buffers (models/streaming_am.py),
+    # so the decoder consumes finalized loglike frames directly
+    from old_kaldi_git_tpu.models.streaming_am import StreamingAmNnet
 
     vopts = ViterbiOptions(beam=o.beam, max_active=o.max_active,
                            acoustic_scale=o.acoustic_scale)
     chunk = int(o.chunk_seconds * o.samp_freq)
     tot_audio = tot_wall = 0.0
+    identity = lambda x: x  # noqa: E731 — loglikes pass through
     with TableWriter(args[3], "text") as w:
         for key, wave in SequentialTableReader(args[2], "wav"):
             pipe = OnlineFeaturePipeline(mfcc_opts)
+            sam = StreamingAmNnet(bundle.am)
             dec = StreamingDecoder(
-                csr, am_fn, silence_phones=[o.silence_phone_id],
+                csr, identity, silence_phones=[o.silence_phone_id],
                 tid_to_phone=bundle.tm.tid_to_phone_array(), opts=vopts,
-                am_left_context=bundle.am.config.left_context,
-                am_right_context=bundle.am.config.right_context,
             )
             samples = wave.data[0]
             t0 = _time.perf_counter()
             for lo in range(0, len(samples), chunk):
                 feats = pipe.accept_waveform(samples[lo: lo + chunk])
-                dec.advance(feats)
+                dec.advance(sam.accept(feats))
                 if dec.endpoint_detected():
                     log.info("%s: endpoint detected", key)
                     break
             else:
-                dec.advance(pipe.input_finished(), final=True)
+                dec.advance(sam.accept(pipe.input_finished(), final=True),
+                            final=True)
             wall = _time.perf_counter() - t0
             hyp = dec.best_words()
             text = " ".join(

@@ -64,9 +64,16 @@ class LstmpLayer(nn.Module):
     reverse: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, initial_carry=None,
+                 return_carry: bool = False):
+        """initial_carry/return_carry: the streaming ('looped') seam — carry
+        the (c, r) state across chunk boundaries (reference
+        nnet-compile-looped.cc keeps recurrent state between chunks).
+        Only meaningful for the forward direction."""
         B = x.shape[0]
         if self.reverse:
+            if initial_carry is not None or return_carry:
+                raise ValueError("carried state unsupported for reverse scan")
             x = x[:, ::-1]
         scan = nn.scan(
             LstmpCell,
@@ -75,17 +82,17 @@ class LstmpLayer(nn.Module):
             in_axes=1,
             out_axes=1,
         )
-        init = (
+        init = initial_carry if initial_carry is not None else (
             jnp.zeros((B, self.cell_dim), x.dtype),
             jnp.zeros((B, self.recurrent_dim), x.dtype),
         )
-        _, y = scan(
+        carry, y = scan(
             self.cell_dim, self.recurrent_dim, self.nonrecurrent_dim,
             self.cell_clip, name="cell",
         )(init, x)
         if self.reverse:
             y = y[:, ::-1]
-        return y
+        return (y, carry) if return_carry else y
 
 
 class BlstmpLayer(nn.Module):

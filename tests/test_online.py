@@ -123,3 +123,53 @@ def test_streaming_endpoint_on_trailing_silence():
     assert dec.trailing_silence_frames() * 0.01 >= 0.5
     assert dec.endpoint_detected()
     assert [lang.words[w] for w in dec.best_words()] == ["no"]
+
+
+def test_streaming_am_equals_batch():
+    """Looped-computation oracle (reference nnet-compile-looped): chunked
+    streaming evaluation with carried LSTM state + per-layer context
+    buffers equals whole-utterance evaluation exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.streaming_am import StreamingAmNnet
+    from old_kaldi_git_tpu.models.tdnn import TdnnConfig, TdnnLayerSpec
+
+    rng = np.random.default_rng(0)
+    D, P, T = 8, 12, 57
+    cfg = TdnnConfig(
+        D, P,
+        (
+            TdnnLayerSpec("tdnn", 16, offsets=(-2, -1, 0, 1, 2)),
+            TdnnLayerSpec("tdnnf", 16, bottleneck_dim=8, time_stride=3),
+            TdnnLayerSpec("lstmp", 16, recurrent_dim=8),
+            TdnnLayerSpec("attention", 0, num_heads=2, key_dim=4,
+                          value_dim=4, num_left_inputs=2, num_right_inputs=1),
+        ),
+        final_hidden_dim=16,
+    )
+    am = AmNnet.init(cfg, seed=0)
+    am.log_priors = np.log(
+        np.full(P, 1.0 / P, np.float32)
+    )
+    feats = rng.standard_normal((T, D)).astype(np.float32)
+    ref = np.asarray(am.loglikes_batch(jnp.asarray(feats[None])))[0]
+
+    for chunks in ([T], [10, 20, 27], [1] * T, [5, 52]):
+        sam = StreamingAmNnet(am)
+        outs = []
+        pos = 0
+        for i, c in enumerate(chunks):
+            final = i == len(chunks) - 1
+            outs.append(sam.accept(feats[pos: pos + c], final=final))
+            pos += c
+        got = np.concatenate([o for o in outs if o.size], axis=0)
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+    # blstmp rejected
+    bad = TdnnConfig(D, P, (TdnnLayerSpec("blstmp", 8, recurrent_dim=4),))
+    am2 = AmNnet.init(bad, seed=0)
+    with pytest.raises(ValueError):
+        StreamingAmNnet(am2)
