@@ -656,6 +656,15 @@ def results_from_arcs(
     Shared between decode_batch and external fused programs (bench.py runs
     the whole pipeline as one jit and reuses this for the word extraction)."""
     B = arcs.shape[1]
+    # vectorized word extraction: most arcs carry no output labels, so
+    # build a cached arc→has-olabel mask once per graph and only touch the
+    # (few) word-bearing arcs per utterance in Python
+    mask = getattr(graph, "_olabel_mask", None)
+    if mask is None or len(mask) != graph.num_arcs:
+        mask = np.fromiter(
+            (len(o) > 0 for o in graph.arc_olabels), bool, graph.num_arcs
+        )
+        graph._olabel_mask = mask
     results: List[Optional[DecodeResult]] = []
     for b in range(B):
         nf_b = int(num_frames[b])
@@ -668,7 +677,7 @@ def results_from_arcs(
             continue
         tids = graph.tid[arc_seq]
         words: List[int] = []
-        for a in arc_seq:
+        for a in arc_seq[mask[arc_seq]]:
             words.extend(graph.arc_olabels[a])
         if use_final[b]:
             words.extend(graph.final_olabels[int(end_states[b])])
