@@ -963,3 +963,76 @@ def gmm_decode_faster_tool(argv: List[str]) -> int:
         awriter.close()
     log.info("decoded %d/%d utterances", n, len(keys))
     return 0
+
+
+@tool("ali-to-post")
+def ali_to_post_tool(argv: List[str]) -> int:
+    """Hard alignments → (tid, 1.0) posteriors (src/bin/ali-to-post.cc)."""
+    from old_kaldi_git_tpu.hmm.posterior import ali_to_post
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions("ali-to-post <ali-rspecifier> <post-wspecifier>")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    with TableWriter(args[1], "post") as w:
+        for key, ali in SequentialTableReader(args[0], "ivec"):
+            w[key] = ali_to_post(ali)
+    return 0
+
+
+@tool("gmm-acc-stats")
+def gmm_acc_stats_tool(argv: List[str]) -> int:
+    """Accumulate GMM + transition stats from (tid) POSTERIORS — soft
+    counts, the MMI/MPE and silence-weighted path
+    (src/gmmbin/gmm-acc-stats.cc; gmm-acc-stats-ali is the hard variant)."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+    from old_kaldi_git_tpu.gmm.mle import AccumAmDiagGmm, write_accs
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+    )
+
+    po = ParseOptions(
+        "gmm-acc-stats <model> <feats-rspecifier> <post-rspecifier> "
+        "<stats-out>"
+    )
+    args = po.parse(argv)
+    if len(args) != 4:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    model = AmGmmModel.load(args[0])
+    posts = RandomAccessTableReader(args[2], "post")
+    accs = AccumAmDiagGmm(model.am)
+    trans_stats = np.zeros(model.tm.num_tids + 1)
+    n = frames = 0
+    for k, feats in SequentialTableReader(args[1], "mat"):
+        if k not in posts:
+            continue
+        post = posts[k]
+        feats = np.asarray(feats)
+        if len(post) != len(feats):
+            log.warning("%s: post length %d != frames %d, skipping",
+                        k, len(post), len(feats))
+            continue
+        # group entries by pdf so each accumulate call is vectorized
+        by_pdf: Dict[int, Tuple[list, list]] = {}
+        for t, frame in enumerate(post):
+            for tid, wgt in frame:
+                pdf = model.tm.tid_to_pdf(int(tid))
+                by_pdf.setdefault(pdf, ([], []))
+                by_pdf[pdf][0].append(t)
+                by_pdf[pdf][1].append(wgt)
+                trans_stats[int(tid)] += wgt
+        for pdf, (ts, ws) in by_pdf.items():
+            accs.accumulate(
+                model.am, feats[ts], [pdf] * len(ts),
+                weights=np.asarray(ws, np.float64),
+            )
+        n += 1
+        frames += len(post)
+    with open(args[3], "wb") as f:
+        write_accs(f, accs, trans_stats)
+    log.info("gmm-acc-stats: %d utts, %d frames", n, frames)
+    return 0

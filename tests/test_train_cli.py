@@ -269,3 +269,36 @@ def test_gmm_boost_silence(corpus):
             assert abs(delta - np.log(1.5)) < 1e-6
         else:
             assert abs(delta) < 1e-9
+
+
+def test_gmm_acc_stats_posterior_equals_ali(corpus):
+    """gmm-acc-stats over ali-to-post posteriors == gmm-acc-stats-ali
+    (soft counts with weight 1.0 are the hard counts)."""
+    d, tf, sf, st = corpus
+    run(["gmm-init-mono", "lang", "ark:train.ark", "p0.mdl", "p.tree"], d)
+    run(["compile-train-graphs", "p.tree", "p0.mdl", "lang",
+         "ark:text.ark", "ark:pgra.fsts"], d)
+    run(["align-equal-compiled", "p0.mdl", "ark:pgra.fsts", "ark:train.ark",
+         "ark:pali.ark"], d)
+    run(["gmm-acc-stats-ali", "p0.mdl", "ark:train.ark", "ark:pali.ark",
+         "p.hard.acc"], d)
+    run(["ali-to-post", "ark:pali.ark", "ark:ppost.ark"], d)
+    run(["gmm-acc-stats", "p0.mdl", "ark:train.ark", "ark:ppost.ark",
+         "p.soft.acc"], d)
+    from old_kaldi_git_tpu.gmm.mle import read_accs
+
+    with open(d / "p.hard.acc", "rb") as f:
+        hard, t_hard = read_accs(f)
+    with open(d / "p.soft.acc", "rb") as f:
+        soft, t_soft = read_accs(f)
+    np.testing.assert_allclose(soft.occ, hard.occ, rtol=1e-8)
+    np.testing.assert_allclose(soft.mean_acc, hard.mean_acc, rtol=1e-8)
+    np.testing.assert_allclose(t_soft, t_hard)
+    # weight-silence-post composes: zero silence weight shrinks occupancy
+    run(["weight-silence-post", "0.0", "1", "p0.mdl",
+         "ark:ppost.ark", "ark:ppost0.ark"], d)
+    run(["gmm-acc-stats", "p0.mdl", "ark:train.ark", "ark:ppost0.ark",
+         "p.nosil.acc"], d)
+    with open(d / "p.nosil.acc", "rb") as f:
+        nosil, _ = read_accs(f)
+    assert nosil.occ.sum() < hard.occ.sum()
