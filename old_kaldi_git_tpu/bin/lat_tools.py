@@ -1036,3 +1036,49 @@ def gmm_acc_stats_tool(argv: List[str]) -> int:
         write_accs(f, accs, trans_stats)
     log.info("gmm-acc-stats: %d utts, %d frames", n, frames)
     return 0
+
+
+@tool("fstcomposecontext")
+def fstcomposecontext_tool(argv: List[str]) -> int:
+    """Compose an LG with the context transducer C on demand, emitting the
+    ilabel-info table (src/fstbin/fstcomposecontext.cc / ComposeContext)."""
+    from old_kaldi_git_tpu.fst.context import compose_context
+
+    po = ParseOptions(
+        "fstcomposecontext [options] <ilabels-out> <in-fst|LG> <out-fst|CLG>"
+    )
+
+    class Opts:
+        context_size = 3
+        central_position = 1
+        read_disambig_syms = ""
+        subseq_symbol = 0  # 0 → max label + 1
+
+    o = Opts()
+    po.register("context-size", o, "context_size")
+    po.register("central-position", o, "central_position")
+    po.register("read-disambig-syms", o, "read_disambig_syms")
+    po.register("subseq-symbol", o, "subseq_symbol")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    lg = _read_fst(args[1])
+    disambig = []
+    if o.read_disambig_syms:
+        with open(o.read_disambig_syms) as f:
+            disambig = [int(x) for x in f.read().split()]
+    subseq = o.subseq_symbol
+    if not subseq:
+        mx = 0
+        for s in lg.states():
+            for a in lg.arcs[s]:
+                mx = max(mx, a.ilabel)
+        subseq = mx + 1
+    clg, ilabel_info = compose_context(
+        lg, o.context_size, o.central_position, disambig, subseq
+    )
+    with open(args[0], "w") as f:
+        for info in ilabel_info:
+            f.write(" ".join(str(x) for x in info) + "\n")
+    return _write_fst(clg, args[2])

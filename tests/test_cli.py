@@ -540,3 +540,22 @@ def test_util_tool_batch(tmp_path):
     # wav-copy round trip
     (tmp_path / "wav.scp").write_text(f"u0 {tmp_path}/u0.wav\n")
     run(["wav-copy", "scp:wav.scp", "ark:w2.ark"], tmp_path)
+
+
+def test_fstcomposecontext_cli(tmp_path):
+    from old_kaldi_git_tpu.fst.vector_fst import linear_fst
+
+    lg = linear_fst([3, 4, 5])
+    with open(tmp_path / "LG.fst", "wb") as f:
+        lg.write(f)
+    run(["fstcomposecontext", "--context-size=1", "--central-position=0",
+         "ilabels.txt", "LG.fst", "CLG.fst"], tmp_path)
+    lines = (tmp_path / "ilabels.txt").read_text().splitlines()
+    assert lines[0] == ""  # eps entry
+    assert {tuple(map(int, ln.split())) for ln in lines[1:]} == {
+        (3,), (4,), (5,)}
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+
+    with open(tmp_path / "CLG.fst", "rb") as f:
+        clg = VectorFst.read(f)
+    assert clg.num_states == lg.num_states
