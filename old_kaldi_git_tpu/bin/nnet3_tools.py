@@ -324,8 +324,15 @@ def nnet3_train_tool(argv: List[str]) -> int:
             state, metrics = step_fn(state, bf, bl, bm)
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
+        mean_loss = float(np.mean(losses))
         log.info("epoch %d: CE %.4f acc %.3f (%d steps)", epoch,
-                 float(np.mean(losses)), float(np.mean(accs)), len(losses))
+                 mean_loss, float(np.mean(accs)), len(losses))
+        if not np.isfinite(mean_loss):
+            raise KaldiError(
+                "model diverged (non-finite CE) — rerun with a lower "
+                "learning rate (reference train.py halves the lr and "
+                "redoes the iteration)"
+            )
     out = AmNnet(
         am.config,
         {"params": jax.tree.map(np.asarray, state.params),
@@ -730,8 +737,13 @@ def nnet3_chain_train_tool(argv: List[str]) -> int:
                     apply_orthonormal_constraints(state.params),
                     state.batch_stats, state.opt_state, state.step,
                 )
-        log.info("epoch %d: objf %.4f (%d steps)", epoch,
-                 float(np.mean(objs)) if objs else float("nan"), len(objs))
+        mean_obj = float(np.mean(objs)) if objs else float("nan")
+        log.info("epoch %d: objf %.4f (%d steps)", epoch, mean_obj, len(objs))
+        if objs and not np.isfinite(mean_obj):
+            raise KaldiError(
+                "chain model diverged (non-finite objective) — rerun with "
+                "a lower learning rate"
+            )
     out_am = AmNnet(
         cm.am.config,
         {"params": jax.tree.map(np.asarray, state.params),

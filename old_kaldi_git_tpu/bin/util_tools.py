@@ -238,3 +238,113 @@ def est_pca_tool(argv: List[str]) -> int:
     log.info("PCA: %d frames, kept %d of %d dims (top eval %.3g)",
              n, dim, len(evals), float(evals[0]))
     return 0
+
+
+@tool("modify-cmvn-stats")
+def modify_cmvn_stats_tool(argv: List[str]) -> int:
+    """Fake/zero selected dimensions of CMVN stats (src/featbin/
+    modify-cmvn-stats.cc: used to disable normalization of some dims, e.g.
+    pitch, by making them look like zero-mean unit-variance)."""
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "modify-cmvn-stats [options] <fake-dims-colon|''> "
+        "<stats-rspecifier> <stats-wspecifier>"
+    )
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    fake = [int(x) for x in args[0].split(":") if x]
+    with TableWriter(args[2], "mat") as w:
+        for key, st in SequentialTableReader(args[1], "mat"):
+            st = np.array(st, np.float64)
+            dim = st.shape[1] - 1
+            count = st[0, dim]
+            for d in fake:
+                if 0 <= d < dim:
+                    st[0, d] = 0.0  # sum → mean 0
+                    st[1, d] = count  # sumsq → variance 1
+            w[key] = st
+    return 0
+
+
+@tool("extract-feature-segments")
+def extract_feature_segments_tool(argv: List[str]) -> int:
+    """Cut feature matrices by a segments file (frame ranges from times;
+    src/featbin/extract-feature-segments.cc)."""
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "extract-feature-segments [options] <feats-rspecifier> "
+        "<segments-file> <feats-wspecifier>"
+    )
+
+    class Opts:
+        frame_shift = 0.01
+
+    o = Opts()
+    po.register("frame-shift", o, "frame_shift")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    feats = RandomAccessTableReader(args[0], "mat")
+    n = 0
+    with TableWriter(args[2], "mat") as w:
+        with open(args[1]) as f:
+            for ln in f:
+                parts = ln.split()
+                if len(parts) != 4:
+                    continue
+                seg, rec, t0, t1 = parts[0], parts[1], float(parts[2]), float(parts[3])
+                if rec not in feats:
+                    log.warning("no features for recording %s", rec)
+                    continue
+                m = feats[rec]
+                lo = int(round(t0 / o.frame_shift))
+                hi = min(int(round(t1 / o.frame_shift)), m.shape[0])
+                if hi - lo < 1:
+                    log.warning("empty segment %s", seg)
+                    continue
+                w[seg] = m[lo:hi]
+                n += 1
+    log.info("extracted %d feature segments", n)
+    return 0
+
+
+@tool("show-alignments")
+def show_alignments_tool(argv: List[str]) -> int:
+    """Human-readable alignments: per-utterance phone segments with frame
+    spans (src/bin/show-alignments.cc, simplified)."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+    from old_kaldi_git_tpu.hmm.hmm_utils import split_to_phones
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions(
+        "show-alignments <phones-symtab|''> <model> <ali-rspecifier>"
+    )
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    phones_tab = None
+    if args[0]:
+        from old_kaldi_git_tpu.fst.symbols import SymbolTable
+
+        phones_tab = SymbolTable.read(args[0])
+    tm = AmGmmModel.load(args[1]).tm
+    for key, ali in SequentialTableReader(args[2], "ivec"):
+        t = 0
+        parts = []
+        for seg in split_to_phones(tm, ali):
+            ph = tm.tid_to_phone(seg[0])
+            name = phones_tab[ph] if phones_tab else str(ph)
+            parts.append(f"{name}[{t}:{t + len(seg)}]")
+            t += len(seg)
+        print(f"{key} {' '.join(parts)}")
+    return 0

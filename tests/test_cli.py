@@ -559,3 +559,32 @@ def test_fstcomposecontext_cli(tmp_path):
     with open(tmp_path / "CLG.fst", "rb") as f:
         clg = VectorFst.read(f)
     assert clg.num_states == lg.num_states
+
+
+def test_misc_tool_batch2(tmp_path):
+    """modify-cmvn-stats, extract-feature-segments, show-alignments path."""
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    # cmvn stats for 2 dims: dim 1 gets faked to mean0/var1
+    rng = np.random.default_rng(0)
+    f = (rng.standard_normal((50, 2)) * [2.0, 5.0] + [1.0, -3.0]).astype(
+        np.float32)
+    from old_kaldi_git_tpu.feat.cmvn import acc_cmvn_stats, cmvn_shift_scale
+
+    with TableWriter(f"ark:{tmp_path}/cst.ark", "mat") as w:
+        w["u"] = acc_cmvn_stats(f)
+    run(["modify-cmvn-stats", "1", "ark:cst.ark", "ark:cst2.ark"], tmp_path)
+    st2 = read_table(f"ark:{tmp_path}/cst2.ark", "mat")["u"]
+    shift, scale = cmvn_shift_scale(st2, norm_vars=True)
+    assert shift[1] == pytest.approx(0.0) and scale[1] == pytest.approx(1.0)
+    assert shift[0] != pytest.approx(0.0)
+
+    # feature segments by time
+    with TableWriter(f"ark:{tmp_path}/ff.ark", "mat") as w:
+        w["rec"] = np.arange(200, dtype=np.float32).reshape(100, 2)
+    (tmp_path / "fsegs").write_text("s1 rec 0.10 0.30\ns2 rec 0.50 2.00\n")
+    run(["extract-feature-segments", "ark:ff.ark", "fsegs", "ark:fs.ark"],
+        tmp_path)
+    fs = read_table(f"ark:{tmp_path}/fs.ark", "mat")
+    assert fs["s1"].shape == (20, 2) and fs["s1"][0, 0] == 20.0
+    assert fs["s2"].shape == (50, 2)  # clipped to matrix end
