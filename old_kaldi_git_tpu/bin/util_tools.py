@@ -348,3 +348,45 @@ def show_alignments_tool(argv: List[str]) -> int:
             t += len(seg)
         print(f"{key} {' '.join(parts)}")
     return 0
+
+
+@tool("ivector-extract-online2")
+def ivector_extract_online2_tool(argv: List[str]) -> int:
+    """Online i-vectors re-estimated every --ivector-period frames from
+    cumulative stats (src/online2bin/ivector-extract-online2.cc; output
+    rows repeat within each period like the reference feature)."""
+    from old_kaldi_git_tpu.ivector.extractor import (
+        IvectorExtractor,
+        extract_online_ivectors,
+    )
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "ivector-extract-online2 [options] <extractor> <feats-rspecifier> "
+        "<ivectors-wspecifier>"
+    )
+
+    class Opts:
+        ivector_period = 10
+        max_count = 0.0
+        stats_scale = 1.0
+
+    o = Opts()
+    po.register("ivector-period", o, "ivector_period")
+    po.register("max-count", o, "max_count")
+    po.register("stats-scale", o, "stats_scale")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    ext = IvectorExtractor.load(args[0])
+    n = 0
+    with TableWriter(args[2], "mat") as w:
+        for key, f in SequentialTableReader(args[1], "mat"):
+            w[key] = extract_online_ivectors(
+                ext, np.asarray(f, np.float32), o.ivector_period,
+                o.stats_scale, o.max_count,
+            )
+            n += 1
+    log.info("extracted online ivectors for %d utterances", n)
+    return 0

@@ -180,3 +180,26 @@ def test_select_voiced_frames(corpus):
     voiced = dict(SequentialTableReader("ark:voiced.ark", "mat"))
     assert list(voiced) == [key]
     np.testing.assert_allclose(voiced[key], feats[key][10:60], rtol=1e-6)
+
+
+def test_ivector_extract_online2(corpus):
+    """Online i-vectors: matrix output at the feature frame rate; values
+    constant within each period; last-period row ≈ the utterance i-vector
+    direction as stats accumulate."""
+    root, utt2spk, spk2utt = corpus
+    tool("ivector-extractor-init", "--ivector-dim=4", "final.ubm", "oie.0")
+    tool("ivector-extractor-acc-stats", "oie.0", "ark:feats.ark", "oie.acc1")
+    tool("ivector-extractor-sum-accs", "oie.acc", "oie.acc1")
+    tool("ivector-extractor-est", "oie.0", "oie.acc", "oie.1")
+    tool("ivector-extract-online2", "--ivector-period=25", "oie.1",
+         "ark:feats.ark", "ark:oiv.ark")
+    feats = {k: np.asarray(v) for k, v in
+             SequentialTableReader("ark:feats.ark", "mat")}
+    oiv = {k: np.asarray(v) for k, v in
+           SequentialTableReader("ark:oiv.ark", "mat")}
+    assert set(oiv) == set(feats)
+    k0 = sorted(oiv)[0]
+    m = oiv[k0]
+    assert m.shape == (feats[k0].shape[0], 4)
+    # constant within a period, changing across periods
+    assert np.allclose(m[0], m[24]) and not np.allclose(m[0], m[25])
