@@ -38,8 +38,17 @@ class _FiniteCtxStream:
     context (l, r): buffers input frames, emits outputs whose receptive
     field is complete.  apply_fn: [1, T, D] → [1, T, D']."""
 
+    # slice lengths are padded (edge-replicated) up to a multiple of this,
+    # so each layer compiles a bounded set of XLA shapes instead of one per
+    # distinct chunk length (variable shapes re-trigger compilation)
+    QUANTUM = 32
+
     def __init__(self, apply_fn, lctx: int, rctx: int):
-        self.apply = apply_fn
+        import jax
+
+        # jit per layer: the padded-shape set is bounded, so each layer
+        # compiles a handful of programs instead of eager op dispatch
+        self.apply = jax.jit(apply_fn)
         self.l = lctx
         self.r = rctx
         self.hist: Optional[np.ndarray] = None  # retained input frames
@@ -63,6 +72,17 @@ class _FiniteCtxStream:
         lo = max(0, self.n_emitted - self.l)
         hi = min(total, emit_upto - 1 + self.r) + 1
         x = self.hist[lo - self.base: hi - self.base]
+        q = self.QUANTUM
+        n = x.shape[0]
+        n_pad = (n + q - 1) // q * q
+        if n_pad != n and not final:
+            # mid-stream, every emitted output's receptive field lies in the
+            # REAL frames (hi covers full right context), so end padding only
+            # feeds outputs we discard — pad freely to bound the XLA shape
+            # set.  On final=True the end-clamping region IS emitted, and for
+            # composed splices (tdnnf) clamped indices ≠ replicated frames —
+            # run the exact length there (one odd shape per stream end).
+            x = np.concatenate([x, np.repeat(x[-1:], n_pad - n, axis=0)])
         y = np.asarray(self.apply(jnp.asarray(x[None])))[0]
         out = y[self.n_emitted - lo: emit_upto - lo]
         self.n_emitted = emit_upto
@@ -74,22 +94,47 @@ class _FiniteCtxStream:
 
 
 class _LstmpStream:
-    """Carried-state LSTMP: 1:1, no delay."""
+    """Carried-state LSTMP: 1:1 frames, output delayed up to QUANTUM-1
+    frames mid-stream (inputs are consumed in fixed-size pieces so the
+    scan compiles for a bounded set of lengths; the remainder is flushed
+    exactly on final)."""
+
+    QUANTUM = 32
 
     def __init__(self, module, variables):
+        import jax
+
         self.module = module
         self.variables = variables
-        self.carry = None
-
-    def feed(self, frames: np.ndarray, final: bool = False) -> np.ndarray:
-        if not frames.size:
-            return np.zeros((0, 0), np.float32)
-        y, carry = self.module.apply(
-            self.variables, jnp.asarray(frames[None]),
-            initial_carry=self.carry, return_carry=True,
+        self.carry = (
+            jnp.zeros((1, module.cell_dim), jnp.float32),
+            jnp.zeros((1, module.recurrent_dim), jnp.float32),
         )
+        self.pending: Optional[np.ndarray] = None
+        self._jfn = jax.jit(
+            lambda carry, x: module.apply(
+                variables, x, initial_carry=carry, return_carry=True
+            )
+        )
+
+    def _run(self, x: np.ndarray) -> np.ndarray:
+        y, carry = self._jfn(self.carry, jnp.asarray(x[None]))
         self.carry = carry
         return np.asarray(y)[0]
+
+    def feed(self, frames: np.ndarray, final: bool = False) -> np.ndarray:
+        if frames.size:
+            self.pending = (frames.copy() if self.pending is None
+                            else np.concatenate([self.pending, frames]))
+        if self.pending is None or not self.pending.size:
+            return np.zeros((0, 0), np.float32)
+        q = self.QUANTUM
+        n_run = len(self.pending) if final else len(self.pending) // q * q
+        if n_run == 0:
+            return np.zeros((0, 0), np.float32)
+        out = self._run(self.pending[:n_run])
+        self.pending = self.pending[n_run:]
+        return out
 
 
 class StreamingAmNnet:

@@ -1,0 +1,43 @@
+"""run_all: the five BASELINE configs composed as one stage-gated,
+artifact-resumable pipeline (the egs run.sh role)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_run_all_pipeline_and_resume(tmp_path):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from old_kaldi_git_tpu.recipes.run_all import run_all
+
+    work = str(tmp_path / "exp")
+    run_all(work)
+    results = open(os.path.join(work, "RESULTS")).read().splitlines()
+    wers = {}
+    rtf = None
+    for ln in results:
+        if ln.startswith("%WER"):
+            wers[ln.split("[")[1].rstrip("]")] = float(ln.split()[1])
+        elif ln.startswith("RTF"):
+            rtf = float(ln.split()[1])
+    for name in ("tri2b", "tri2b+fmllr", "nnet3-tdnn", "chain",
+                 "tri2b-lattice-1best", "tri2b+bigram-rescore"):
+        assert name in wers, results
+        assert wers[name] <= 10.0, (name, wers[name])
+    assert rtf is not None and rtf > 0
+    # per-stage logs written (exp/*/log convention)
+    logs = os.listdir(os.path.join(work, "log"))
+    assert any("train_mono" in l for l in logs)
+
+    # resume: artifacts present → every stage skips, RESULTS unchanged
+    import time
+
+    before = open(os.path.join(work, "RESULTS")).read()
+    t0 = time.time()
+    run_all(work)
+    assert time.time() - t0 < 30.0  # all stages skipped
+    assert open(os.path.join(work, "RESULTS")).read() == before
