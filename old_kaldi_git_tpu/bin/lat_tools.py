@@ -691,6 +691,9 @@ def vector_sum_tool(argv: List[str]) -> int:
         tot = None
         for _key, v in SequentialTableReader(args[0], "vec"):
             tot = np.asarray(v, np.float64) if tot is None else tot + v
+        if tot is None:
+            log.error("vector-sum --sum-all: empty input archive")
+            return 1
         with open(args[1], "wb") as f:
             f.write(BINARY_HEADER)
             write_vector(f, np.asarray(tot, np.float32))

@@ -313,7 +313,6 @@ def nnet3_train_tool(argv: List[str]) -> int:
                        optimizer.init(params), 0)
     step_fn = make_ce_train_step(model, optimizer)
     rng = np.random.default_rng(o.srand)
-    order = np.arange(len(egs))
     for epoch in range(o.num_epochs):
         # shuffle then re-chunk in sorted runs: shuffle groups, not items
         losses, accs = [], []

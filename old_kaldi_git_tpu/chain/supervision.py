@@ -113,3 +113,33 @@ def pad_supervisions(
         if s.advance_lp is not None:
             advance_lp[b, :ls] = s.advance_lp
     return pdf_seq, allowed, num_frames, seq_len, advance_lp
+
+
+def chain_xent_labels(
+    alignment: Sequence[int],
+    tm,
+    ctx_dep: ContextDependency,
+    frame_subsampling_factor: int,
+    num_frames: int,
+) -> np.ndarray:
+    """Hard chain-pdf labels at the subsampled rate for the cross-entropy
+    regularizer head (left context from the previous phone for left-biphone
+    trees; 0 = out-of-utterance before the first phone, matching the den
+    graph's BOS convention).  Shared by train_chain and nnet3-chain-get-egs."""
+    from old_kaldi_git_tpu.hmm.hmm_utils import (
+        alignment_to_phones,
+        split_to_phones,
+    )
+
+    seg_phones = alignment_to_phones(tm, alignment)
+    frames_phones = []
+    prev = 0
+    for seg, ph in zip(split_to_phones(tm, alignment), seg_phones):
+        frames_phones.extend([(prev, ph)] * len(seg))
+        prev = ph
+    out = np.zeros(num_frames, np.int32)
+    sub = frames_phones[::frame_subsampling_factor][:num_frames]
+    for t, (left, ph) in enumerate(sub):
+        window = [ph] if ctx_dep.N == 1 else [left, ph]
+        out[t] = ctx_dep.compute(window, 0)
+    return out

@@ -133,9 +133,7 @@ def align_batch(
     alignments: List[Optional[np.ndarray]] = []
     scores: List[float] = []
     for b, g in enumerate(graphs):
-        tot = alpha_final[b, : g.num_states] + np.where(
-            np.isfinite(g.final_weight), g.final_weight, BIG
-        )
+        tot = alpha_final[b, : g.num_states] + final[b, : g.num_states]
         s = int(np.argmin(tot))
         score = float(tot[s])
         if score >= BIG:
@@ -449,7 +447,12 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         new_cost = -neg_top
         new_state = jnp.take_along_axis(dest_s, sel, 1)
         new_arc = jnp.take_along_axis(arc_s, sel, 1)
-        keep = new_cost <= new_cost[:, :1] + beam
+        # keep requires a REAL candidate: when a frame has zero valid
+        # expansions everything is BIG and the sentinel dest S would
+        # otherwise survive the beam gate (BIG <= BIG + beam) and escape
+        # to the host as an out-of-range state id
+        keep = (new_cost <= new_cost[:, :1] + beam) & (new_cost < BIG) \
+            & (new_state < S)
         new_cost = jnp.where(keep, new_cost, BIG)
         new_state = jnp.where(keep, new_state, -1)
         new_arc = jnp.where(keep, new_arc, -1)

@@ -164,10 +164,9 @@ def get_chain_egs(
     """One utterance → one chain eg (whole-utterance supervision; the
     batched loss pads/masks, so fixed 140/150-frame chunking is a data-
     pipeline choice, not a correctness requirement)."""
-    from old_kaldi_git_tpu.chain.supervision import alignment_to_supervision
-    from old_kaldi_git_tpu.hmm.hmm_utils import (
-        alignment_to_phones,
-        split_to_phones,
+    from old_kaldi_git_tpu.chain.supervision import (
+        alignment_to_supervision,
+        chain_xent_labels,
     )
 
     sup = alignment_to_supervision(
@@ -175,17 +174,7 @@ def get_chain_egs(
         left_tolerance, right_tolerance, den=den,
     )
     fsf = frame_subsampling_factor
-    Tsub = sup.num_frames
-    seg_phones = alignment_to_phones(gmm_tm, alignment)
-    frames_phones = []
-    prev = 0
-    for seg, ph in zip(split_to_phones(gmm_tm, alignment), seg_phones):
-        frames_phones.extend([(prev, ph)] * len(seg))
-        prev = ph
-    xent = np.zeros(Tsub, np.int32)
-    for t2, (left, ph) in enumerate(frames_phones[::fsf][:Tsub]):
-        window = [ph] if ctx_dep.N == 1 else [left, ph]
-        xent[t2] = ctx_dep.compute(window, 0)
+    xent = chain_xent_labels(alignment, gmm_tm, ctx_dep, fsf, sup.num_frames)
     Tfull = ((feats.shape[0] + fsf - 1) // fsf) * fsf
     padded = np.zeros((Tfull, feats.shape[1]), np.float32)
     padded[: feats.shape[0]] = feats

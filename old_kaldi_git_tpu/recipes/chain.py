@@ -261,22 +261,15 @@ def train_chain(
     # xent targets: hard pdf labels at the subsampled rate
     Tsub = allowed.shape[1]
     xent_labels = np.zeros((len(sup_keys), Tsub), np.int32)
+    from old_kaldi_git_tpu.chain.supervision import chain_xent_labels
+
     for i, k in enumerate(sup_keys):
         t = feats[k].shape[0]
         feats_padded[i, :t] = feats[k]
         # chain pdf per frame from the GMM alignment phones
-        seg_phones = alignment_to_phones(gmm_model.tm, alignments[k])
-        from old_kaldi_git_tpu.hmm.hmm_utils import split_to_phones
-
-        frames_phones = []  # (left_context, phone) per frame
-        prev = 0
-        for seg, ph in zip(split_to_phones(gmm_model.tm, alignments[k]), seg_phones):
-            frames_phones.extend([(prev, ph)] * len(seg))
-            prev = ph
-        sub = frames_phones[::fsf][:Tsub]
-        for t2, (left, ph) in enumerate(sub):
-            window = [ph] if ctx_dep.N == 1 else [left, ph]
-            xent_labels[i, t2] = ctx_dep.compute(window, 0)
+        xent_labels[i] = chain_xent_labels(
+            alignments[k], gmm_model.tm, ctx_dep, fsf, Tsub
+        )
 
     loss_opts = ChainLossOptions(
         leaky_hmm_coefficient=opts.leaky_hmm_coefficient,

@@ -250,7 +250,7 @@ def build_pipeline(workdir: str, stage: int = 0) -> Pipeline:
         _result(ctx, "nnet3-tdnn", score_hyps(st, hyps).wer)
         open(ctx.path("nnet3/DONE_decode"), "w").write("done\n")
 
-    @pipe.stage(60, "train+decode chain", produces=("chain/final.mdl",))
+    @pipe.stage(60, "train+decode chain", produces=("chain/DONE",))
     def _chain(ctx):
         from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
         from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
@@ -278,6 +278,8 @@ def build_pipeline(workdir: str, stage: int = 0) -> Pipeline:
         graph = make_chain_decode_graph(cm, lang, g)
         hyps = decode_chain(cm, graph, lang, compute_feats(sw))
         _result(ctx, "chain", score_hyps(st, hyps).wer)
+        # DONE marker written LAST so a crash mid-decode re-runs the stage
+        open(ctx.path("chain/DONE"), "w").write("done\n")
 
     @pipe.stage(70, "lattice lm rescoring", produces=("rescore/DONE",))
     def _rescore(ctx):

@@ -224,3 +224,32 @@ def test_yesno_e2e():
     )
     assert stats.ref_len > 0
     assert stats.wer == 0.0, stats.report()
+
+
+def test_token_sparse_dead_beam_returns_none():
+    """Regression: an utterance whose token set dies (graph path shorter
+    than the utterance) must yield None, not an out-of-range sentinel
+    state crash on the host."""
+    from old_kaldi_git_tpu.decoder.csr import CsrGraph
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch_tokens
+
+    # 2 states, a single emitting arc 0→1, no arcs out of state 1
+    g = CsrGraph(
+        start=0,
+        row_ptr=np.array([0, 1, 1], np.int32),
+        tid=np.array([1], np.int32),
+        pdf=np.array([0], np.int32),
+        weight=np.array([0.5], np.float32),
+        nextstate=np.array([1], np.int32),
+        final_weight=np.array([np.inf, 0.0], np.float32),
+        arc_olabels=[(7,)],
+        final_olabels=[(), ()],
+    )
+    ll = np.zeros((1, 4, 2), np.float32)
+    res = decode_batch_tokens(g, ll, [4], ViterbiOptions(beam=10.0,
+                                                         max_active=4))
+    assert res == [None]
+    # a one-frame utterance on the same graph still decodes
+    res1 = decode_batch_tokens(g, ll[:, :1], [1],
+                               ViterbiOptions(beam=10.0, max_active=4))
+    assert res1[0] is not None and res1[0].words == [7]
