@@ -968,23 +968,6 @@ def gmm_decode_faster_tool(argv: List[str]) -> int:
     return 0
 
 
-@tool("ali-to-post")
-def ali_to_post_tool(argv: List[str]) -> int:
-    """Hard alignments → (tid, 1.0) posteriors (src/bin/ali-to-post.cc)."""
-    from old_kaldi_git_tpu.hmm.posterior import ali_to_post
-    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
-
-    po = ParseOptions("ali-to-post <ali-rspecifier> <post-wspecifier>")
-    args = po.parse(argv)
-    if len(args) != 2:
-        print(po.print_usage(), file=sys.stderr)
-        return 1
-    with TableWriter(args[1], "post") as w:
-        for key, ali in SequentialTableReader(args[0], "ivec"):
-            w[key] = ali_to_post(ali)
-    return 0
-
-
 @tool("gmm-acc-stats")
 def gmm_acc_stats_tool(argv: List[str]) -> int:
     """Accumulate GMM + transition stats from (tid) POSTERIORS — soft

@@ -1350,3 +1350,222 @@ def add_self_loops_tool(argv: List[str]) -> int:
     with open(args[2], "wb") as f:
         out.write(f)
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-level posteriors + basis-fMLLR
+# (reference gmmbin/gmm-post-to-gpost.cc, gmm-est-fmllr-gpost.cc,
+#  gmm-basis-fmllr-training.cc, gmm-est-basis-fmllr.cc)
+# ---------------------------------------------------------------------------
+
+
+@tool("gmm-post-to-gpost")
+def gmm_post_to_gpost_tool(argv: List[str]) -> int:
+    """Transition-id posteriors → per-Gaussian posteriors
+    (reference gmmbin/gmm-post-to-gpost.cc)."""
+    from old_kaldi_git_tpu.hmm.posterior import post_to_gpost
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "gmm-post-to-gpost [options] <model> <feats-rspecifier> "
+        "<post-rspecifier> <gpost-wspecifier>"
+    )
+    args = po.parse(argv)
+    if len(args) != 4:
+        return _usage(po)
+    model = _load_model(args[0])
+    posts = RandomAccessTableReader(args[2], "post")
+    n = 0
+    with TableWriter(args[3], "gpost") as w:
+        for utt, feats in SequentialTableReader(args[1], "mat"):
+            if utt not in posts:
+                continue
+            w[utt] = post_to_gpost(posts[utt], model.tm, model.am, feats)
+            n += 1
+    log.info("gmm-post-to-gpost: %d utterances", n)
+    return 0
+
+
+def _est_fmllr_from_accs_loop(o, args, accumulate):
+    """Shared per-speaker loop of gmm-est-fmllr{,-gpost}: `accumulate(acc,
+    model, feats, entry)` folds one utterance into the speaker's stats."""
+    from old_kaldi_git_tpu.transform.fmllr import (
+        FmllrAccs,
+        compute_fmllr_transform,
+    )
+    from old_kaldi_git_tpu.utils.data_dir import _read_map
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    model = _load_model(args[0])
+    holder = "gpost" if o.gpost else "post"
+    posts = RandomAccessTableReader(args[2], holder)
+    feats = dict(SequentialTableReader(args[1], "mat"))
+    spk2utt = ({k: v.split() for k, v in _read_map(o.spk2utt).items()}
+               if o.spk2utt else {k: [k] for k in feats})
+    n = 0
+    with TableWriter(args[3], "mat") as w:
+        for spk, utts in spk2utt.items():
+            acc = None
+            for u in utts:
+                if u not in feats or u not in posts:
+                    continue
+                x = np.asarray(feats[u], np.float64)
+                if acc is None:
+                    acc = FmllrAccs(x.shape[1])
+                accumulate(acc, model, x, posts[u])
+            if acc is None:
+                continue
+            trans = compute_fmllr_transform(acc, min_count=o.fmllr_min_count)
+            if trans is not None:
+                w[spk] = trans.astype(np.float32)
+                n += 1
+    return n
+
+
+@tool("gmm-est-fmllr-gpost")
+def gmm_est_fmllr_gpost_tool(argv: List[str]) -> int:
+    """Per-speaker fMLLR from Gaussian-level posteriors
+    (reference gmmbin/gmm-est-fmllr-gpost.cc) — same estimation as
+    gmm-est-fmllr but responsibilities come pre-computed in the gpost
+    table (e.g. from a previous model, for 2-pass SAT decoding)."""
+    po = ParseOptions(
+        "gmm-est-fmllr-gpost [options] <model> <feats-rspecifier> "
+        "<gpost-rspecifier> <transform-wspecifier>"
+    )
+
+    class Opts:
+        spk2utt = ""
+        fmllr_min_count = 500.0
+        gpost = True
+
+    o = Opts()
+    po.register("spk2utt", o, "spk2utt")
+    po.register("fmllr-min-count", o, "fmllr_min_count")
+    args = po.parse(argv)
+    if len(args) != 4:
+        return _usage(po)
+
+    def accumulate(acc, model, x, gpost):
+        acc.accumulate_gpost(model.am, x, gpost)
+
+    n = _est_fmllr_from_accs_loop(o, args, accumulate)
+    log.info("gmm-est-fmllr-gpost: %d transforms", n)
+    return 0
+
+
+def _spk_fmllr_accs(args, spk2utt_opt):
+    """Per-speaker FmllrAccs from (model, feats, post) table args."""
+    from old_kaldi_git_tpu.transform.fmllr import FmllrAccs
+    from old_kaldi_git_tpu.utils.data_dir import _read_map
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+    )
+
+    model = _load_model(args[0])
+    posts = RandomAccessTableReader(args[2], "post")
+    feats = dict(SequentialTableReader(args[1], "mat"))
+    spk2utt = ({k: v.split() for k, v in _read_map(spk2utt_opt).items()}
+               if spk2utt_opt else {k: [k] for k in feats})
+    out = {}
+    for spk, utts in spk2utt.items():
+        acc = None
+        for u in utts:
+            if u not in feats or u not in posts:
+                continue
+            x = np.asarray(feats[u], np.float64)
+            if acc is None:
+                acc = FmllrAccs(x.shape[1])
+            t, pdfs, ws = _post_weights_per_pdf(posts[u], model.tm)
+            acc.accumulate(model.am, x[t], pdfs, ws)
+        if acc is not None and acc.beta > 0:
+            out[spk] = acc
+    return out
+
+
+@tool("gmm-basis-fmllr-training")
+def gmm_basis_fmllr_training_tool(argv: List[str]) -> int:
+    """Learn an fMLLR basis from training-speaker statistics
+    (reference gmmbin/gmm-basis-fmllr-training.cc)."""
+    from old_kaldi_git_tpu.transform.basis_fmllr import estimate_fmllr_basis
+
+    po = ParseOptions(
+        "gmm-basis-fmllr-training [options] <model> <feats-rspecifier> "
+        "<post-rspecifier> <basis-out>"
+    )
+
+    class Opts:
+        spk2utt = ""
+        num_bases = 0  # 0 → min(D*(D+1), 200)
+
+    o = Opts()
+    po.register("spk2utt", o, "spk2utt")
+    po.register("num-bases", o, "num_bases")
+    args = po.parse(argv)
+    if len(args) != 4:
+        return _usage(po)
+    accs = _spk_fmllr_accs(args, o.spk2utt)
+    if not accs:
+        log.warning("gmm-basis-fmllr-training: no speaker stats")
+        return 1
+    basis = estimate_fmllr_basis(
+        list(accs.values()), o.num_bases if o.num_bases > 0 else None)
+    basis.save(args[3])
+    log.info(
+        "gmm-basis-fmllr-training: %d bases from %d speakers → %s",
+        basis.num_bases, len(accs), args[3])
+    return 0
+
+
+@tool("gmm-est-basis-fmllr")
+def gmm_est_basis_fmllr_tool(argv: List[str]) -> int:
+    """Per-speaker transforms in a learned fMLLR basis
+    (reference gmmbin/gmm-est-basis-fmllr.cc); works from far fewer
+    adaptation frames than gmm-est-fmllr."""
+    from old_kaldi_git_tpu.transform.basis_fmllr import (
+        BasisFmllr,
+        compute_fmllr_basis_transform,
+    )
+    from old_kaldi_git_tpu.utils.table import TableWriter
+
+    po = ParseOptions(
+        "gmm-est-basis-fmllr [options] <model> <basis-in> "
+        "<feats-rspecifier> <post-rspecifier> <transform-wspecifier>"
+    )
+
+    class Opts:
+        spk2utt = ""
+        size_scale = 0.2
+        fmllr_min_count = 10.0
+        num_iters = 10
+
+    o = Opts()
+    po.register("spk2utt", o, "spk2utt")
+    po.register("size-scale", o, "size_scale")
+    po.register("fmllr-min-count", o, "fmllr_min_count")
+    po.register("num-iters", o, "num_iters")
+    args = po.parse(argv)
+    if len(args) != 5:
+        return _usage(po)
+    basis = BasisFmllr.load(args[1])
+    accs = _spk_fmllr_accs([args[0], args[2], args[3]], o.spk2utt)
+    n = 0
+    with TableWriter(args[4], "mat") as w:
+        for spk, acc in accs.items():
+            res = compute_fmllr_basis_transform(
+                acc, basis, size_scale=o.size_scale,
+                num_iters=o.num_iters, min_count=o.fmllr_min_count)
+            if res is None:
+                continue
+            w[spk] = res[0].astype(np.float32)
+            n += 1
+    log.info("gmm-est-basis-fmllr: %d transforms", n)
+    return 0

@@ -158,3 +158,71 @@ class PosteriorHolder(Holder):
 
 
 register_holder("post", PosteriorHolder)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-level posteriors (reference src/hmm/posterior.h `GaussPost` =
+# vector<vector<pair<int32, Vector<BaseFloat>>>>): per frame, (pdf-id,
+# per-Gaussian posterior vector) — produced by gmm-post-to-gpost, consumed
+# by gmm-est-fmllr-gpost / gmm-acc-stats-gpost style tools.
+# ---------------------------------------------------------------------------
+
+GaussPost = List[List[Tuple[int, "np.ndarray"]]]
+
+
+def post_to_gpost(post: Posterior, tm, am, feats) -> GaussPost:
+    """Transition-id posteriors → per-Gaussian posteriors
+    (reference gmmbin/gmm-post-to-gpost.cc): for each (tid, w) entry the
+    pdf's Gaussian responsibilities at that frame, scaled by w. Entries
+    with the same pdf on one frame are merged."""
+    import numpy as np
+
+    x = np.asarray(feats, np.float64)
+    out: GaussPost = []
+    for t, frame in enumerate(post):
+        acc = {}
+        for tid, w in frame:
+            pdf = tm.tid_to_pdf(tid)
+            acc[pdf] = acc.get(pdf, 0.0) + w
+        entries = []
+        for pdf, w in sorted(acc.items()):
+            gamma = am.pdfs[pdf].posteriors(x[t:t + 1])[0] * w
+            entries.append((pdf, gamma.astype(np.float32)))
+        out.append(entries)
+    return out
+
+
+class GaussPostHolder(Holder):
+    """Binary-only holder for GaussPost tables ("gpost")."""
+
+    def write(self, f, value: GaussPost, binary: bool) -> None:
+        import numpy as np
+
+        from old_kaldi_git_tpu.utils.io_funcs import write_vector
+
+        init_kaldi_output_stream(f, True)
+        write_token(f, "<GPost>")
+        write_int32(f, len(value))
+        for frame in value:
+            write_int32(f, len(frame))
+            for pdf, gamma in frame:
+                write_int32(f, int(pdf))
+                write_vector(f, np.asarray(gamma, np.float32))
+        write_token(f, "</GPost>")
+
+    def read(self, f) -> GaussPost:
+        from old_kaldi_git_tpu.utils.io_funcs import read_vector
+
+        if not init_kaldi_input_stream(f):
+            raise KaldiError("gpost tables are binary-only")
+        expect_token(f, "<GPost>")
+        T = read_int32(f)
+        out: GaussPost = []
+        for _ in range(T):
+            n = read_int32(f)
+            out.append([(read_int32(f), read_vector(f)) for _ in range(n)])
+        expect_token(f, "</GPost>")
+        return out
+
+
+register_holder("gpost", GaussPostHolder)

@@ -53,6 +53,32 @@ class FmllrAccs:
                 self.G += inv_var[:, None, None] * scatter[None, :, :]
                 self.beta += tot
 
+    def accumulate_gpost(self, am: AmDiagGmm, feats: np.ndarray, gpost) -> None:
+        """Accumulate from Gaussian-level posteriors
+        (reference FmllrDiagGmmAccs::AccumulateFromPosteriors via
+        gmm-est-fmllr-gpost): identical statistics to `accumulate`, but the
+        per-Gaussian responsibilities come from the caller instead of being
+        recomputed from the model — the two paths must agree exactly when
+        the gpost was produced from the same model/features."""
+        x = np.asarray(feats, np.float64)
+        xp = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+        for t, frame in enumerate(gpost):
+            for pdf, gamma in frame:
+                gmm = am.pdfs[pdf]
+                gamma = np.asarray(gamma, np.float64)
+                tot = gamma.sum()
+                if tot < 1e-8:
+                    continue
+                inv_var = 1.0 / gmm.vars  # [M, D]
+                # K += Σ_m γ_m (Σ_m^{-1} μ_m) x⁺ᵀ
+                self.K += np.outer(
+                    (gamma[:, None] * inv_var * gmm.means).sum(axis=0), xp[t])
+                # G_i += (Σ_m γ_m / σ²_{m,i}) x⁺ x⁺ᵀ
+                scatter = np.outer(xp[t], xp[t])
+                self.G += (gamma[:, None] * inv_var).sum(axis=0)[
+                    :, None, None] * scatter[None, :, :]
+                self.beta += tot
+
     def add(self, other: "FmllrAccs") -> None:
         self.K += other.K
         self.G += other.G

@@ -188,6 +188,7 @@ _LAZY_PROVIDERS = {
     "clat": "old_kaldi_git_tpu.lat.holder",
     "fst": "old_kaldi_git_tpu.fst.holder",
     "post": "old_kaldi_git_tpu.hmm.posterior",
+    "gpost": "old_kaldi_git_tpu.hmm.posterior",
     "egs": "old_kaldi_git_tpu.models.egs",
     "cegs": "old_kaldi_git_tpu.models.egs",
 }

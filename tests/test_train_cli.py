@@ -302,3 +302,49 @@ def test_gmm_acc_stats_posterior_equals_ali(corpus):
     with open(d / "p.nosil.acc", "rb") as f:
         nosil, _ = read_accs(f)
     assert nosil.occ.sum() < hard.occ.sum()
+
+
+def test_gpost_and_basis_fmllr_cli(corpus):
+    """gmm-post-to-gpost → gmm-est-fmllr-gpost matches gmm-est-fmllr, and
+    the basis chain (gmm-basis-fmllr-training → gmm-est-basis-fmllr)
+    produces valid transforms from the same stats."""
+    d, tf, sf, st = corpus
+    assert (d / "final.mdl").exists()
+    if not (d / "wpost.ark").exists():
+        pytest.skip("transform-tools test must run first")
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    run(["gmm-post-to-gpost", "final.mdl", "ark:train.ark",
+         "ark:wpost.ark", "ark:gpost.ark"], d)
+    run(["gmm-est-fmllr-gpost", "--fmllr-min-count=10", "final.mdl",
+         "ark:train.ark", "ark:gpost.ark", "ark:fmllr.gpost.ark"], d)
+    via_post = read_table(f"ark:{d}/fmllr.ark", "mat")
+    via_gpost = read_table(f"ark:{d}/fmllr.gpost.ark", "mat")
+    assert set(via_post) == set(via_gpost)
+    # the gpost ark quantizes responsibilities to f32, and the iterative
+    # row solve amplifies that on near-zero elements — compare transforms
+    # loosely element-wise and tightly on what matters: the transformed
+    # features themselves
+    feats = read_table(f"ark:{d}/train.ark", "mat")
+    from old_kaldi_git_tpu.transform.fmllr import apply_affine_transform
+
+    for k in via_post:
+        np.testing.assert_allclose(
+            via_gpost[k], via_post[k], rtol=0.02, atol=0.5)
+        x = np.asarray(feats[k], np.float64)
+        ya = apply_affine_transform(x, np.asarray(via_post[k], np.float64))
+        yb = apply_affine_transform(x, np.asarray(via_gpost[k], np.float64))
+        rms = np.sqrt(np.mean((ya - yb) ** 2)) / (np.std(ya) + 1e-8)
+        assert rms < 0.02
+
+    run(["gmm-basis-fmllr-training", "final.mdl", "ark:train.ark",
+         "ark:wpost.ark", "fmllr.basis"], d)
+    run(["gmm-est-basis-fmllr", "--fmllr-min-count=5", "final.mdl",
+         "fmllr.basis", "ark:train.ark", "ark:wpost.ark",
+         "ark:basisfmllr.ark"], d)
+    basis_trans = read_table(f"ark:{d}/basisfmllr.ark", "mat")
+    assert basis_trans
+    D = next(iter(tf.values())).shape[1]
+    for m in basis_trans.values():
+        assert m.shape == (D, D + 1)
+        assert np.isfinite(m).all()

@@ -200,3 +200,162 @@ def test_triphone_pipeline_e2e():
     hyps3 = decode_dataset(res.model, csr2, lang, adapted, DecodeOptions(beam=20.0))
     sat_stats = score_hyps(test_text, hyps3)
     assert sat_stats.wer <= 5.0, f"fmllr decode {sat_stats.report()}"
+
+
+# ---------------------------------------------------------------------------
+# basis-fMLLR (reference src/transform/basis-fmllr-diag-gmm.{h,cc}) + gpost
+# ---------------------------------------------------------------------------
+
+
+def _affine_corrupt(rng, clean, scale_spread=0.15, shift_spread=0.5):
+    d = clean.shape[1]
+    a = np.eye(d) + scale_spread * rng.normal(size=(d, d)) / np.sqrt(d)
+    b = shift_spread * rng.normal(size=d)
+    return clean @ a.T + b
+
+
+def _speaker_data(rng, am, frames_per_pdf):
+    feats, pdfs = [], []
+    for pdf in range(am.num_pdfs):
+        g = am.pdfs[pdf]
+        feats.append(
+            g.means[0] + np.sqrt(g.vars[0]) * rng.normal(
+                size=(frames_per_pdf, am.dim)))
+        pdfs.append(np.full(frames_per_pdf, pdf))
+    return np.concatenate(feats), np.concatenate(pdfs)
+
+
+def test_basis_fmllr_tiny_data_beats_full():
+    """With ~45 adaptation frames, full fMLLR refuses (min-count) while
+    basis-fMLLR (few coefficients) still improves the likelihood —
+    the reference's motivating use case."""
+    from old_kaldi_git_tpu.transform.basis_fmllr import (
+        compute_fmllr_basis_transform,
+        estimate_fmllr_basis,
+    )
+
+    rng = np.random.default_rng(7)
+    am = _toy_am(rng, num_pdfs=3, dim=4)
+    # training speakers: each sees the model through its own affine channel
+    spk_accs = []
+    for _ in range(12):
+        clean, pdfs = _speaker_data(rng, am, 200)
+        corrupted = _affine_corrupt(rng, clean)
+        acc = FmllrAccs(4)
+        acc.accumulate(am, corrupted, pdfs)
+        spk_accs.append(acc)
+    basis = estimate_fmllr_basis(spk_accs)
+    assert basis.dim == 4 and basis.num_bases >= 10
+
+    # test speaker: 45 frames only
+    clean, pdfs = _speaker_data(rng, am, 15)
+    corrupted = _affine_corrupt(rng, clean)
+    acc = FmllrAccs(4)
+    acc.accumulate(am, corrupted, pdfs)
+    assert compute_fmllr_transform(acc, min_count=500.0) is None
+    res = compute_fmllr_basis_transform(acc, basis)
+    assert res is not None
+    w, n, impr = res
+    assert 1 <= n <= basis.num_bases
+    assert impr > 0.01  # per-frame auxiliary gain
+    restored = apply_affine_transform(corrupted, w)
+
+    def tot_like(x):
+        return sum(
+            am.pdfs[p].loglikes(x[pdfs == p]).sum() for p in range(3))
+
+    assert tot_like(restored) > tot_like(corrupted)
+
+
+def test_basis_fmllr_ample_data_approaches_full():
+    from old_kaldi_git_tpu.transform.basis_fmllr import (
+        compute_fmllr_basis_transform,
+        estimate_fmllr_basis,
+    )
+    from old_kaldi_git_tpu.transform.fmllr import FmllrAccs as FA
+
+    rng = np.random.default_rng(11)
+    am = _toy_am(rng, num_pdfs=3, dim=4)
+    spk_accs = []
+    for _ in range(10):
+        clean, pdfs = _speaker_data(rng, am, 250)
+        acc = FA(4)
+        acc.accumulate(am, _affine_corrupt(rng, clean), pdfs)
+        spk_accs.append(acc)
+    basis = estimate_fmllr_basis(spk_accs)
+
+    clean, pdfs = _speaker_data(rng, am, 400)
+    corrupted = _affine_corrupt(rng, clean)
+    acc = FA(4)
+    acc.accumulate(am, corrupted, pdfs)
+    from old_kaldi_git_tpu.transform.basis_fmllr import _aux_objf
+    w_full = compute_fmllr_transform(acc, min_count=10.0)
+    full_gain = _aux_objf(w_full, acc) - _aux_objf(
+        np.concatenate([np.eye(4), np.zeros((4, 1))], axis=1), acc)
+    res = compute_fmllr_basis_transform(acc, basis, num_iters=20)
+    assert res is not None
+    w_b, n, impr = res
+    assert impr * acc.beta > 0.6 * full_gain
+
+
+def test_gpost_path_matches_post_path():
+    """gmm-post-to-gpost → accumulate_gpost must produce exactly the stats
+    of the direct posterior path (same model, same features)."""
+    from old_kaldi_git_tpu.hmm.posterior import post_to_gpost
+
+    class _TM:  # trivial tid→pdf map: tid-1 == pdf
+        def tid_to_pdf(self, tid):
+            return tid - 1
+
+    rng = np.random.default_rng(3)
+    # 2-mix GMMs so gpost vectors are non-trivial
+    pdfs_list = [
+        DiagGmm(np.array([0.6, 0.4]), rng.normal(size=(2, 4)) * 2,
+                0.5 + rng.random((2, 4)))
+        for _ in range(3)
+    ]
+    am = AmDiagGmm(pdfs_list)
+    clean, pdfs = _speaker_data(rng, am, 50)
+    post = [[(int(p) + 1, 0.7)] for p in pdfs]
+
+    acc_direct = FmllrAccs(4)
+    acc_direct.accumulate(
+        am, clean, pdfs, weights=np.full(len(pdfs), 0.7))
+
+    gpost = post_to_gpost(post, _TM(), am, clean)
+    acc_g = FmllrAccs(4)
+    acc_g.accumulate_gpost(am, clean, gpost)
+
+    np.testing.assert_allclose(acc_g.K, acc_direct.K, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(acc_g.G, acc_direct.G, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(acc_g.beta, acc_direct.beta, rtol=1e-6)
+
+
+def test_gpost_holder_roundtrip(tmp_path):
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    rng = np.random.default_rng(0)
+    gp = [
+        [(2, rng.random(3).astype(np.float32)),
+         (5, rng.random(2).astype(np.float32))],
+        [],
+        [(0, rng.random(1).astype(np.float32))],
+    ]
+    p = tmp_path / "g.ark"
+    with TableWriter(f"ark:{p}", "gpost") as w:
+        w["utt1"] = gp
+    got = dict(SequentialTableReader(f"ark:{p}", "gpost"))["utt1"]
+    assert len(got) == 3 and len(got[0]) == 2 and got[1] == []
+    assert got[0][0][0] == 2
+    np.testing.assert_allclose(got[0][1][1], gp[0][1][1], rtol=1e-6)
+
+
+def test_basis_fmllr_serialization_roundtrip(tmp_path):
+    from old_kaldi_git_tpu.transform.basis_fmllr import BasisFmllr
+
+    rng = np.random.default_rng(1)
+    b = BasisFmllr(rng.normal(size=(6, 4, 5)))
+    path = str(tmp_path / "fmllr.basis")
+    b.save(path)
+    b2 = BasisFmllr.load(path)
+    np.testing.assert_allclose(b2.mats, b.mats, atol=1e-6)
