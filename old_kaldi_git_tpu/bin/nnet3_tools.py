@@ -74,15 +74,27 @@ def nnet3_copy_tool(argv: List[str]) -> int:
     class Opts:
         scale = 1.0
         prior_counts_vec = ""  # Kaldi vector file of pdf counts
+        edits = ""  # semicolon-separated directives (nnet-utils ReadEditConfig)
+        edits_config = ""  # file of directives, one per line
 
     o = Opts()
     po.register("scale", o, "scale")
     po.register("prior-counts-vec", o, "prior_counts_vec")
+    po.register("edits", o, "edits")
+    po.register("edits-config", o, "edits_config")
     args = po.parse(argv)
     if len(args) != 2:
         print(po.print_usage(), file=sys.stderr)
         return 1
     am = AmNnet.load(args[0])
+    if o.edits or o.edits_config:
+        from old_kaldi_git_tpu.models.edits import apply_edits
+
+        edits = o.edits
+        if o.edits_config:
+            with open(o.edits_config) as f:
+                edits = (edits + ";" if edits else "") + f.read()
+        am = apply_edits(am, edits)
     if o.scale != 1.0:
         am.variables = dict(am.variables)
         am.variables["params"] = jax.tree.map(
@@ -306,7 +318,7 @@ def nnet3_train_tool(argv: List[str]) -> int:
     steps = max(1, len(egs) // o.minibatch_size) * o.num_epochs
     nopts = NnetTrainOptions(initial_lr=o.initial_lr, final_lr=o.final_lr,
                              max_param_change=o.max_change)
-    optimizer = make_optimizer(nopts, steps)
+    optimizer = make_optimizer(nopts, steps, lr_factors=am.lr_factors)
     model = am.model()
     params = am.variables["params"]
     state = TrainState(params, am.variables.get("batch_stats", {}),
@@ -337,6 +349,7 @@ def nnet3_train_tool(argv: List[str]) -> int:
         {"params": jax.tree.map(np.asarray, state.params),
          "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
         am.log_priors,
+        am.lr_factors,
     )
     out.save(args[2])
     return 0
@@ -713,7 +726,7 @@ def nnet3_chain_train_tool(argv: List[str]) -> int:
     )
     steps = max(1, len(egs) // o.minibatch_size) * o.num_epochs
     nopts = NnetTrainOptions(initial_lr=o.initial_lr, final_lr=o.final_lr)
-    optimizer = make_optimizer(nopts, steps)
+    optimizer = make_optimizer(nopts, steps, lr_factors=cm.am.lr_factors)
     model = cm.am.model()
     params = cm.am.variables["params"]
     state = TrainState(params, cm.am.variables.get("batch_stats", {}),
@@ -748,6 +761,7 @@ def nnet3_chain_train_tool(argv: List[str]) -> int:
         {"params": jax.tree.map(np.asarray, state.params),
          "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
         cm.am.log_priors,
+        cm.am.lr_factors,
     )
     ChainModel(out_am, cm.ctx_dep, cm.tm, cm.den,
                cm.frame_subsampling_factor).save(args[2])
@@ -1015,4 +1029,145 @@ def online2_wav_nnet3_latgen_tool(argv: List[str]) -> int:
     if tot_audio:
         print(f"overall RTF {tot_wall / tot_audio:.3f} "
               f"({tot_audio:.1f}s audio in {tot_wall:.1f}s)")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# egs merging + chain egs aliases + model combination
+# ---------------------------------------------------------------------------
+
+def _merge_egs_impl(argv: List[str], chain: bool) -> int:
+    """Shared body of nnet3-merge-egs / nnet3-chain-merge-egs: the
+    ExampleMerger's shape-matching role (reference nnet-example-utils.cc).
+    Actual stacking into [B, T, ...] arrays happens inside the training
+    step (one jitted program per shape), so merging here = sorting the
+    stream into same-shape runs of --minibatch-size so downstream batches
+    pad minimally and compile once per shape."""
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    name = "nnet3-chain-merge-egs" if chain else "nnet3-merge-egs"
+    po = ParseOptions(f"{name} [options] <egs-rspecifier> <egs-wspecifier>")
+
+    class Opts:
+        minibatch_size = 128 if not chain else 8
+
+    o = Opts()
+    po.register("minibatch-size", o, "minibatch_size")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    holder = "cegs" if chain else "egs"
+    pairs = list(SequentialTableReader(args[0], holder))
+    pairs.sort(key=lambda kv: kv[1].feats.shape[0])
+    n_shapes = len({eg.feats.shape[0] for _k, eg in pairs})
+    with TableWriter(args[1], holder) as w:
+        for key, eg in pairs:
+            w[key] = eg
+    log.info("%s: %d egs in %d shape groups (minibatch %d)",
+             name, len(pairs), n_shapes, o.minibatch_size)
+    return 0 if pairs else 1
+
+
+@tool("nnet3-merge-egs")
+def nnet3_merge_egs_tool(argv: List[str]) -> int:
+    """Group egs into same-shape minibatch runs
+    (reference nnet3bin/nnet3-merge-egs.cc; see _merge_egs_impl)."""
+    return _merge_egs_impl(argv, chain=False)
+
+
+@tool("nnet3-chain-merge-egs")
+def nnet3_chain_merge_egs_tool(argv: List[str]) -> int:
+    """Chain variant of nnet3-merge-egs
+    (reference chainbin/nnet3-chain-merge-egs.cc)."""
+    return _merge_egs_impl(argv, chain=True)
+
+
+@tool("nnet3-chain-copy-egs")
+def nnet3_chain_copy_egs_tool(argv: List[str]) -> int:
+    """Round-robin split/copy of chain egs
+    (reference chainbin/nnet3-chain-copy-egs.cc)."""
+    return nnet3_copy_egs_tool(["--chain=true"] + argv)
+
+
+@tool("nnet3-chain-shuffle-egs")
+def nnet3_chain_shuffle_egs_tool(argv: List[str]) -> int:
+    """Randomize chain-eg order
+    (reference chainbin/nnet3-chain-shuffle-egs.cc)."""
+    return nnet3_shuffle_egs_tool(["--chain=true"] + argv)
+
+
+@tool("nnet3-combine")
+def nnet3_combine_tool(argv: List[str]) -> int:
+    """Combination of the last N iteration models with weights optimized on
+    held-out egs (reference nnet3bin/nnet3-combine.cc; library:
+    models/train.py combine_models)."""
+    _jnp()
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.train import combine_models
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions(
+        "nnet3-combine [options] <nnet-in-1> [<nnet-in-2> ...] "
+        "<valid-egs-rspecifier> <nnet-out>"
+    )
+
+    class Opts:
+        num_steps = 60
+        max_egs = 128
+
+    o = Opts()
+    po.register("num-steps", o, "num_steps")
+    po.register("max-egs", o, "max_egs")
+    args = po.parse(argv)
+    if len(args) < 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    ams = [AmNnet.load(p) for p in args[:-2]]
+    egs = [eg for _k, eg in SequentialTableReader(args[-2], "egs")]
+    if not egs:
+        log.error("no valid egs")
+        return 1
+    egs = sorted(egs, key=lambda e: e.feats.shape[0])[: o.max_egs]
+    # combine_models takes utterance dicts — egs are just short utterances
+    feats = {f"eg{i}": e.feats for i, e in enumerate(egs)}
+    labels = {f"eg{i}": e.labels for i, e in enumerate(egs)}
+    out = combine_models(ams, feats, labels, num_steps=o.num_steps)
+    out.save(args[-1])
+    return 0
+
+
+@tool("nnet3-chain-combine")
+def nnet3_chain_combine_tool(argv: List[str]) -> int:
+    """Chain-model combination optimized on the LF-MMI objective of
+    held-out cegs (reference chainbin/nnet3-chain-combine.cc; library:
+    recipes/chain.py combine_chain_models)."""
+    _jnp()
+    from old_kaldi_git_tpu.recipes.chain import ChainModel, combine_chain_models
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions(
+        "nnet3-chain-combine [options] <chain-mdl-1> [<chain-mdl-2> ...] "
+        "<valid-cegs-rspecifier> <chain-mdl-out>"
+    )
+
+    class Opts:
+        num_steps = 40
+        max_egs = 32
+
+    o = Opts()
+    po.register("num-steps", o, "num_steps")
+    po.register("max-egs", o, "max_egs")
+    args = po.parse(argv)
+    if len(args) < 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    cms = [ChainModel.load(p) for p in args[:-2]]
+    egs = [eg for _k, eg in SequentialTableReader(args[-2], "cegs")]
+    if not egs:
+        log.error("no valid cegs")
+        return 1
+    out = combine_chain_models(cms, egs, num_steps=o.num_steps,
+                               max_egs=o.max_egs)
+    out.save(args[-1])
     return 0

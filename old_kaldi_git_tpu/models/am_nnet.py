@@ -28,6 +28,10 @@ class AmNnet:
     config: TdnnConfig
     variables: Dict[str, Any]  # {'params': ..., 'batch_stats': ...}
     log_priors: Optional[np.ndarray] = None  # [num_pdfs]
+    # per-layer learning-rate factors {top-level-param-name-glob: factor},
+    # set via nnet3-copy --edits "set-learning-rate-factor ..." (reference
+    # nnet-utils.cc ReadEditConfig); applied by the trainer's optimizer
+    lr_factors: Optional[Dict[str, float]] = None
 
     def model(self) -> TdnnModel:
         return TdnnModel(self.config)
@@ -133,6 +137,7 @@ class AmNnet:
                     "config": self.config,
                     "variables": jax.tree.map(np.asarray, self.variables),
                     "log_priors": self.log_priors,
+                    "lr_factors": self.lr_factors,
                 },
                 f,
             )
@@ -141,7 +146,8 @@ class AmNnet:
     def load(path: str) -> "AmNnet":
         with open(path, "rb") as f:
             d = pickle.load(f)
-        return AmNnet(d["config"], d["variables"], d["log_priors"])
+        return AmNnet(d["config"], d["variables"], d["log_priors"],
+                      d.get("lr_factors"))
 
 
 @dataclasses.dataclass

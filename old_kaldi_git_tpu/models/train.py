@@ -88,7 +88,37 @@ def scale_by_max_change(global_max: float, per_component_max: float):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def make_optimizer(opts: NnetTrainOptions, num_steps: int):
+def scale_by_name_factors(factors):
+    """optax transform scaling updates of top-level param collections whose
+    name glob-matches an entry of `factors` (reference per-component
+    learning-rate-factor, nnet-utils.cc ReadEditConfig /
+    UpdatableComponent::learning_rate_factor_; set via nnet3-copy --edits).
+    Matching is resolved at trace time (names are static), so the jitted
+    update just carries the constant scales."""
+    import fnmatch
+
+    def factor_for(name: str) -> float:
+        f = 1.0
+        for pat, v in factors.items():
+            if fnmatch.fnmatch(name, pat):
+                f = float(v)
+        return f
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if isinstance(updates, dict):
+            updates = {
+                k: jax.tree.map(lambda l, _f=factor_for(k): l * _f, v)
+                for k, v in updates.items()
+            }
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(opts: NnetTrainOptions, num_steps: int, lr_factors=None):
     lr = optax.linear_schedule(opts.initial_lr, opts.final_lr, max(num_steps, 1))
     if opts.optimizer == "adam":
         core = optax.scale_by_adam()
@@ -115,6 +145,7 @@ def make_optimizer(opts: NnetTrainOptions, num_steps: int):
         optax.add_decayed_weights(opts.l2_regularize),
         core,
         optax.scale_by_learning_rate(lr),
+        scale_by_name_factors(lr_factors) if lr_factors else optax.identity(),
         scale_by_max_change(opts.max_param_change, opts.max_change_per_component),
     )
 
@@ -126,11 +157,12 @@ def make_ce_train_step(
     (state, metrics).  Under a data-sharded batch XLA reduces grads with a
     psum over the mesh automatically."""
 
-    def loss_fn(params, batch_stats, feats, labels, mask):
+    def loss_fn(params, batch_stats, feats, labels, mask, dropout_rng):
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             feats,
             train=True,
+            dropout_rng=dropout_rng,
             mutable=["batch_stats"],
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -142,8 +174,11 @@ def make_ce_train_step(
 
     @jax.jit
     def step(state: TrainState, feats, labels, mask):
+        # per-step dropout key (deterministic in step index, like the
+        # reference's srand+iteration convention)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
         (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, feats, labels, mask
+            state.params, state.batch_stats, feats, labels, mask, rng
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -99,6 +99,7 @@ class ChainModel:
                     "tm": self.tm,
                     "den": self.den,
                     "fsf": self.frame_subsampling_factor,
+                    "lrf": self.am.lr_factors,
                 },
                 f,
             )
@@ -110,7 +111,7 @@ class ChainModel:
         with open(path, "rb") as f:
             d = pickle.load(f)
         am = AmNnet(d["am"]["config"], d["am"]["variables"],
-                    d["am"]["log_priors"])
+                    d["am"]["log_priors"], d.get("lrf"))
         return ChainModel(am, d["ctx_dep"], d["tm"], d["den"], d["fsf"])
 
 
@@ -120,10 +121,10 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
     shared by train_chain and the nnet3-chain-train CLI tool."""
 
     def loss_fn(params, batch_stats, bf, b_pdf, b_allowed, b_nf, b_sl,
-                b_adv, b_xent):
+                b_adv, b_xent, dropout_rng):
         logits_full, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, bf, train=True,
-            mutable=["batch_stats"],
+            dropout_rng=dropout_rng, mutable=["batch_stats"],
         )
         logits = logits_full[:, ::fsf][:, : b_allowed.shape[1]]
         loss, metrics = chain_loss(
@@ -140,10 +141,11 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
 
     @jax.jit
     def step_fn(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
         (loss, (new_bs, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, bf, b_pdf, b_allowed, b_nf,
-          b_sl, b_adv, b_xent)
+          b_sl, b_adv, b_xent, rng)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -151,6 +153,78 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
                 loss, metrics)
 
     return step_fn
+
+
+def combine_chain_models(
+    cms, egs, num_steps: int = 40, lr: float = 0.3, max_egs: int = 32,
+    loss_opts: Optional[ChainLossOptions] = None,
+):
+    """Optimized chain-model combination (reference chainbin/
+    nnet3-chain-combine.cc): one softmax-parameterized weight per model,
+    optimized on the LF-MMI objective of held-out chain egs.  Mirrors
+    models/train.py combine_models but with the chain objective; the
+    stacked-parameter contraction keeps the whole search on the MXU."""
+    from old_kaldi_git_tpu.models.egs import batch_chain_egs
+
+    if len(cms) == 1:
+        return cms[0]
+    base = cms[0]
+    opts = loss_opts or ChainLossOptions(xent_regularize=0.0)
+    model = base.am.model()
+    fsf = base.frame_subsampling_factor
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[cm.am.variables["params"] for cm in cms],
+    )
+    stacked_bs = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[cm.am.variables.get("batch_stats", {}) for cm in cms],
+    )
+    bf, pdf_seq, allowed, nf, sl, adv, _x = batch_chain_egs(
+        sorted(egs, key=lambda e: e.feats.shape[0])[:max_egs])
+    bf, pdf_seq, allowed = jnp.asarray(bf), jnp.asarray(pdf_seq), jnp.asarray(allowed)
+    nf, sl, adv = jnp.asarray(nf), jnp.asarray(sl), jnp.asarray(adv)
+
+    def objf(logw):
+        w = jax.nn.softmax(logw)
+        params = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1), stacked)
+        bs = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1), stacked_bs)
+        logits = model.apply(
+            {"params": params, "batch_stats": bs}, bf, train=False)
+        logits = logits[:, ::fsf][:, : allowed.shape[1]]
+        loss, _m = chain_loss(
+            logits, base.den, pdf_seq, allowed, nf, sl, adv, opts)
+        return loss
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(logw0):
+        def body(carry, _):
+            logw, opt_state = carry
+            loss, g = jax.value_and_grad(objf)(logw)
+            updates, opt_state = opt.update(g, opt_state, logw)
+            return (optax.apply_updates(logw, updates), opt_state), loss
+
+        (logw, _), losses = jax.lax.scan(
+            body, (logw0, opt.init(logw0)), None, length=num_steps)
+        return logw, losses
+
+    logw, losses = run(jnp.zeros(len(cms), jnp.float32))
+    w = np.asarray(jax.nn.softmax(logw))
+    log.info(
+        "combine_chain_models: %d models, loss %.4f → %.4f, weights %s",
+        len(cms), float(losses[0]), float(losses[-1]), np.round(w, 3),
+    )
+    params = jax.tree.map(
+        lambda s: np.asarray(jnp.tensordot(jnp.asarray(w), s, axes=1)),
+        stacked)
+    bs = jax.tree.map(
+        lambda s: np.asarray(jnp.tensordot(jnp.asarray(w), s, axes=1)),
+        stacked_bs)
+    am = AmNnet(base.am.config, {"params": params, "batch_stats": bs},
+                base.am.log_priors, base.am.lr_factors)
+    return ChainModel(am, base.ctx_dep, base.tm, base.den, fsf)
 
 
 def build_chain_objects(

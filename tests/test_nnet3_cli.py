@@ -175,6 +175,93 @@ def test_nnet3_chain_cli_pipeline(system):
     assert obj1 > obj0 + 0.1, (obj0, obj1)  # LF-MMI objective improved
 
 
+
+def test_nnet3_merge_combine_edits(system):
+    """nnet3-merge-egs shape grouping, nnet3-combine weight optimization,
+    and nnet3-copy --edits model surgery (lr factors + dropout)."""
+    d, D, P, _phones = system
+    if not (d / "1.raw").exists():
+        pytest.skip("CE pipeline test must run first")
+    run(["nnet3-merge-egs", "--minibatch-size=16", "ark:egs_shuf.ark",
+         "ark:egs_merged.ark"], d)
+    from old_kaldi_git_tpu.utils.table import read_table as rt
+
+    merged = rt(f"ark:{d}/egs_merged.ark", "egs")
+    lens = [e.feats.shape[0] for e in merged.values()]
+    assert lens == sorted(lens) and len(merged) > 0
+
+    # combine the initial and trained model: optimized weights must put
+    # almost all mass on the trained one, and the combined objf must not
+    # be (much) worse than the best input
+    run(["nnet3-combine", "0.raw", "1.raw", "ark:egs_merged.ark",
+         "combined.raw"], d)
+    r_best = run(["nnet3-compute-prob", "1.raw", "ark:egs_shuf.ark"], d)
+    r_comb = run(["nnet3-compute-prob", "combined.raw", "ark:egs_shuf.ark"], d)
+    ce_best = float(re.search(r"log-probability per frame: (\S+)",
+                              r_best.stdout)[1])
+    ce_comb = float(re.search(r"log-probability per frame: (\S+)",
+                              r_comb.stdout)[1])
+    assert ce_comb > ce_best - 0.05, (ce_best, ce_comb)
+
+    # --edits: freeze everything but the output layer, then train — only
+    # the output layer's params may change
+    run(["nnet3-copy",
+         "--edits=set-learning-rate-factor name=tdnn* learning-rate-factor=0.0",
+         "1.raw", "frozen.raw"], d)
+    run(["nnet3-train", "--num-epochs=2", "--minibatch-size=16",
+         "frozen.raw", "ark:egs_shuf.ark", "frozen_trained.raw"], d)
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+
+    before = AmNnet.load(str(d / "frozen.raw"))
+    after = AmNnet.load(str(d / "frozen_trained.raw"))
+    assert before.lr_factors == {"tdnn*": 0.0}
+    pb, pa = before.variables["params"], after.variables["params"]
+    for name in pb:
+        delta = max(
+            float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+            for x, y in zip(
+                __import__("jax").tree.leaves(pb[name]),
+                __import__("jax").tree.leaves(pa[name])))
+        if name.startswith("tdnn"):
+            assert delta == 0.0, (name, delta)
+        elif name == "output":
+            assert delta > 0.0, name
+
+    # set-dropout-proportion rewrites the config
+    run(["nnet3-copy", "--edits=set-dropout-proportion proportion=0.2",
+         "1.raw", "dropout.raw"], d)
+    dam = AmNnet.load(str(d / "dropout.raw"))
+    assert all(l.dropout == 0.2 for l in dam.config.layers)
+
+
+def test_nnet3_chain_combine_and_egs_tools(system):
+    d, D, _P, phones = system
+    if not (d / "chain1.mdl").exists():
+        pytest.skip("chain pipeline test must run first")
+    run(["nnet3-chain-copy-egs", "ark:cegs_shuf.ark", "ark:cegs1.ark",
+         "ark:cegs2.ark"], d)
+    run(["nnet3-chain-merge-egs", "--minibatch-size=8", "ark:cegs1.ark",
+         "ark:cegs1m.ark"], d)
+    run(["nnet3-chain-shuffle-egs", "--srand=3", "ark:cegs1m.ark",
+         "ark:cegs1s.ark"], d)
+    from old_kaldi_git_tpu.utils.table import read_table as rt
+
+    n_in = len(rt(f"ark:{d}/cegs_shuf.ark", "cegs"))
+    n1 = len(rt(f"ark:{d}/cegs1s.ark", "cegs"))
+    n2 = len(rt(f"ark:{d}/cegs2.ark", "cegs"))
+    assert n1 + n2 == n_in and n1 > 0 and n2 > 0
+
+    run(["nnet3-chain-combine", "chain0.mdl", "chain1.mdl",
+         "ark:cegs_shuf.ark", "chain_comb.mdl"], d)
+    r_best = run(["nnet3-chain-compute-prob", "chain1.mdl",
+                  "ark:cegs_shuf.ark"], d)
+    r_comb = run(["nnet3-chain-compute-prob", "chain_comb.mdl",
+                  "ark:cegs_shuf.ark"], d)
+    o_best = float(re.search(r"objective per frame: (\S+)", r_best.stdout)[1])
+    o_comb = float(re.search(r"objective per frame: (\S+)", r_comb.stdout)[1])
+    assert o_comb > o_best - 0.05, (o_best, o_comb)
+
+
 def test_online2_wav_nnet3_latgen(tmp_path):
     """Streaming nnet3 decode CLI: online features → chunked TDNN eval with
     context re-computation → carried beam + endpointing."""
