@@ -259,6 +259,28 @@ def _topo_order(lat: Lattice) -> List[int]:
     return order
 
 
+def lattice_state_times(lat: Lattice) -> List[int]:
+    """Frame index per state, recomputed from emitting (ilabel != 0) arcs —
+    reference lat/lattice-functions.cc LatticeStateTimes.  Fills and
+    returns lat.state_time; lattices read from ark files carry no stored
+    times (-1), and frame-synchronous lattices always have consistent
+    emitting-arc counts along all paths to a state."""
+    times = [-1] * lat.num_states
+    times[lat.start] = 0
+    for s in _topo_order(lat):
+        if times[s] < 0:
+            continue
+        for a in lat.arcs[s]:
+            t = times[s] + (1 if a.ilabel != 0 else 0)
+            if times[a.nextstate] < 0:
+                times[a.nextstate] = t
+            elif times[a.nextstate] != t:
+                # inconsistent (non-frame-synchronous input): keep max
+                times[a.nextstate] = max(times[a.nextstate], t)
+    lat.state_time = times
+    return times
+
+
 def lattice_best_path(
     lat: Lattice, lm_scale: float = 1.0, ac_scale: float = 0.1
 ) -> Tuple[List[int], List[int], float]:
