@@ -1068,3 +1068,145 @@ def fstcomposecontext_tool(argv: List[str]) -> int:
         for info in ilabel_info:
             f.write(" ".join(str(x) for x in info) + "\n")
     return _write_fst(clg, args[2])
+
+
+@tool("lattice-interp")
+def lattice_interp_tool(argv: List[str]) -> int:
+    """Interpolate scores of paired lattices: alpha * lat1 + (1-alpha) *
+    lat2-word-costs on the common word sequences
+    (reference latbin/lattice-interp.cc)."""
+    from old_kaldi_git_tpu.lat.lattice import lattice_interp
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "lattice-interp [options] <lat1-rspecifier> <lat2-rspecifier> "
+        "<lat-wspecifier>"
+    )
+
+    class Opts:
+        alpha = 0.5
+        lm_scale2 = 1.0
+        acoustic_scale2 = 0.1
+
+    o = Opts()
+    po.register("alpha", o, "alpha")
+    po.register("lm-scale2", o, "lm_scale2")
+    po.register("acoustic-scale2", o, "acoustic_scale2")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    lat2s = RandomAccessTableReader(args[1], "lat")
+    n_done = n_empty = n_missing = 0
+    with TableWriter(args[2], "lat") as w:
+        for key, lat1 in SequentialTableReader(args[0], "lat"):
+            if key not in lat2s:
+                n_missing += 1
+                continue
+            out = lattice_interp(
+                lat1, lat2s[key], alpha=o.alpha, lm_scale2=o.lm_scale2,
+                ac_scale2=o.acoustic_scale2)
+            if out is None:
+                n_empty += 1
+                continue
+            w[key] = out
+            n_done += 1
+    log.info("lattice-interp: %d done, %d empty intersections, %d missing",
+             n_done, n_empty, n_missing)
+    return 0 if n_done else 1
+
+
+@tool("lattice-align-words")
+def lattice_align_words_tool(argv: List[str]) -> int:
+    """Word time alignment of the best path via word-boundary phone marks
+    (reference latbin/lattice-align-words.cc; input = lang
+    word_boundary.int); writes 'word start_frame num_frames' triples like
+    lattice-align-words-lexicon."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+    from old_kaldi_git_tpu.lat.ctm import (
+        align_words_boundary,
+        read_word_boundary,
+    )
+    from old_kaldi_git_tpu.lat.lattice import lattice_best_path
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-align-words [options] <word-boundary-int> <model> "
+        "<lat-rspecifier> <align-wspecifier>"
+    )
+
+    class Opts:
+        lm_scale = 1.0
+        acoustic_scale = 0.1
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    args = po.parse(argv)
+    if len(args) != 4:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    boundary = read_word_boundary(args[0])
+    tm = AmGmmModel.load(args[1]).tm
+    n_done = n_err = 0
+    with TableWriter(args[3], "text") as w:
+        for key, lat in SequentialTableReader(args[2], "lat"):
+            words, tids, _ = lattice_best_path(lat, o.lm_scale,
+                                               o.acoustic_scale)
+            try:
+                ali = align_words_boundary(tm, boundary, words, tids)
+            except Exception as e:  # noqa: BLE001 — per-utt robustness
+                log.warning("alignment failed for %s: %s", key, e)
+                n_err += 1
+                continue
+            w[key] = " ; ".join(f"{w_} {s} {n}" for w_, s, n in ali)
+            n_done += 1
+    log.info("aligned %d lattices (%d failed)", n_done, n_err)
+    return 0 if n_done or not n_err else 1
+
+
+@tool("phone-align-lattice")
+def phone_align_lattice_tool(argv: List[str]) -> int:
+    """Phone time alignment of the best path
+    (reference latbin/phone-align-lattice.cc role); writes per-utterance
+    'phone start_frame num_frames' triples."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+    from old_kaldi_git_tpu.hmm.hmm_utils import split_to_phones
+    from old_kaldi_git_tpu.lat.lattice import lattice_best_path
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "phone-align-lattice [options] <model> <lat-rspecifier> "
+        "<align-wspecifier>"
+    )
+
+    class Opts:
+        lm_scale = 1.0
+        acoustic_scale = 0.1
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    tm = AmGmmModel.load(args[0]).tm
+    n = 0
+    with TableWriter(args[2], "text") as w:
+        for key, lat in SequentialTableReader(args[1], "lat"):
+            _words, tids, _ = lattice_best_path(lat, o.lm_scale,
+                                                o.acoustic_scale)
+            segs = []
+            t = 0
+            for seg in split_to_phones(tm, list(tids)):
+                segs.append((tm.tid_to_phone(seg[0]), t, len(seg)))
+                t += len(seg)
+            w[key] = " ; ".join(f"{p} {s} {nf}" for p, s, nf in segs)
+            n += 1
+    log.info("phone-aligned %d lattices", n)
+    return 0 if n else 1

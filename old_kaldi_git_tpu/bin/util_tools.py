@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 
@@ -389,4 +389,152 @@ def ivector_extract_online2_tool(argv: List[str]) -> int:
             )
             n += 1
     log.info("extracted online ivectors for %d utterances", n)
+    return 0
+
+
+def _usage(po) -> int:
+    print(po.print_usage(), file=sys.stderr)
+    return 1
+
+
+@tool("fstaddselfloops")
+def fstaddselfloops_tool(argv: List[str]) -> int:
+    """Add disambiguation-symbol self-loops
+    (reference fstbin/fstaddselfloops.cc): reads parallel lists of input
+    and output disambig ids, loops added at start/final/word-emitting
+    states."""
+    from old_kaldi_git_tpu.fst.algorithms import add_disambig_self_loops
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+
+    po = ParseOptions(
+        "fstaddselfloops <disambig-in-list> <disambig-out-list> "
+        "[<fst-in> [<fst-out>]]  (lists: files of integer ids)"
+    )
+    args = po.parse(argv)
+    if len(args) < 2 or len(args) > 4:
+        return _usage(po)
+
+    def read_ids(path):
+        with open(path) as f:
+            return [int(tok) for tok in f.read().split()]
+
+    isyms, osyms = read_ids(args[0]), read_ids(args[1])
+    if len(isyms) != len(osyms):
+        raise KaldiError("disambig lists differ in length")
+    fst_in = args[2] if len(args) > 2 else "-"
+    fst_out = args[3] if len(args) > 3 else "-"
+    if fst_in == "-":
+        fst = VectorFst.read(sys.stdin.buffer)
+    else:
+        with open(fst_in, "rb") as f:
+            fst = VectorFst.read(f)
+    add_disambig_self_loops(fst, list(zip(isyms, osyms)))
+    if fst_out == "-":
+        fst.write(sys.stdout.buffer)
+        sys.stdout.buffer.flush()
+    else:
+        with open(fst_out, "wb") as f:
+            fst.write(f)
+    return 0
+
+
+@tool("draw-tree")
+def draw_tree_tool(argv: List[str]) -> int:
+    """Graphviz dot rendering of the phonetic decision tree
+    (reference bin/draw-tree.cc).  Phones are named via the symbol table;
+    key -1 is the pdf-class, other keys are context positions."""
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.tree.context_dep import ContextDependency
+    from old_kaldi_git_tpu.tree.event_map import (
+        ConstantEventMap,
+        SplitEventMap,
+        TableEventMap,
+    )
+
+    po = ParseOptions("draw-tree <phone-symbol-table> <tree-file>")
+    args = po.parse(argv)
+    if len(args) != 2:
+        return _usage(po)
+    syms = SymbolTable.read(args[0])
+    with open(args[1], "rb") as f:
+        cd = ContextDependency.read(f)
+
+    lines = ["digraph tree {", "  node [shape=box];"]
+    counter = [0]
+
+    def name_phone(v: int) -> str:
+        return str(syms.get(v, v))
+
+    def walk(em) -> str:
+        nid = f"n{counter[0]}"
+        counter[0] += 1
+        if isinstance(em, ConstantEventMap):
+            lines.append(f'  {nid} [shape=ellipse, label="pdf {em.answer}"];')
+        elif isinstance(em, SplitEventMap):
+            key = ("pdf-class" if em.key == -1
+                   else f"ctx[{em.key}]")
+            vals = sorted(em.yes_set)
+            shown = ",".join(
+                name_phone(v) if em.key != -1 else str(v) for v in vals[:8])
+            if len(vals) > 8:
+                shown += ",..."
+            lines.append(f'  {nid} [label="{key} in {{{shown}}}?"];')
+            y = walk(em.yes)
+            n = walk(em.no)
+            lines.append(f'  {nid} -> {y} [label="yes"];')
+            lines.append(f'  {nid} -> {n} [label="no"];')
+        elif isinstance(em, TableEventMap):
+            key = "pdf-class" if em.key == -1 else f"ctx[{em.key}]"
+            lines.append(f'  {nid} [label="table on {key}"];')
+            for v, sub in sorted(em.table.items()):
+                c = walk(sub)
+                lab = name_phone(v) if em.key != -1 else str(v)
+                lines.append(f'  {nid} -> {c} [label="{lab}"];')
+        else:
+            lines.append(f'  {nid} [label="{type(em).__name__}"];')
+        return nid
+
+    walk(cd.root)
+    lines.append("}")
+    print("\n".join(lines))
+    return 0
+
+
+@tool("analyze-counts")
+def analyze_counts_tool(argv: List[str]) -> int:
+    """Count occurrences of integer ids in alignments and print a Kaldi
+    vector (reference bin/analyze-counts.cc; used for prior estimation and
+    data checks)."""
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions(
+        "analyze-counts [options] <int-vector-rspecifier> <counts-out|->")
+
+    class Opts:
+        binary = False
+        counts_dim = 0
+
+    o = Opts()
+    po.register("counts-dim", o, "counts_dim")
+    args = po.parse(argv)
+    if len(args) != 2:
+        return _usage(po)
+    counts: Dict[int, int] = {}
+    n_utts = 0
+    for _key, vec in SequentialTableReader(args[0], "ivec"):
+        n_utts += 1
+        for v in np.asarray(vec).tolist():
+            counts[int(v)] = counts.get(int(v), 0) + 1
+    dim = max(o.counts_dim, (max(counts) + 1) if counts else 0)
+    arr = np.zeros(dim, np.float64)
+    for k, c in counts.items():
+        arr[k] = c
+    text = "[ " + " ".join(str(int(x)) for x in arr) + " ]"
+    if args[1] == "-":
+        print(text)
+    else:
+        with open(args[1], "w") as f:
+            f.write(text + "\n")
+    log.info("analyze-counts: %d utterances, %d distinct ids, %d frames",
+             n_utts, len(counts), int(arr.sum()))
     return 0

@@ -500,3 +500,24 @@ def add_self_loops_from(*args, **kwargs):  # pragma: no cover
         "self-loop addition lives in old_kaldi_git_tpu.hmm.hmm_utils "
         "(needs the TransitionModel)"
     )
+
+
+def add_disambig_self_loops(fst: VectorFst, pairs) -> None:
+    """Propagate disambiguation symbols through an FST by adding
+    (ilabel, olabel) self-loops (reference fstbin/fstaddselfloops.cc /
+    fstext/fstext-utils-inl.h AddSelfLoops): a loop for every given pair is
+    added at the start state, at every final state, and at every state
+    with at least one non-epsilon OUTPUT label on an outgoing arc (in
+    place)."""
+    targets = set()
+    targets.add(fst.start)
+    for s in fst.states():
+        if fst.is_final(s):
+            targets.add(s)
+        for a in fst.arcs[s]:
+            if a.olabel != 0:
+                targets.add(s)
+                break
+    for s in targets:
+        for il, ol in pairs:
+            fst.add_arc(s, Arc(int(il), int(ol), 0.0, s))

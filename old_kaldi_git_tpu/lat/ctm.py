@@ -162,3 +162,70 @@ def lattice_to_ctm_conf(
         tm, lang, words, tids, utt=utt, channel=channel,
         frame_shift=frame_shift, confidences=confs,
     )
+
+
+def align_words_boundary(
+    tm: TransitionModel,
+    boundary: Dict[int, str],
+    words: Sequence[int],
+    tids: Sequence[int],
+) -> List[Tuple[int, int, int]]:
+    """[(word, start_frame, num_frames)] using word-boundary phone marks
+    (reference latbin/lattice-align-words.cc + word-align-lattice.cc, which
+    consume lang/phones/word_boundary.txt: per phone one of
+    begin/end/internal/singleton/nonword).
+
+    Phone segments are grouped into words: a 'singleton' phone is a whole
+    word; a 'begin' phone opens a word closed by the next 'end' phone
+    ('internal' phones extend it); 'nonword' phones (silence & co) belong
+    to no word.  The grouped spans are paired with the word sequence in
+    order."""
+    segs = _phone_segments(tm, tids)
+    spans: List[Tuple[int, int]] = []  # (start_frame, num_frames)
+    open_start: Optional[int] = None
+    open_frames = 0
+    for phone, start, nframes in segs:
+        kind = boundary.get(phone)
+        if kind is None:
+            raise KaldiError(f"phone {phone} missing from word-boundary map")
+        if kind == "nonword":
+            if open_start is not None:
+                raise KaldiError(
+                    f"nonword phone {phone} inside a word at frame {start}")
+            continue
+        if kind == "singleton":
+            if open_start is not None:
+                raise KaldiError(f"singleton phone {phone} inside a word")
+            spans.append((start, nframes))
+        elif kind == "begin":
+            if open_start is not None:
+                raise KaldiError(f"begin phone {phone} inside a word")
+            open_start, open_frames = start, nframes
+        elif kind == "internal":
+            if open_start is None:
+                raise KaldiError(f"internal phone {phone} outside a word")
+            open_frames += nframes
+        elif kind == "end":
+            if open_start is None:
+                raise KaldiError(f"end phone {phone} outside a word")
+            spans.append((open_start, open_frames + nframes))
+            open_start, open_frames = None, 0
+        else:
+            raise KaldiError(f"unknown word-boundary type {kind!r}")
+    if open_start is not None:
+        raise KaldiError("alignment ends inside a word")
+    if len(spans) != len(words):
+        raise KaldiError(
+            f"{len(spans)} word spans for {len(words)} words")
+    return [(w, s, n) for w, (s, n) in zip(words, spans)]
+
+
+def read_word_boundary(path: str) -> Dict[int, str]:
+    """lang/phones/word_boundary.int format: 'phone-id type' per line."""
+    out: Dict[int, str] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                out[int(parts[0])] = parts[1]
+    return out

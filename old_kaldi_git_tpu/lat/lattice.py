@@ -722,3 +722,74 @@ def lattice_to_post(
                 pdf = tm.tid_to_pdf(a.ilabel)
                 out[t][pdf] = out[t].get(pdf, 0.0) + p
     return [sorted(d.items()) for d in out]
+
+
+def lattice_interp(
+    lat1: Lattice,
+    lat2: Lattice,
+    alpha: float = 0.5,
+    lm_scale2: float = 1.0,
+    ac_scale2: float = 0.1,
+) -> Optional[Lattice]:
+    """Score interpolation of two lattices of the same utterance
+    (reference latbin/lattice-interp.cc: scale lat1 by alpha, compose with
+    lat2's word acceptor scaled by 1-alpha).
+
+    Product construction over (lat1 state, word-fst state of lat2): lat1's
+    epsilon-word arcs move freely; word arcs must be matched in lat2's
+    determinized word acceptor, contributing (1-alpha) * lat2-cost to the
+    graph cost.  Returns None when the word-sequence intersection is empty
+    (the reference skips such utterances)."""
+    wfst2 = lattice_to_word_fst(lat2, lm_scale2, ac_scale2)
+    # deterministic word arcs: state -> {word: (cost, nextstate)}
+    trans: List[Dict[int, Tuple[float, int]]] = [
+        {} for _ in range(wfst2.num_states)
+    ]
+    for s in wfst2.states():
+        for a in wfst2.arcs[s]:
+            trans[s][a.olabel] = (a.weight, a.nextstate)
+    out = Lattice()
+    smap: Dict[Tuple[int, int], int] = {}
+
+    def get(s1: int, s2: int) -> int:
+        key = (s1, s2)
+        if key not in smap:
+            smap[key] = out.add_state(lat1.state_time[s1])
+        return smap[key]
+
+    out.start = get(lat1.start, wfst2.start)
+    stack = [(lat1.start, wfst2.start)]
+    seen = {(lat1.start, wfst2.start)}
+    any_final = False
+    while stack:
+        s1, s2 = stack.pop()
+        src = get(s1, s2)
+        if lat1.is_final(s1) and wfst2.is_final(s2):
+            g, ac = lat1.finals[s1]
+            out.finals[src] = (
+                alpha * g + (1.0 - alpha) * wfst2.final(s2), alpha * ac)
+            any_final = True
+        for a in lat1.arcs[s1]:
+            if a.olabel == 0:
+                n2 = s2
+                extra = 0.0
+            else:
+                hit = trans[s2].get(a.olabel)
+                if hit is None:
+                    continue
+                extra, n2 = hit
+            key = (a.nextstate, n2)
+            dst = get(*key)
+            out.arcs[src].append(LatticeArc(
+                a.ilabel, a.olabel,
+                alpha * a.graph_cost + (1.0 - alpha) * extra,
+                alpha * a.acoustic_cost,
+                dst,
+            ))
+            if key not in seen:
+                seen.add(key)
+                stack.append(key)
+    if not any_final:
+        return None
+    _connect(out)
+    return out if out.num_states and out.arcs[out.start] else None

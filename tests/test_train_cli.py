@@ -348,3 +348,99 @@ def test_gpost_and_basis_fmllr_cli(corpus):
     for m in basis_trans.values():
         assert m.shape == (D, D + 1)
         assert np.isfinite(m).all()
+
+
+def test_latbin_fstbin_extra_tools(corpus):
+    """lattice-interp / lattice-align-words (word-boundary) /
+    phone-align-lattice / fstaddselfloops / draw-tree / analyze-counts."""
+    d, tf, sf, st = corpus
+    if not (d / "lat.ark").exists():
+        pytest.skip("training pipeline test must run first")
+    from old_kaldi_git_tpu.fst.lang import load_lang_dir
+    from old_kaldi_git_tpu.lat.lattice import lattice_best_path
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    # interp of a lattice with itself keeps the best path and (with
+    # alpha=1 vs 0.5) scales the graph side consistently
+    run(["lattice-interp", "--alpha=0.5", "ark:lat.ark", "ark:lat.ark",
+         "ark:lat_i.ark"], d)
+    lats = read_table(f"ark:{d}/lat.ark", "lat")
+    lats_i = read_table(f"ark:{d}/lat_i.ark", "lat")
+    assert set(lats_i) == set(lats)
+    for k in lats:
+        w0, _t0, _c0 = lattice_best_path(lats[k], 1.0, 0.1)
+        w1, _t1, _c1 = lattice_best_path(lats_i[k], 1.0, 0.1)
+        assert w0 == w1
+
+    # word-boundary map for the yesno lexicon: multi-phone prons get
+    # begin/internal/end marks, silence is nonword
+    lang = load_lang_dir(str(d / "lang"))
+    lines = [f"{lang.silence_id} nonword"]
+    for w_str, _prob, pron in lang.lexicon.entries:
+        pids = [lang.phones[p] for p in pron]
+        if len(pids) == 1:
+            lines.append(f"{pids[0]} singleton")
+        else:
+            lines.append(f"{pids[0]} begin")
+            for p in pids[1:-1]:
+                lines.append(f"{p} internal")
+            lines.append(f"{pids[-1]} end")
+    (d / "word_boundary.int").write_text("\n".join(dict.fromkeys(lines)) + "\n")
+    run(["lattice-align-words", "word_boundary.int", "final.mdl",
+         "ark:lat.ark", "ark:wb_align.ark"], d)
+    wb = read_table(f"ark:{d}/wb_align.ark", "text")
+    hyps = read_table(f"ark:{d}/hyp.ark", "text")
+    assert set(wb) == set(lats)
+    for k, v in wb.items():
+        n_words = len([seg for seg in v.split(";") if seg.strip()])
+        assert n_words == len(hyps[k].split())
+
+    # agreement with the lexicon-based aligner on words and times
+    run(["lattice-align-words-lexicon", "lang", "final.mdl", "ark:lat.ark",
+         "ark:lex_align.ark"], d)
+    lex = read_table(f"ark:{d}/lex_align.ark", "text")
+    for k in wb:
+        assert wb[k] == lex[k], (k, wb[k], lex[k])
+
+    # phone alignment covers every frame
+    run(["phone-align-lattice", "final.mdl", "ark:lat.ark",
+         "ark:ph_align.ark"], d)
+    ph = read_table(f"ark:{d}/ph_align.ark", "text")
+    feats = read_table(f"ark:{d}/test.ark", "mat")
+    for k, v in ph.items():
+        tot = sum(int(seg.split()[2]) for seg in v.split(";") if seg.strip())
+        assert tot == feats[k].shape[0]
+
+    # fstaddselfloops on a tiny FST
+    from old_kaldi_git_tpu.fst.vector_fst import Arc, VectorFst
+
+    fst = VectorFst()
+    s0, s1, s2 = fst.add_state(), fst.add_state(), fst.add_state()
+    fst.set_start(s0)
+    fst.add_arc(s0, Arc(5, 7, 0.5, s1))   # word-emitting state s0
+    fst.add_arc(s1, Arc(6, 0, 0.2, s2))   # eps-output state s1
+    fst.set_final(s2, 0.0)
+    with open(d / "loops_in.fst", "wb") as f:
+        fst.write(f)
+    (d / "dis_in.txt").write_text("100\n")
+    (d / "dis_out.txt").write_text("200\n")
+    run(["fstaddselfloops", "dis_in.txt", "dis_out.txt", "loops_in.fst",
+         "loops_out.fst"], d)
+    with open(d / "loops_out.fst", "rb") as f:
+        out = VectorFst.read(f)
+    loops = {s: [(a.ilabel, a.olabel) for a in out.arcs[s]
+                 if a.nextstate == s] for s in out.states()}
+    assert (100, 200) in loops[s0]      # emits a word
+    assert (100, 200) in loops[s2]      # final
+    assert (100, 200) not in loops[s1]  # neither
+
+    # draw-tree emits graphviz
+    out = run(["draw-tree", "lang/phones.txt", "mono.tree"], d)
+    assert out.stdout.startswith("digraph tree {")
+    assert "pdf " in out.stdout
+
+    # analyze-counts totals equal total frames
+    out = run(["analyze-counts", "ark:ali.1.ark", "-"], d)
+    counts = [int(x) for x in out.stdout.strip().strip("[]").split()]
+    total_frames = sum(f.shape[0] for f in tf.values())
+    assert sum(counts) == total_frames
