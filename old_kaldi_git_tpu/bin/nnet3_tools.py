@@ -1171,3 +1171,156 @@ def nnet3_chain_combine_tool(argv: List[str]) -> int:
                                max_egs=o.max_egs)
     out.save(args[-1])
     return 0
+
+
+@tool("online2-tcp-nnet3-decode-faster")
+def online2_tcp_nnet3_decode_tool(argv: List[str]) -> int:
+    """TCP streaming decode server
+    (reference online2bin/online2-tcp-nnet3-decode-faster.cc): clients
+    stream raw S16LE PCM; the server answers with partial hypotheses
+    (lines ending '\\r') and, on endpoint or stream end, the final
+    utterance text (ending '\\n'), then resets for the next utterance on
+    the same connection.  --num-connections bounds how many connections
+    are served (0 = forever); --port-file records the bound port (for
+    --port-num=0 ephemeral ports, used by tests/orchestration)."""
+    import socket
+
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions
+    from old_kaldi_git_tpu.feat.compute import MfccOptions
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+    from old_kaldi_git_tpu.models.am_nnet import AmNnetModel
+    from old_kaldi_git_tpu.models.streaming_am import StreamingAmNnet
+    from old_kaldi_git_tpu.online.streaming import (
+        OnlineFeaturePipeline,
+        StreamingDecoder,
+    )
+
+    _jnp()
+    po = ParseOptions(
+        "online2-tcp-nnet3-decode-faster [options] <am-nnet-model> "
+        "<hclg-fst>"
+    )
+
+    class Opts:
+        port_num = 5050
+        port_file = ""
+        num_connections = 0
+        beam = 16.0
+        max_active = 7000
+        acoustic_scale = 1.0
+        chunk_length_secs = 0.18
+        samp_freq = 16000.0
+        silence_phone_id = 1
+        word_symbol_table = ""
+        read_timeout = 10.0
+
+    o = Opts()
+    for name, attr in (
+        ("port-num", "port_num"), ("port-file", "port_file"),
+        ("num-connections", "num_connections"), ("beam", "beam"),
+        ("max-active", "max_active"), ("acoustic-scale", "acoustic_scale"),
+        ("chunk-length-secs", "chunk_length_secs"),
+        ("samp-freq", "samp_freq"),
+        ("silence-phone-id", "silence_phone_id"),
+        ("word-symbol-table", "word_symbol_table"),
+        ("read-timeout", "read_timeout"),
+    ):
+        po.register(name, o, attr)
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    bundle = AmNnetModel.load(args[0])
+    with open(args[1], "rb") as f:
+        hclg = VectorFst.read(f)
+    csr = fst_to_csr(hclg, bundle.tm.tid_to_pdf_array())
+    words_tab = (SymbolTable.read(o.word_symbol_table)
+                 if o.word_symbol_table else None)
+    mfcc_opts = MfccOptions()
+    mfcc_opts.frame_opts.samp_freq = o.samp_freq
+    mfcc_opts.frame_opts.dither = 0.0
+    vopts = ViterbiOptions(beam=o.beam, max_active=o.max_active,
+                           acoustic_scale=o.acoustic_scale)
+    tid_to_phone = bundle.tm.tid_to_phone_array()
+    identity = lambda x: x  # noqa: E731
+
+    def text_of(word_ids) -> str:
+        return " ".join(
+            words_tab[x] if words_tab else str(x) for x in word_ids)
+
+    chunk_bytes = max(2, 2 * int(o.chunk_length_secs * o.samp_freq))
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("", o.port_num))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    log.info("TCP server listening on port %d", port)
+    if o.port_file:
+        with open(o.port_file, "w") as f:
+            f.write(str(port))
+    served = 0
+    try:
+        while o.num_connections == 0 or served < o.num_connections:
+            conn, addr = srv.accept()
+            served += 1
+            log.info("connection from %s", addr)
+            conn.settimeout(o.read_timeout)
+
+            def fresh():
+                return (
+                    OnlineFeaturePipeline(mfcc_opts),
+                    StreamingAmNnet(bundle.am),
+                    StreamingDecoder(
+                        csr, identity,
+                        silence_phones=[o.silence_phone_id],
+                        tid_to_phone=tid_to_phone, opts=vopts),
+                )
+
+            pipe, sam, dec = fresh()
+            buf = b""
+            saw_audio = False
+            try:
+                while True:
+                    try:
+                        data = conn.recv(65536)
+                    except socket.timeout:
+                        log.warning("read timeout, closing connection")
+                        break
+                    if not data:
+                        break
+                    buf += data
+                    while len(buf) >= chunk_bytes:
+                        raw, buf = buf[:chunk_bytes], buf[chunk_bytes:]
+                        samples = np.frombuffer(
+                            raw, "<i2").astype(np.float32)
+                        dec.advance(sam.accept(pipe.accept_waveform(samples)))
+                        saw_audio = True
+                        conn.sendall(
+                            (text_of(dec.best_words()) + "\r").encode())
+                        if dec.endpoint_detected():
+                            final = text_of(dec.best_words())
+                            conn.sendall((final + "\n").encode())
+                            log.info("endpoint: %s", final)
+                            pipe, sam, dec = fresh()
+                            saw_audio = False
+                # stream end: flush remaining samples + finalize
+                if buf:
+                    samples = np.frombuffer(
+                        buf[: 2 * (len(buf) // 2)], "<i2").astype(np.float32)
+                    dec.advance(sam.accept(pipe.accept_waveform(samples)))
+                    saw_audio = True
+                if saw_audio:
+                    dec.advance(sam.accept(pipe.input_finished(), final=True),
+                                final=True)
+                    final = text_of(dec.best_words())
+                    conn.sendall((final + "\n").encode())
+                    log.info("final: %s", final)
+            except (BrokenPipeError, ConnectionResetError):
+                log.warning("client disconnected")
+            finally:
+                conn.close()
+    finally:
+        srv.close()
+    return 0

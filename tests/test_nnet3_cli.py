@@ -262,9 +262,10 @@ def test_nnet3_chain_combine_and_egs_tools(system):
     assert o_comb > o_best - 0.05, (o_best, o_comb)
 
 
-def test_online2_wav_nnet3_latgen(tmp_path):
-    """Streaming nnet3 decode CLI: online features → chunked TDNN eval with
-    context re-computation → carried beam + endpointing."""
+@pytest.fixture(scope="module")
+def online_system(tmp_path_factory):
+    """Tiny trained nnet3 system + test waves for the streaming decoders."""
+    tmp_path = tmp_path_factory.mktemp("online")
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
@@ -313,6 +314,15 @@ def test_online2_wav_nnet3_latgen(tmp_path):
     (tmp_path / "wav.scp").write_text(
         "".join(f"{k} {tmp_path}/{k}.wav\n" for k in sw)
     )
+    return tmp_path, sw, st, lang, SAMP_FREQ
+
+
+def test_online2_wav_nnet3_latgen(online_system):
+    """Streaming nnet3 decode CLI: online features → chunked TDNN eval with
+    context re-computation → carried beam + endpointing."""
+    tmp_path, sw, st, lang, SAMP_FREQ = online_system
+    from old_kaldi_git_tpu.utils.table import read_table
+
     out = run(["online2-wav-nnet3-latgen-faster", "--beam=20",
                "--acoustic-scale=1.0", f"--samp-freq={SAMP_FREQ}",
                f"--silence-phone-id={lang.silence_id}",
@@ -322,3 +332,68 @@ def test_online2_wav_nnet3_latgen(tmp_path):
     hyps = read_table(f"ark:{tmp_path}/hyp.ark", "text")
     errs = sum(hyps[k].split() != list(st[k]) for k in st)
     assert errs == 0, (hyps, st)
+
+
+def test_online2_tcp_server(online_system):
+    """TCP serving: stream raw PCM over a socket, read partial ('\r') and
+    final ('\n') hypotheses (reference online2bin/
+    online2-tcp-nnet3-decode-faster)."""
+    import socket
+    import subprocess as sp
+    import time
+
+    tmp_path, sw, st, lang, SAMP_FREQ = online_system
+    port_file = tmp_path / "port"
+    if port_file.exists():
+        port_file.unlink()
+    proc = sp.Popen(
+        [sys.executable, "-m", "old_kaldi_git_tpu.bin",
+         "online2-tcp-nnet3-decode-faster", "--port-num=0",
+         f"--port-file={port_file}", "--num-connections=1", "--beam=20",
+         "--acoustic-scale=1.0", f"--samp-freq={SAMP_FREQ}",
+         f"--silence-phone-id={lang.silence_id}",
+         "--word-symbol-table=words.txt", "am.mdl", "HCLG.fst"],
+        cwd=str(tmp_path), stdout=sp.PIPE, stderr=sp.PIPE, text=True,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    try:
+        for _ in range(600):  # model load + compile can take a while
+            if port_file.exists() and port_file.read_text().strip():
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"server died: {proc.communicate()[1]}")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("server never bound a port")
+        port = int(port_file.read_text())
+        key = sorted(sw)[0]
+        pcm = np.clip(sw[key], -32768, 32767).astype("<i2").tobytes()
+        with socket.create_connection(("127.0.0.1", port), timeout=120) as c:
+            c.settimeout(120)
+            # stream in ~0.25 s chunks like a live client
+            step = int(0.25 * SAMP_FREQ) * 2
+            for i in range(0, len(pcm), step):
+                c.sendall(pcm[i: i + step])
+            c.shutdown(socket.SHUT_WR)
+            received = b""
+            while True:
+                try:
+                    data = c.recv(4096)
+                except socket.timeout:
+                    break
+                if not data:
+                    break
+                received += data
+        text = received.decode()
+        assert "\n" in text, f"no final hypothesis in {text!r}"
+        finals = [seg.split("\r")[-1]
+                  for seg in text.split("\n") if seg.strip("\r")]
+        hyp_words = " ".join(f.strip() for f in finals if f.strip()).split()
+        assert hyp_words == list(st[key]), (hyp_words, st[key])
+    finally:
+        try:
+            proc.wait(timeout=60)
+        except sp.TimeoutExpired:
+            proc.kill()
+            proc.wait()
