@@ -301,13 +301,29 @@ def lattice_determinize_tool(argv: List[str]) -> int:
         "lattice-determinize [options] <lat-rspecifier> <clat-wspecifier>"
     )
 
+    class Opts:
+        num_threads = 1
+
+    o = Opts()
+    po.register("num-threads", o, "num_threads")
     args = po.parse(argv)
     if len(args) != 2:
         print(po.print_usage(), file=sys.stderr)
         return 1
+    # per-utterance determinization is independent; with the native
+    # (ctypes, GIL-releasing) backend the ordered host pool gives real
+    # parallelism (TaskSequencer role, utils/threads.py)
+    from old_kaldi_git_tpu.utils.threads import map_ordered
+
+    pairs = SequentialTableReader(args[0], "lat")
+
+    def work(kv):
+        key, lat = kv
+        return key, determinize_lattice(lat)
+
     with TableWriter(args[1], "clat") as w:
-        for key, lat in SequentialTableReader(args[0], "lat"):
-            w[key] = determinize_lattice(lat)
+        for key, clat in map_ordered(work, pairs, o.num_threads):
+            w[key] = clat
     return 0
 
 

@@ -309,3 +309,101 @@ def test_profiling_utilities():
     r2 = roofline(flops=1024, bytes_moved=1 << 30, seconds=1e-2)
     assert r2["bound"] == "memory"
     assert 0 < r2["frac_of_peak"] < 1
+
+
+# ---------------------------------------------------------------------------
+# host thread pool (reference util/kaldi-thread.h TaskSequencer)
+# ---------------------------------------------------------------------------
+
+
+def test_map_ordered_preserves_order():
+    import time
+
+    from old_kaldi_git_tpu.utils.threads import map_ordered
+
+    def slow_sq(x):
+        time.sleep(0.02 * ((x * 7) % 3))  # jittered completion order
+        return x * x
+
+    got = list(map_ordered(slow_sq, range(40), num_threads=8))
+    assert got == [x * x for x in range(40)]
+    # degenerate single-thread path
+    assert list(map_ordered(slow_sq, range(5), num_threads=1)) == [
+        x * x for x in range(5)]
+
+
+def test_map_ordered_propagates_errors():
+    import pytest
+
+    from old_kaldi_git_tpu.utils.threads import map_ordered
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("x=3")
+        return x
+
+    with pytest.raises(ValueError):
+        list(map_ordered(boom, range(10), num_threads=4))
+
+
+def test_task_sequencer_and_prefetch():
+    from old_kaldi_git_tpu.utils.threads import TaskSequencer, prefetch
+
+    with TaskSequencer(num_threads=4) as seq:
+        for i in range(10):
+            seq.submit(lambda x: x + 1, i)
+        assert list(seq.results()) == list(range(1, 11))
+
+    def gen():
+        for i in range(100):
+            yield i
+
+    assert list(prefetch(gen(), depth=3)) == list(range(100))
+
+    def bad_gen():
+        yield 1
+        raise RuntimeError("producer died")
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        list(prefetch(bad_gen()))
+
+
+def test_lattice_determinize_cli_threads(tmp_path):
+    """--num-threads output is byte-identical to single-threaded."""
+    import math
+    import os
+    import subprocess
+    import sys
+
+    from old_kaldi_git_tpu.lat.lattice import Lattice, LatticeArc
+    from old_kaldi_git_tpu.utils.table import TableWriter
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rngs = [1, 2, 3, 4, 5, 6]
+    with TableWriter(f"ark:{tmp_path}/lat.ark", "lat") as w:
+        for i in rngs:
+            lat = Lattice()
+            s0, s1, s2 = (lat.add_state(t) for t in (0, 1, 2))
+            lat.start = s0
+            lat.arcs[s0].append(LatticeArc(1, 10, 0.0, -math.log(0.5), s1))
+            lat.arcs[s0].append(LatticeArc(2, 10, 0.0, -math.log(0.5), s1))
+            lat.arcs[s1].append(LatticeArc(1, 20 + i, 0.0, 0.1 * i, s2))
+            lat.finals[s2] = (0.0, 0.0)
+            w[f"utt{i}"] = lat
+
+    def run(extra, out):
+        r = subprocess.run(
+            [sys.executable, "-m", "old_kaldi_git_tpu.bin",
+             "lattice-determinize"] + extra +
+            [f"ark:{tmp_path}/lat.ark", f"ark:{tmp_path}/{out}"],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": repo})
+        assert r.returncode == 0, r.stderr
+
+    run([], "c1.ark")
+    run(["--num-threads=4"], "c4.ark")
+    b1 = open(tmp_path / "c1.ark", "rb").read()
+    b4 = open(tmp_path / "c4.ark", "rb").read()
+    assert b1 == b4 and len(b1) > 0
