@@ -1569,3 +1569,137 @@ def gmm_est_basis_fmllr_tool(argv: List[str]) -> int:
             n += 1
     log.info("gmm-est-basis-fmllr: %d transforms", n)
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Linear VTLN (reference gmmbin/gmm-init-lvtln.cc,
+# gmm-train-lvtln-special.cc, gmm-est-lvtln-trans.cc)
+# ---------------------------------------------------------------------------
+
+
+@tool("gmm-init-lvtln")
+def gmm_init_lvtln_tool(argv: List[str]) -> int:
+    """Initialize a LinearVtln object with identity transforms."""
+    from old_kaldi_git_tpu.transform.lvtln import LinearVtln
+
+    po = ParseOptions("gmm-init-lvtln [options] <lvtln-out>")
+
+    class Opts:
+        dim = 13
+        num_classes = 31
+        min_warp = 0.85
+        max_warp = 1.25
+
+    o = Opts()
+    po.register("dim", o, "dim")
+    po.register("num-classes", o, "num_classes")
+    po.register("min-warp", o, "min_warp")
+    po.register("max-warp", o, "max_warp")
+    args = po.parse(argv)
+    if len(args) != 1:
+        return _usage(po)
+    warps = np.linspace(o.min_warp, o.max_warp, o.num_classes)
+    LinearVtln.init(o.dim, warps.tolist()).save(args[0])
+    log.info("gmm-init-lvtln: %d classes, warps %.2f..%.2f, dim %d",
+             o.num_classes, o.min_warp, o.max_warp, o.dim)
+    return 0
+
+
+@tool("gmm-train-lvtln-special")
+def gmm_train_lvtln_special_tool(argv: List[str]) -> int:
+    """Fit one LVTLN class by least squares from paired
+    (warped, unwarped) feature tables."""
+    from old_kaldi_git_tpu.transform.lvtln import LinearVtln, train_lvtln_class
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+    )
+
+    po = ParseOptions(
+        "gmm-train-lvtln-special [options] <class-index> <lvtln-in> "
+        "<lvtln-out> <feats-unwarped-rspecifier> <feats-warped-rspecifier>"
+    )
+    args = po.parse(argv)
+    if len(args) != 5:
+        return _usage(po)
+    c = int(args[0])
+    lvtln = LinearVtln.load(args[1])
+    warped = RandomAccessTableReader(args[4], "mat")
+    pairs = []
+    for key, y in SequentialTableReader(args[3], "mat"):
+        if key in warped:
+            pairs.append((np.asarray(warped[key]), np.asarray(y)))
+    if not pairs:
+        raise KaldiError("no paired utterances")
+    lvtln.set_transform(c, train_lvtln_class(pairs))
+    lvtln.save(args[2])
+    log.info("gmm-train-lvtln-special: class %d from %d utterances",
+             c, len(pairs))
+    return 0
+
+
+@tool("gmm-est-lvtln-trans")
+def gmm_est_lvtln_trans_tool(argv: List[str]) -> int:
+    """Per-speaker LVTLN class selection: writes the chosen [D, D+1]
+    transform and the warp factor."""
+    from old_kaldi_git_tpu.transform.fmllr import FmllrAccs
+    from old_kaldi_git_tpu.transform.lvtln import (
+        LinearVtln,
+        select_lvtln_transform,
+    )
+    from old_kaldi_git_tpu.utils.data_dir import _read_map
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "gmm-est-lvtln-trans [options] <model> <lvtln> <feats-rspecifier> "
+        "<post-rspecifier> <transform-wspecifier> <warp-wspecifier>"
+    )
+
+    class Opts:
+        spk2utt = ""
+        min_count = 10.0
+        estimate_offset = True
+
+    o = Opts()
+    po.register("spk2utt", o, "spk2utt")
+    po.register("min-count", o, "min_count")
+    po.register("estimate-offset", o, "estimate_offset")
+    args = po.parse(argv)
+    if len(args) != 6:
+        return _usage(po)
+    model = _load_model(args[0])
+    lvtln = LinearVtln.load(args[1])
+    posts = RandomAccessTableReader(args[3], "post")
+    feats = dict(SequentialTableReader(args[2], "mat"))
+    spk2utt = ({k: v.split() for k, v in _read_map(o.spk2utt).items()}
+               if o.spk2utt else {k: [k] for k in feats})
+    n = 0
+    with TableWriter(args[4], "mat") as wt, \
+            TableWriter(args[5], "text") as ww:
+        for spk, utts in spk2utt.items():
+            acc = None
+            for u in utts:
+                if u not in feats or u not in posts:
+                    continue
+                x = np.asarray(feats[u], np.float64)
+                if acc is None:
+                    acc = FmllrAccs(x.shape[1])
+                t, pdfs, ws = _post_weights_per_pdf(posts[u], model.tm)
+                acc.accumulate(model.am, x[t], pdfs, ws)
+            if acc is None:
+                continue
+            res = select_lvtln_transform(
+                acc, lvtln, estimate_offset=o.estimate_offset,
+                min_count=o.min_count)
+            if res is None:
+                continue
+            w, warp, _c, _impr = res
+            wt[spk] = w.astype(np.float32)
+            ww[spk] = f"{warp:.4f}"
+            n += 1
+    log.info("gmm-est-lvtln-trans: %d speakers", n)
+    return 0

@@ -444,3 +444,49 @@ def test_latbin_fstbin_extra_tools(corpus):
     counts = [int(x) for x in out.stdout.strip().strip("[]").split()]
     total_frames = sum(f.shape[0] for f in tf.values())
     assert sum(counts) == total_frames
+
+
+def test_lvtln_cli_chain(corpus):
+    """gmm-init-lvtln → gmm-train-lvtln-special → gmm-est-lvtln-trans picks
+    the class matching a known feature distortion."""
+    d, tf, sf, st = corpus
+    if not (d / "wpost.ark").exists():
+        pytest.skip("transform-tools test must run first")
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    D = next(iter(tf.values())).shape[1]
+    run(["gmm-init-lvtln", f"--dim={D}", "--num-classes=3",
+         "--min-warp=0.9", "--max-warp=1.1", "0.lvtln"], d)
+    rng = np.random.default_rng(9)
+    dist = np.eye(D) + 0.25 * rng.normal(size=(D, D)) / np.sqrt(D)
+    feats = read_table(f"ark:{d}/train.ark", "mat")
+    with TableWriter(f"ark:{d}/train_warped.ark", "mat") as w:
+        for k, f in feats.items():
+            w[k] = (np.asarray(f) @ dist.T).astype(np.float32)
+    # a second, different distortion for class 0 so every class is trained
+    # (untrained classes stay identity and would tie with class 1)
+    dist0 = np.eye(D) + 0.25 * rng.normal(size=(D, D)) / np.sqrt(D)
+    with TableWriter(f"ark:{d}/train_warped0.ark", "mat") as w:
+        for k, f in feats.items():
+            w[k] = (np.asarray(f) @ dist0.T).astype(np.float32)
+    # class 2 learns to undo dist; class 0 undoes dist0; class 1 = identity
+    run(["gmm-train-lvtln-special", "2", "0.lvtln", "1a.lvtln",
+         "ark:train.ark", "ark:train_warped.ark"], d)
+    run(["gmm-train-lvtln-special", "0", "1a.lvtln", "1.lvtln",
+         "ark:train.ark", "ark:train_warped0.ark"], d)
+    run(["gmm-est-lvtln-trans", "final.mdl", "1.lvtln",
+         "ark:train_warped.ark", "ark:wpost.ark", "ark:lvtln_trans.ark",
+         "ark:lvtln_warp.ark"], d)
+    warps = read_table(f"ark:{d}/lvtln_warp.ark", "text")
+    assert warps
+    frac = np.mean([float(v) == 1.1 for v in warps.values()])
+    assert frac > 0.8, warps  # distorted speakers pick the trained class
+    trans = read_table(f"ark:{d}/lvtln_trans.ark", "mat")
+    for m in trans.values():
+        assert m.shape == (D, D + 1) and np.isfinite(m).all()
+    # undistorted features pick the identity class (warp 1.0)
+    run(["gmm-est-lvtln-trans", "final.mdl", "1.lvtln", "ark:train.ark",
+         "ark:wpost.ark", "ark:id_trans.ark", "ark:id_warp.ark"], d)
+    id_warps = read_table(f"ark:{d}/id_warp.ark", "text")
+    frac_id = np.mean([float(v) == 1.0 for v in id_warps.values()])
+    assert frac_id > 0.8, id_warps

@@ -359,3 +359,64 @@ def test_basis_fmllr_serialization_roundtrip(tmp_path):
     b.save(path)
     b2 = BasisFmllr.load(path)
     np.testing.assert_allclose(b2.mats, b.mats, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# LVTLN (reference src/transform/lvtln.{h,cc})
+# ---------------------------------------------------------------------------
+
+
+def test_lvtln_selects_matching_class():
+    from old_kaldi_git_tpu.transform.lvtln import (
+        LinearVtln,
+        select_lvtln_transform,
+        train_lvtln_class,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 4
+    am = _toy_am(rng, num_pdfs=3, dim=dim)
+    warps = [0.9, 1.0, 1.1]
+    # true per-warp distortions (identity at warp 1.0)
+    dists = [np.eye(dim) + 0.2 * rng.normal(size=(dim, dim)) / np.sqrt(dim)
+             for _ in range(3)]
+    dists[1] = np.eye(dim)
+    lv = LinearVtln.init(dim, warps)
+    clean, _pdfs = _speaker_data(rng, am, 400)
+    for c, d_mat in enumerate(dists):
+        # pairs: (warped feats, unwarped feats) → A_c ≈ distortion⁻¹
+        lv.set_transform(c, train_lvtln_class([(clean @ d_mat.T, clean)]))
+    np.testing.assert_allclose(lv.mats[1], np.eye(dim), atol=1e-6)
+    np.testing.assert_allclose(lv.mats[0] @ dists[0], np.eye(dim), atol=1e-4)
+
+    # speaker distorted with warp-1.1's map → class 2 must win
+    x, pdfs = _speaker_data(rng, am, 80)
+    corrupted = x @ dists[2].T
+    acc = FmllrAccs(dim)
+    acc.accumulate(am, corrupted, pdfs)
+    w, warp, c, impr = select_lvtln_transform(acc, lv)
+    assert c == 2 and warp == 1.1
+    assert impr > 0
+    restored = apply_affine_transform(corrupted, w)
+
+    def tot_like(y):
+        return sum(am.pdfs[p].loglikes(y[pdfs == p]).sum() for p in range(3))
+
+    assert tot_like(restored) > tot_like(corrupted)
+    # undistorted speaker → identity class 1, tiny improvement only
+    acc2 = FmllrAccs(dim)
+    acc2.accumulate(am, x, pdfs)
+    _w2, warp2, c2, _i2 = select_lvtln_transform(acc2, lv)
+    assert c2 == 1 and warp2 == 1.0
+
+
+def test_lvtln_serialization(tmp_path):
+    from old_kaldi_git_tpu.transform.lvtln import LinearVtln
+
+    rng = np.random.default_rng(0)
+    lv = LinearVtln(rng.normal(size=(5, 3, 3)), [0.9, 0.95, 1.0, 1.05, 1.1])
+    p = str(tmp_path / "0.lvtln")
+    lv.save(p)
+    lv2 = LinearVtln.load(p)
+    np.testing.assert_allclose(lv2.mats, lv.mats, atol=1e-6)
+    assert lv2.warps == pytest.approx(lv.warps)
