@@ -1226,3 +1226,112 @@ def phone_align_lattice_tool(argv: List[str]) -> int:
             n += 1
     log.info("phone-aligned %d lattices", n)
     return 0 if n else 1
+
+
+@tool("lattice-to-mpe-post")
+def lattice_to_mpe_post_tool(argv: List[str], _default_criterion="mpfe") -> int:
+    """Signed MPE ('mpfe') / sMBR tid posteriors from lattices + numerator
+    alignments (src/latbin/lattice-to-mpe-post.cc via
+    LatticeForwardBackwardMpeVariants); positive weight on
+    better-than-average-accuracy arcs, negative on worse."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+    from old_kaldi_git_tpu.lat.discriminative import (
+        forward_backward_mpe_variants,
+    )
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "lattice-to-mpe-post [options] <model> <num-ali-rspecifier> "
+        "<lats-rspecifier> <post-wspecifier>"
+    )
+
+    class Opts:
+        lm_scale = 1.0
+        acoustic_scale = 0.1
+        criterion = _default_criterion
+        silence_phones = ""
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    po.register("criterion", o, "criterion")
+    po.register("silence-phones", o, "silence_phones")
+    args = po.parse(argv)
+    if len(args) != 4:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    tm = AmGmmModel.load(args[0]).tm
+    sil = [int(p) for p in o.silence_phones.split(":") if p]
+    alis = RandomAccessTableReader(args[1], "ivec")
+    tot_acc = tot_frames = 0.0
+    n = 0
+    with TableWriter(args[3], "post") as w:
+        for key, lat in SequentialTableReader(args[2], "lat"):
+            if key not in alis:
+                log.warning("no numerator alignment for %s", key)
+                continue
+            post, acc = forward_backward_mpe_variants(
+                lat, tm, alis[key], criterion=o.criterion,
+                silence_phones=sil, lm_scale=o.lm_scale,
+                ac_scale=o.acoustic_scale,
+            )
+            w[key] = post
+            tot_acc += acc
+            tot_frames += len(post)
+            n += 1
+    if tot_frames:
+        log.info("lattice-to-%s-post: avg accuracy %.4f over %d utts",
+                 o.criterion, tot_acc / tot_frames, n)
+    return 0
+
+
+@tool("lattice-to-smbr-post")
+def lattice_to_smbr_post_tool(argv: List[str]) -> int:
+    """sMBR (pdf-accuracy) signed posteriors
+    (src/latbin/lattice-to-smbr-post.cc)."""
+    return lattice_to_mpe_post_tool(argv, _default_criterion="smbr")
+
+
+@tool("make-grammar-fst")
+def make_grammar_fst_tool(argv: List[str]) -> int:
+    """Expand nonterminal arcs of a top-level FST with sub-FSTs
+    (the build-time role of reference src/decoder/grammar-fst.{h,cc} /
+    make-grammar-fst; expansion is static so the TPU decode graph stays
+    dense — see fst/algorithms.py replace_fst).
+
+    usage: make-grammar-fst <top-fst> <label1> <sub-fst1> \
+               [<label2> <sub-fst2> ...] <out-fst>
+    Labels are word ids, or symbols when --word-symbol-table is given."""
+    from old_kaldi_git_tpu.fst.algorithms import replace_fst
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+
+    po = ParseOptions(
+        "make-grammar-fst [options] <top-fst> <label1> <sub-fst1> "
+        "[<label2> <sub-fst2> ...] <out-fst>"
+    )
+
+    class Opts:
+        word_symbol_table = ""
+
+    o = Opts()
+    po.register("word-symbol-table", o, "word_symbol_table")
+    args = po.parse(argv)
+    if len(args) < 4 or len(args) % 2 != 0:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    syms = (SymbolTable.read(o.word_symbol_table)
+            if o.word_symbol_table else None)
+    top = _read_fst(args[0])
+    repl = {}
+    pairs = args[1:-1]
+    for lab, path in zip(pairs[0::2], pairs[1::2]):
+        label = syms[lab] if (syms and not lab.isdigit()) else int(lab)
+        repl[label] = _read_fst(path)
+    out = replace_fst(top, repl)
+    log.info("make-grammar-fst: %d nonterminals, %d states, %d arcs",
+             len(repl), out.num_states, out.num_arcs)
+    return _write_fst(out, args[-1])

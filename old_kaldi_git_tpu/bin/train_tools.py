@@ -1703,3 +1703,359 @@ def gmm_est_lvtln_trans_tool(argv: List[str]) -> int:
             n += 1
     log.info("gmm-est-lvtln-trans: %d speakers", n)
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Regression-tree MLLR/fMLLR (reference gmmbin/gmm-make-regtree.cc,
+# gmm-est-regtree-fmllr.cc, gmm-est-regtree-mllr.cc,
+# gmm-decode-faster-regtree-{fmllr,mllr}.cc)
+# ---------------------------------------------------------------------------
+
+
+@tool("gmm-make-regtree")
+def gmm_make_regtree_tool(argv: List[str]) -> int:
+    """Cluster the model's Gaussians into a regression tree."""
+    from old_kaldi_git_tpu.transform.regtree import RegressionTree
+
+    po = ParseOptions("gmm-make-regtree [options] <model> <regtree-out>")
+
+    class Opts:
+        max_leaves = 32
+        seed = 0
+
+    o = Opts()
+    po.register("max-leaves", o, "max_leaves")
+    po.register("seed", o, "seed")
+    args = po.parse(argv)
+    if len(args) != 2:
+        return _usage(po)
+    model = _load_model(args[0])
+    RegressionTree.build(model.am, o.max_leaves, seed=o.seed).save(args[1])
+    return 0
+
+
+def _est_regtree(argv: List[str], kind: str) -> int:
+    from old_kaldi_git_tpu.transform.regtree import (
+        RegressionTree,
+        RegtreeFmllrAccs,
+        RegtreeMllrAccs,
+        estimate_regtree_fmllr,
+        estimate_regtree_mllr,
+    )
+    from old_kaldi_git_tpu.utils.data_dir import _read_map
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        f"gmm-est-regtree-{kind} [options] <model> <regtree> "
+        "<feats-rspecifier> <post-rspecifier> <xforms-wspecifier>"
+    )
+
+    class Opts:
+        spk2utt = ""
+        min_count = 1000.0
+
+    o = Opts()
+    po.register("spk2utt", o, "spk2utt")
+    po.register("min-count", o, "min_count")
+    args = po.parse(argv)
+    if len(args) != 5:
+        return _usage(po)
+    model = _load_model(args[0])
+    tree = RegressionTree.load(args[1])
+    posts = RandomAccessTableReader(args[3], "post")
+    feats = dict(SequentialTableReader(args[2], "mat"))
+    spk2utt = ({k: v.split() for k, v in _read_map(o.spk2utt).items()}
+               if o.spk2utt else {k: [k] for k in feats})
+    dim = model.am.dim
+    n = 0
+    with TableWriter(args[4], "regx") as w:
+        for spk, utts in spk2utt.items():
+            acc = (RegtreeFmllrAccs(dim, tree.num_baseclasses)
+                   if kind == "fmllr"
+                   else RegtreeMllrAccs(dim, tree.num_baseclasses))
+            got = False
+            for u in utts:
+                if u not in feats or u not in posts:
+                    continue
+                x = np.asarray(feats[u], np.float64)
+                t, pdfs, ws = _post_weights_per_pdf(posts[u], model.tm)
+                acc.accumulate(model.am, tree, x[t], pdfs, ws)
+                got = True
+            if not got:
+                continue
+            if kind == "fmllr":
+                w[spk] = estimate_regtree_fmllr(acc, tree, o.min_count)
+            else:
+                w[spk] = estimate_regtree_mllr(acc, tree, o.min_count)
+            n += 1
+    log.info("gmm-est-regtree-%s: %d speakers", kind, n)
+    return 0
+
+
+@tool("gmm-est-regtree-fmllr")
+def gmm_est_regtree_fmllr_tool(argv: List[str]) -> int:
+    """Per-speaker regression-tree fMLLR feature transforms."""
+    return _est_regtree(argv, "fmllr")
+
+
+@tool("gmm-est-regtree-mllr")
+def gmm_est_regtree_mllr_tool(argv: List[str]) -> int:
+    """Per-speaker regression-tree MLLR mean transforms."""
+    return _est_regtree(argv, "mllr")
+
+
+def _decode_regtree(argv: List[str], kind: str) -> int:
+    _jnp()
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+    from old_kaldi_git_tpu.transform.regtree import (
+        RegressionTree,
+        apply_mllr_to_model,
+        regtree_fmllr_loglikes,
+    )
+    from old_kaldi_git_tpu.utils.data_dir import _read_map
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        f"gmm-decode-faster-regtree-{kind} [options] <model> <regtree> "
+        "<hclg-fst> <feats-rspecifier> <xforms-rspecifier> "
+        "<words-wspecifier> [<ali-wspecifier>]"
+    )
+
+    class Opts:
+        beam = 16.0
+        max_active = 7000
+        acoustic_scale = 0.1
+        word_symbol_table = ""
+        utt2spk = ""
+
+    o = Opts()
+    po.register("beam", o, "beam")
+    po.register("max-active", o, "max_active")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    po.register("word-symbol-table", o, "word_symbol_table")
+    po.register("utt2spk", o, "utt2spk")
+    args = po.parse(argv)
+    if len(args) not in (6, 7):
+        return _usage(po)
+    model = _load_model(args[0])
+    tree = RegressionTree.load(args[1])
+    with open(args[2], "rb") as f:
+        hclg = VectorFst.read(f)
+    csr = fst_to_csr(hclg, model.tm.tid_to_pdf_array())
+    xforms = RandomAccessTableReader(args[4], "regx")
+    utt2spk = _read_map(o.utt2spk) if o.utt2spk else {}
+    feats = dict(SequentialTableReader(args[3], "mat"))
+    if not feats:
+        log.warning("no features")
+        return 1
+    # adapted per-utterance loglikes, padded into one decode batch
+    keys = sorted(feats)
+    P = model.am.num_pdfs
+    nf = np.asarray([len(feats[k]) for k in keys])
+    T = int(nf.max())
+    loglikes = np.full((len(keys), T, P), -1e30, np.float32)
+    mllr_models: Dict[str, object] = {}
+    for i, k in enumerate(keys):
+        spk = utt2spk.get(k, k)
+        x = np.asarray(feats[k], np.float64)
+        if spk not in xforms:
+            ll = model.am.loglikes_numpy(x)
+        elif kind == "fmllr":
+            ll = regtree_fmllr_loglikes(model.am, tree, xforms[spk], x)
+        else:
+            if spk not in mllr_models:
+                mllr_models[spk] = apply_mllr_to_model(
+                    model.am, tree, xforms[spk])
+            ll = mllr_models[spk].loglikes_numpy(x)
+        loglikes[i, :len(x)] = ll
+    results = decode_batch(
+        csr, loglikes, nf,
+        ViterbiOptions(beam=o.beam, max_active=o.max_active,
+                       acoustic_scale=o.acoustic_scale),
+    )
+    words_tab = (
+        SymbolTable.read(o.word_symbol_table) if o.word_symbol_table else None
+    )
+    awriter = TableWriter(args[6], "ivec") if len(args) == 7 else None
+    n = 0
+    with TableWriter(args[5], "text") as w:
+        for key, res in zip(keys, results):
+            if res is None:
+                log.warning("decode failed for %s", key)
+                continue
+            w[key] = " ".join(
+                words_tab[x] if words_tab else str(x) for x in res.words
+            )
+            if awriter is not None:
+                awriter[key] = np.asarray(res.alignment, np.int32)
+            n += 1
+    if awriter is not None:
+        awriter.close()
+    log.info("gmm-decode-faster-regtree-%s: decoded %d/%d", kind, n,
+             len(keys))
+    return 0
+
+
+@tool("gmm-decode-faster-regtree-fmllr")
+def gmm_decode_faster_regtree_fmllr_tool(argv: List[str]) -> int:
+    """Best-path decode with per-speaker regression-tree fMLLR features."""
+    return _decode_regtree(argv, "fmllr")
+
+
+@tool("gmm-decode-faster-regtree-mllr")
+def gmm_decode_faster_regtree_mllr_tool(argv: List[str]) -> int:
+    """Best-path decode with per-speaker regression-tree MLLR means."""
+    return _decode_regtree(argv, "mllr")
+
+
+# ---------------------------------------------------------------------------
+# fMPE (reference src/transform/fmpe.{h,cc}; gmmbin/fmpe-init.cc,
+# gmm-fmpe-acc-stats.cc, fmpe-sum-accs.cc, fmpe-est.cc,
+# fmpe-apply-transform.cc)
+# ---------------------------------------------------------------------------
+
+
+@tool("fmpe-init")
+def fmpe_init_tool(argv: List[str]) -> int:
+    """Initialize an fMPE object (zero projection) from a diagonal UBM."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import DiagGmm
+    from old_kaldi_git_tpu.transform.fmpe import (
+        DEFAULT_CONTEXTS,
+        Fmpe,
+        parse_contexts,
+    )
+
+    po = ParseOptions("fmpe-init [options] <diag-ubm> <fmpe-out>")
+
+    class Opts:
+        context_expansion = ""
+        post_scale = 5.0
+        num_gselect = 25
+
+    o = Opts()
+    po.register("context-expansion", o, "context_expansion")
+    po.register("post-scale", o, "post_scale")
+    po.register("num-gselect", o, "num_gselect")
+    args = po.parse(argv)
+    if len(args) != 2:
+        return _usage(po)
+    ubm = DiagGmm.load(args[0])
+    ctx = (parse_contexts(o.context_expansion)
+           if o.context_expansion else DEFAULT_CONTEXTS)
+    Fmpe.init(ubm, ctx, o.post_scale, o.num_gselect).save(args[1])
+    log.info("fmpe-init: %d Gaussians, %d contexts, dim %d",
+             ubm.num_mix, len(ctx), ubm.dim)
+    return 0
+
+
+@tool("gmm-fmpe-acc-stats")
+def gmm_fmpe_acc_stats_tool(argv: List[str]) -> int:
+    """Accumulate fMPE projection-gradient stats from signed (MPE/sMBR)
+    posteriors — the direct differential (see transform/fmpe.py)."""
+    from old_kaldi_git_tpu.transform.fmpe import (
+        Fmpe,
+        FmpeAccs,
+        model_deriv_direct,
+    )
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+    )
+
+    po = ParseOptions(
+        "gmm-fmpe-acc-stats [options] <model> <fmpe> <feats-rspecifier> "
+        "<signed-post-rspecifier> <accs-out>"
+    )
+    args = po.parse(argv)
+    if len(args) != 5:
+        return _usage(po)
+    model = _load_model(args[0])
+    fmpe = Fmpe.load(args[1])
+    posts = RandomAccessTableReader(args[3], "post")
+    accs = FmpeAccs.zeros_like(fmpe)
+    n = 0
+    for key, x in SequentialTableReader(args[2], "mat"):
+        if key not in posts:
+            continue
+        x = np.asarray(x, np.float64)
+        # gradient is taken at the fMPE-transformed features, like the
+        # reference (the transform composes with itself across iterations)
+        xt = x + fmpe.offsets(x)
+        deriv = model_deriv_direct(model.am, model.tm, xt, posts[key])
+        accs.add(fmpe.acc_from_deriv(x, deriv))
+        n += 1
+    accs.save(args[4])
+    log.info("gmm-fmpe-acc-stats: %d utterances", n)
+    return 0
+
+
+@tool("fmpe-sum-accs")
+def fmpe_sum_accs_tool(argv: List[str]) -> int:
+    """Sum fMPE stat files (src/gmmbin/fmpe-sum-accs.cc)."""
+    from old_kaldi_git_tpu.transform.fmpe import FmpeAccs
+
+    po = ParseOptions("fmpe-sum-accs <accs-out> <accs-in1> [<accs-in2> ...]")
+    args = po.parse(argv)
+    if len(args) < 2:
+        return _usage(po)
+    tot = FmpeAccs.load(args[1])
+    for p in args[2:]:
+        tot.add(FmpeAccs.load(p))
+    tot.save(args[0])
+    return 0
+
+
+@tool("fmpe-est")
+def fmpe_est_tool(argv: List[str]) -> int:
+    """Update the fMPE projection from summed stats."""
+    from old_kaldi_git_tpu.transform.fmpe import Fmpe, FmpeAccs
+
+    po = ParseOptions("fmpe-est [options] <fmpe-in> <accs> <fmpe-out>")
+
+    class Opts:
+        learning_rate = 0.1
+
+    o = Opts()
+    po.register("learning-rate", o, "learning_rate")
+    args = po.parse(argv)
+    if len(args) != 3:
+        return _usage(po)
+    fmpe = Fmpe.load(args[0])
+    fmpe.update(FmpeAccs.load(args[1]), o.learning_rate)
+    fmpe.save(args[2])
+    return 0
+
+
+@tool("fmpe-apply-transform")
+def fmpe_apply_transform_tool(argv: List[str]) -> int:
+    """x' = x + offset(x) over a feature table."""
+    from old_kaldi_git_tpu.transform.fmpe import Fmpe
+    from old_kaldi_git_tpu.utils.table import (
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "fmpe-apply-transform <fmpe> <feats-rspecifier> <feats-wspecifier>")
+    args = po.parse(argv)
+    if len(args) != 3:
+        return _usage(po)
+    fmpe = Fmpe.load(args[0])
+    n = 0
+    with TableWriter(args[2], "mat") as w:
+        for key, x in SequentialTableReader(args[1], "mat"):
+            w[key] = fmpe.apply(np.asarray(x))
+            n += 1
+    log.info("fmpe-apply-transform: %d utterances", n)
+    return 0

@@ -521,3 +521,61 @@ def add_disambig_self_loops(fst: VectorFst, pairs) -> None:
     for s in targets:
         for il, ol in pairs:
             fst.add_arc(s, Arc(int(il), int(ol), 0.0, s))
+
+
+def replace_fst(root: VectorFst, replacements, _active=frozenset()) -> VectorFst:
+    """RTN expansion: splice sub-FSTs in place of nonterminal arcs
+    (the GrammarFst capability of reference src/decoder/grammar-fst.{h,cc},
+    OpenFst Replace semantics).
+
+    `replacements` maps an olabel (a nonterminal word id) to the sub-FST
+    that arc expands into.  Each nonterminal arc (ilabel must be epsilon or
+    equal to the olabel, as in an acceptor G) is replaced by: an epsilon
+    entry arc carrying the original arc weight into a fresh copy of the
+    (recursively expanded) sub-FST, and epsilon exit arcs from the sub's
+    final states (carrying their final weights) to the original
+    destination.  Nested nonterminals expand recursively; true recursion
+    (a nonterminal reachable from its own expansion) is rejected — the
+    TPU decoder needs a static graph, so we expand at build time instead
+    of composing on demand like the reference (design note in
+    SURVEY.md §7.1: static shapes beat dynamic composition on TPU).
+    """
+    out = VectorFst()
+    for _ in root.states():
+        out.add_state()
+    out.set_start(root.start)
+    for s in root.states():
+        if root.is_final(s):
+            out.set_final(s, root.final(s))
+    expanded = {}  # label -> expanded sub-FST (shared across call sites)
+    for s in root.states():
+        for a in root.arcs[s]:
+            if a.olabel not in replacements:
+                out.add_arc(s, a.copy())
+                continue
+            if a.ilabel not in (0, a.olabel):
+                raise KaldiError(
+                    f"nonterminal arc must be acceptor-like or eps-input, "
+                    f"got {a.ilabel}:{a.olabel}")
+            if a.olabel in _active:
+                raise KaldiError(
+                    f"recursive grammar at nonterminal {a.olabel}")
+            if a.olabel not in expanded:
+                expanded[a.olabel] = replace_fst(
+                    replacements[a.olabel], replacements,
+                    _active | {a.olabel})
+            sub = expanded[a.olabel]
+            base = out.num_states
+            for _ in sub.states():
+                out.add_state()
+            for ss in sub.states():
+                for sa in sub.arcs[ss]:
+                    out.add_arc(base + ss, Arc(
+                        sa.ilabel, sa.olabel, sa.weight,
+                        base + sa.nextstate))
+                if sub.is_final(ss):
+                    out.add_arc(base + ss, Arc(
+                        0, 0, sub.final(ss), a.nextstate))
+            out.add_arc(s, Arc(0, 0, a.weight, base + sub.start))
+    out.connect()
+    return out

@@ -191,6 +191,7 @@ _LAZY_PROVIDERS = {
     "gpost": "old_kaldi_git_tpu.hmm.posterior",
     "egs": "old_kaldi_git_tpu.models.egs",
     "cegs": "old_kaldi_git_tpu.models.egs",
+    "regx": "old_kaldi_git_tpu.transform.regtree",
 }
 
 

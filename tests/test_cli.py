@@ -588,3 +588,22 @@ def test_misc_tool_batch2(tmp_path):
     fs = read_table(f"ark:{tmp_path}/fs.ark", "mat")
     assert fs["s1"].shape == (20, 2) and fs["s1"][0, 0] == 20.0
     assert fs["s2"].shape == (50, 2)  # clipped to matrix end
+
+
+def test_make_grammar_fst_cli(tmp_path):
+    """make-grammar-fst splices a sub-FST at a nonterminal arc."""
+    from old_kaldi_git_tpu.fst.algorithms import shortest_path
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst, linear_fst
+
+    top = linear_fst([1, 100, 3])
+    sub = linear_fst([2])
+    with open(tmp_path / "top.fst", "wb") as f:
+        top.write(f)
+    with open(tmp_path / "sub.fst", "wb") as f:
+        sub.write(f)
+    run(["make-grammar-fst", "top.fst", "100", "sub.fst", "out.fst"],
+        tmp_path)
+    with open(tmp_path / "out.fst", "rb") as f:
+        out = VectorFst.read(f)
+    _, _, olabs = shortest_path(out)
+    assert [o for o in olabs if o] == [1, 2, 3]

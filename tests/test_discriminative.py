@@ -1,0 +1,202 @@
+"""MPE/sMBR signed lattice posteriors + fMPE feature transform tests
+(reference src/lat/lattice-functions.cc LatticeForwardBackwardMpeVariants,
+src/transform/fmpe.{h,cc})."""
+
+import numpy as np
+import pytest
+
+from old_kaldi_git_tpu.lat.discriminative import forward_backward_mpe_variants
+from old_kaldi_git_tpu.lat.lattice import Lattice, LatticeArc
+
+
+class _FakeTm:
+    """tid == phone; pdf = tid - 1 (tids are 1-based)."""
+
+    def tid_to_phone(self, t):
+        return int(t)
+
+    def tid_to_pdf(self, t):
+        return int(t) - 1
+
+
+def _two_path_lattice(cost_a=0.0, cost_b=0.0, frames=2):
+    """Two parallel linear paths: path A emits tid 1 every frame, path B
+    tid 2.  Per-arc acoustic costs cost_a / cost_b."""
+    lat = Lattice()
+    states_a = [lat.add_state() for _ in range(frames)]
+    states_b = [lat.add_state() for _ in range(frames - 1)]
+    end = lat.add_state()
+    lat.start = states_a[0]
+    chain_a = states_a + [end]
+    chain_b = [states_a[0]] + states_b + [end]
+    for i in range(frames):
+        lat.arcs[chain_a[i]].append(
+            LatticeArc(1, 0, 0.0, cost_a, chain_a[i + 1]))
+        lat.arcs[chain_b[i]].append(
+            LatticeArc(2, 0, 0.0, cost_b, chain_b[i + 1]))
+    lat.finals[end] = (0.0, 0.0)
+    return lat
+
+
+def test_mpe_post_signs_and_zero_sum():
+    """Equal-cost paths: correct-phone arcs get +0.5·(acc−avg), wrong −;
+    per-frame signed mass sums to zero."""
+    lat = _two_path_lattice()
+    post, acc = forward_backward_mpe_variants(
+        lat, _FakeTm(), ref_alignment=[1, 1], criterion="mpfe", ac_scale=1.0)
+    assert acc == pytest.approx(1.0)  # E[path acc] = 0.5*2 + 0.5*0
+    assert len(post) == 2
+    for frame in post:
+        d = dict(frame)
+        assert d[1] == pytest.approx(0.5)   # 0.5 * (2 - 1)
+        assert d[2] == pytest.approx(-0.5)
+        assert sum(d.values()) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mpe_post_weighting_follows_likelihood():
+    """Cheaper correct path → its positive mass shrinks (already likely);
+    per-frame zero-sum still holds."""
+    lat = _two_path_lattice(cost_a=0.0, cost_b=2.0)
+    post, acc = forward_backward_mpe_variants(
+        lat, _FakeTm(), [1, 1], ac_scale=1.0)
+    p_a = 1.0 / (1.0 + np.exp(-4.0))  # path A posterior (2 frames, cost 2)
+    assert acc == pytest.approx(2 * p_a)
+    d = dict(post[0])
+    # gamma_a * (2 - avg) with avg = 2*p_a
+    assert d[1] == pytest.approx(p_a * (2 - 2 * p_a))
+    assert d[1] + d[2] == pytest.approx(0.0, abs=1e-9)
+    assert d[1] > 0 > d[2]
+
+
+def test_mpe_vs_smbr_criterion():
+    """tids 1 and 3 share pdf? No — pdf = tid-1, so distinct; but make a
+    ref where phone differs yet pdf matches to split the criteria."""
+
+    class Tm(_FakeTm):
+        def tid_to_pdf(self, t):
+            return 0  # every tid shares one pdf
+
+    lat = _two_path_lattice()
+    post_mpe, acc_mpe = forward_backward_mpe_variants(
+        lat, Tm(), [1, 1], criterion="mpfe", ac_scale=1.0)
+    post_smbr, acc_smbr = forward_backward_mpe_variants(
+        lat, Tm(), [1, 1], criterion="smbr", ac_scale=1.0)
+    assert acc_mpe == pytest.approx(1.0)
+    assert acc_smbr == pytest.approx(2.0)  # all arcs pdf-correct
+    assert post_smbr[0] == [] or all(
+        w == pytest.approx(0.0, abs=1e-9) for _, w in post_smbr[0])
+
+
+def test_mpe_silence_phones_score_zero():
+    lat = _two_path_lattice()
+    post, acc = forward_backward_mpe_variants(
+        lat, _FakeTm(), [1, 1], silence_phones=[1], ac_scale=1.0)
+    # the only matching phone is silence → all accuracies 0 → no signal
+    assert acc == pytest.approx(0.0)
+    for frame in post:
+        for _, w in frame:
+            assert w == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# fMPE
+# ---------------------------------------------------------------------------
+
+
+def _toy_setup(rng, dim=3, num_pdfs=3, ubm_gauss=8):
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, DiagGmm
+
+    pdfs = [DiagGmm(np.ones(1), rng.normal(size=(1, dim)) * 2,
+                    0.5 + rng.random((1, dim))) for _ in range(num_pdfs)]
+    am = AmDiagGmm(pdfs)
+    ubm = DiagGmm(np.full(ubm_gauss, 1 / ubm_gauss),
+                  rng.normal(size=(ubm_gauss, dim)) * 2,
+                  0.5 + rng.random((ubm_gauss, dim)))
+    return am, ubm
+
+
+def test_fmpe_context_adjoint():
+    """<C u, v> == <u, C^T v> for the context layer."""
+    from old_kaldi_git_tpu.transform.fmpe import Fmpe
+
+    rng = np.random.default_rng(0)
+    _, ubm = _toy_setup(rng)
+    f = Fmpe.init(ubm)
+    T, D, C = 9, ubm.dim, len(f.contexts)
+    u = rng.normal(size=(T, C * D))
+    v = rng.normal(size=(T, D))
+    lhs = np.sum(f._apply_context(u) * v)
+    rhs = np.sum(u * f._apply_context_reverse(v))
+    assert lhs == pytest.approx(rhs, rel=1e-10)
+
+
+def test_fmpe_update_improves_objective():
+    """One acc/update step on a fixed signed posterior must increase
+    F = sum_t sum_(tid,w) w * loglike_{pdf(tid)}(x'_t)."""
+    from old_kaldi_git_tpu.transform.fmpe import (
+        Fmpe,
+        model_deriv_direct,
+    )
+
+    rng = np.random.default_rng(1)
+    am, ubm = _toy_setup(rng)
+    fmpe = Fmpe.init(ubm)
+    tm = _FakeTm()
+    T = 40
+    x = rng.normal(size=(T, am.dim)) * 2
+    # signed post: pull toward pdf 0, away from pdf 1 (tids are 1-based)
+    post = [[(1, 1.0), (2, -1.0)] for _ in range(T)]
+
+    def objf(feats):
+        ll = am.loglikes_numpy(feats)
+        return float(sum(w * ll[t, tm.tid_to_pdf(tid)]
+                         for t in range(T) for tid, w in post[t]))
+
+    f0 = objf(x + fmpe.offsets(x))
+    deriv = model_deriv_direct(am, tm, x + fmpe.offsets(x), post)
+    accs = fmpe.acc_from_deriv(x, deriv)
+    step = fmpe.update(accs, learning_rate=0.02)
+    assert step > 0
+    f1 = objf(x + fmpe.offsets(x))
+    assert f1 > f0
+
+
+def test_fmpe_serialization_roundtrip(tmp_path):
+    from old_kaldi_git_tpu.transform.fmpe import Fmpe, FmpeAccs
+
+    rng = np.random.default_rng(2)
+    _, ubm = _toy_setup(rng)
+    f = Fmpe.init(ubm, post_scale=3.0, num_gselect=4)
+    f.proj[:] = rng.normal(size=f.proj.shape)
+    p = str(tmp_path / "fmpe")
+    f.save(p)
+    f2 = Fmpe.load(p)
+    np.testing.assert_allclose(f2.proj, f.proj, atol=1e-6)
+    assert f2.post_scale == pytest.approx(3.0)
+    assert f2.num_gselect == 4
+    assert f2.contexts == f.contexts
+    x = rng.normal(size=(12, ubm.dim))
+    np.testing.assert_allclose(f2.apply(x), f.apply(x), atol=1e-4)
+
+    a = FmpeAccs.zeros_like(f)
+    a.pos += rng.random(a.pos.shape)
+    a.neg += rng.random(a.neg.shape)
+    ap = str(tmp_path / "accs")
+    a.save(ap)
+    a2 = FmpeAccs.load(ap)
+    np.testing.assert_allclose(a2.pos, a.pos, atol=1e-12)
+    np.testing.assert_allclose(a2.neg, a.neg, atol=1e-12)
+
+
+def test_fmpe_gselect_sparsity():
+    """num_gselect keeps only the top-N Gaussian blocks nonzero."""
+    from old_kaldi_git_tpu.transform.fmpe import Fmpe
+
+    rng = np.random.default_rng(3)
+    _, ubm = _toy_setup(rng, ubm_gauss=10)
+    f = Fmpe.init(ubm, num_gselect=3)
+    x = rng.normal(size=(5, ubm.dim))
+    h = f.expand(x)
+    D1 = ubm.dim + 1
+    nonzero_blocks = (np.abs(h.reshape(5, 10, D1)).sum(axis=2) > 0).sum(axis=1)
+    assert (nonzero_blocks <= 3).all()

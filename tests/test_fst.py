@@ -311,3 +311,54 @@ def test_native_matches_python():
             ), f"compose trial {trial}"
         checked += 1
     assert checked >= 5
+
+
+def test_replace_fst_expands_nonterminals():
+    """RTN expansion (grammar-fst role): 'a N c' with N → (b1 | b2/0.5)
+    accepts exactly {a b1 c, a b2 c} at the right weights."""
+    from old_kaldi_git_tpu.fst.algorithms import (
+        fst_equivalent,
+        replace_fst,
+        shortest_path,
+    )
+    from old_kaldi_git_tpu.fst.vector_fst import Arc, VectorFst, linear_fst
+
+    A, B1, B2, C, N = 1, 2, 3, 4, 100
+    top = linear_fst([A, N, C])
+    sub = VectorFst()
+    s0, s1 = sub.add_state(), sub.add_state()
+    sub.set_start(s0)
+    sub.add_arc(s0, Arc(B1, B1, 0.0, s1))
+    sub.add_arc(s0, Arc(B2, B2, 0.5, s1))
+    sub.set_final(s1)
+    out = replace_fst(top, {N: sub})
+    # manual expansion for comparison
+    want = VectorFst()
+    states = [want.add_state() for _ in range(4)]
+    want.set_start(states[0])
+    want.add_arc(states[0], Arc(A, A, 0.0, states[1]))
+    want.add_arc(states[1], Arc(B1, B1, 0.0, states[2]))
+    want.add_arc(states[1], Arc(B2, B2, 0.5, states[2]))
+    want.add_arc(states[2], Arc(C, C, 0.0, states[3]))
+    want.set_final(states[3])
+    assert fst_equivalent(out, want, max_len=6)
+    cost, _, olabs = shortest_path(out)
+    assert cost == pytest.approx(0.0)
+    assert [o for o in olabs if o] == [A, B1, C]
+
+
+def test_replace_fst_nested_and_recursive():
+    """Nested nonterminals expand transitively; recursion raises."""
+    from old_kaldi_git_tpu.fst.algorithms import replace_fst, shortest_path
+    from old_kaldi_git_tpu.fst.vector_fst import linear_fst
+    from old_kaldi_git_tpu.utils.log import KaldiError
+
+    W, X, Y = 1, 100, 101
+    top = linear_fst([X])
+    sub_x = linear_fst([Y, W])
+    sub_y = linear_fst([W, W])
+    out = replace_fst(top, {X: sub_x, Y: sub_y})
+    _, _, olabs = shortest_path(out)
+    assert [o for o in olabs if o] == [W, W, W]
+    with pytest.raises(KaldiError):
+        replace_fst(top, {X: sub_x, Y: linear_fst([X])})

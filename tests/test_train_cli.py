@@ -490,3 +490,75 @@ def test_lvtln_cli_chain(corpus):
     id_warps = read_table(f"ark:{d}/id_warp.ark", "text")
     frac_id = np.mean([float(v) == 1.0 for v in id_warps.values()])
     assert frac_id > 0.8, id_warps
+
+
+def test_regtree_cli_chain(corpus):
+    """gmm-make-regtree → gmm-est-regtree-{fmllr,mllr} → regtree decode:
+    transforms estimated on clean data keep the decode at the baseline
+    transcript (near-identity adaptation must not hurt)."""
+    d, tf, sf, st = corpus
+    if not (d / "wpost.ark").exists() or not (d / "graph").exists():
+        pytest.skip("training pipeline + transform tests must run first")
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    run(["gmm-make-regtree", "--max-leaves=4", "final.mdl", "regtree"], d)
+    from old_kaldi_git_tpu.transform.regtree import RegressionTree
+
+    tree = RegressionTree.load(str(d / "regtree"))
+    assert 1 <= tree.num_baseclasses <= 4
+
+    for kind in ("fmllr", "mllr"):
+        run([f"gmm-est-regtree-{kind}", "--min-count=100", "final.mdl",
+             "regtree", "ark:train.ark", "ark:wpost.ark",
+             f"ark:regtree_{kind}.ark"], d)
+        xfs = read_table(f"ark:{d}/regtree_{kind}.ark", "regx")
+        assert xfs and all(x.kind == kind for x in xfs.values())
+        run([f"gmm-decode-faster-regtree-{kind}",
+             "--word-symbol-table=graph/words.txt", "final.mdl", "regtree",
+             "graph/HCLG.fst", "ark:test.ark", f"ark:regtree_{kind}.ark",
+             f"ark:hyp_regtree_{kind}.ark"], d)
+        hyp = read_table(f"ark:{d}/hyp_regtree_{kind}.ark", "text")
+        assert len(hyp) == len(st)
+        errs = sum(h.split() != list(st[k]) for k, h in hyp.items())
+        assert errs <= max(1, len(st) // 4), (kind, hyp, st)
+
+
+def test_mpe_post_and_fmpe_cli_chain(corpus):
+    """lattice-to-mpe-post (per-frame signed mass sums to ~0) →
+    fmpe-init → gmm-fmpe-acc-stats → fmpe-est → fmpe-apply-transform."""
+    d, tf, sf, st = corpus
+    if not (d / "final.mdl").exists() or not (d / "ali.1.ark").exists():
+        pytest.skip("training pipeline test must run first")
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    # lattices on the TRAIN set so ali.1.ark is the numerator
+    run(["gmm-latgen-faster", "--beam=24", "--acoustic-scale=0.1",
+         "final.mdl", "graph/HCLG.fst", "ark:train.ark",
+         "ark:trainlat.ark", "ark:trainhyp.ark"], d)
+    run(["lattice-to-mpe-post", "--acoustic-scale=0.1", "final.mdl",
+         "ark:ali.1.ark", "ark:trainlat.ark", "ark:mpe_post.ark"], d)
+    posts = read_table(f"ark:{d}/mpe_post.ark", "post")
+    assert posts
+    for key, post in posts.items():
+        for frame in post:
+            s = sum(w for _, w in frame)
+            assert abs(s) < 1e-3, (key, s)
+
+    run(["gmm-global-init-from-feats", "--num-gauss=16", "--num-iters=5",
+         "ark:train.ark", "fmpe.ubm"], d)
+    run(["fmpe-init", "--num-gselect=5", "fmpe.ubm", "0.fmpe"], d)
+    run(["gmm-fmpe-acc-stats", "final.mdl", "0.fmpe", "ark:train.ark",
+         "ark:mpe_post.ark", "fmpe.accs"], d)
+    r = run(["fmpe-est", "--learning-rate=0.05", "0.fmpe", "fmpe.accs",
+             "1.fmpe"], d)
+    assert "mean |step|" in r.stderr
+    run(["fmpe-apply-transform", "1.fmpe", "ark:train.ark",
+         "ark:fmpe_feats.ark"], d)
+    out = read_table(f"ark:{d}/fmpe_feats.ark", "mat")
+    assert set(out) == set(tf)
+    moved = 0
+    for k in out:
+        a, b = np.asarray(out[k]), np.asarray(tf[k])
+        assert a.shape == b.shape and np.isfinite(a).all()
+        moved += float(np.abs(a - b).mean())
+    assert moved > 0  # the update actually produced nonzero offsets

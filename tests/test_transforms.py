@@ -420,3 +420,155 @@ def test_lvtln_serialization(tmp_path):
     lv2 = LinearVtln.load(p)
     np.testing.assert_allclose(lv2.mats, lv.mats, atol=1e-6)
     assert lv2.warps == pytest.approx(lv.warps)
+
+
+# ---------------------------------------------------------------------------
+# Regression-tree MLLR / fMLLR (reference src/transform/regression-tree.{h,cc},
+# regtree-{fmllr,mllr}-diag-gmm.{h,cc})
+# ---------------------------------------------------------------------------
+
+
+def _two_group_am(rng, dim=4, per_group=3):
+    """Gaussians in two well-separated mean clusters so a 2-leaf regression
+    tree must split them: pdfs [0, per_group) near +5, rest near -5."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, DiagGmm
+
+    pdfs = []
+    for g, center in enumerate((5.0, -5.0)):
+        for _ in range(per_group):
+            pdfs.append(DiagGmm(
+                np.ones(1),
+                center + rng.normal(size=(1, dim)),
+                0.5 + rng.random((1, dim)),
+            ))
+    return AmDiagGmm(pdfs)
+
+
+def _grouped_speaker(rng, am, frames_per_pdf, n_groups=2):
+    feats, pdfs, group = [], [], []
+    per_group = am.num_pdfs // n_groups
+    for pdf in range(am.num_pdfs):
+        g = am.pdfs[pdf]
+        feats.append(g.means[0] + np.sqrt(g.vars[0]) * rng.normal(
+            size=(frames_per_pdf, am.dim)))
+        pdfs.append(np.full(frames_per_pdf, pdf))
+        group.append(np.full(frames_per_pdf, pdf // per_group))
+    return np.concatenate(feats), np.concatenate(pdfs), np.concatenate(group)
+
+
+def test_regtree_build_and_serialization(tmp_path):
+    from old_kaldi_git_tpu.transform.regtree import RegressionTree
+
+    rng = np.random.default_rng(0)
+    am = _two_group_am(rng)
+    tree = RegressionTree.build(am, num_baseclasses=2, seed=1)
+    assert tree.num_baseclasses == 2
+    assert tree.num_nodes == 3 and tree.root == 2
+    assert tree.parents[tree.root] == tree.root
+    # the two mean clusters land in different leaves
+    leaf_of_pdf = [tree.gauss2bclass[p][0] for p in range(am.num_pdfs)]
+    assert len(set(leaf_of_pdf[:3])) == 1 and len(set(leaf_of_pdf[3:])) == 1
+    assert leaf_of_pdf[0] != leaf_of_pdf[3]
+    p = str(tmp_path / "tree")
+    tree.save(p)
+    t2 = RegressionTree.load(p)
+    np.testing.assert_array_equal(t2.parents, tree.parents)
+    for a, b in zip(t2.gauss2bclass, tree.gauss2bclass):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_regtree_mllr_per_class_beats_global():
+    """Two mean-shifted Gaussian groups: 2-class MLLR must beat both the
+    unadapted model and a single global MLLR transform."""
+    from old_kaldi_git_tpu.transform.regtree import (
+        RegressionTree,
+        RegtreeMllrAccs,
+        apply_mllr_to_model,
+        estimate_regtree_mllr,
+    )
+
+    rng = np.random.default_rng(3)
+    am = _two_group_am(rng)
+    tree = RegressionTree.build(am, num_baseclasses=2, seed=1)
+    x, pdfs, grp = _grouped_speaker(rng, am, 200)
+    shift = np.where(grp[:, None] == 0, 1.5, -2.0)  # opposite per group
+    x = x + shift
+
+    def tot_like(m):
+        return sum(m.pdfs[p].loglikes(x[pdfs == p]).sum()
+                   for p in range(am.num_pdfs))
+
+    acc = RegtreeMllrAccs(am.dim, tree.num_baseclasses)
+    acc.accumulate(am, tree, x, pdfs)
+    xf2 = estimate_regtree_mllr(acc, tree, min_count=50.0)
+    assert xf2.num_xforms == 2
+    # leaves hold 600 frames each, the root 1200: min_count=1000 forces the
+    # walk past the leaves to a single real root transform
+    xf1 = estimate_regtree_mllr(acc, tree, min_count=1000.0)
+    assert xf1.num_xforms == 1
+    # and a fully data-starved tree falls back to identity
+    xf_id = estimate_regtree_mllr(acc, tree, min_count=1e9)
+    np.testing.assert_allclose(xf_id.xforms[0][:, :-1], np.eye(am.dim))
+    ll0 = tot_like(am)
+    ll1 = tot_like(apply_mllr_to_model(am, tree, xf1))
+    ll2 = tot_like(apply_mllr_to_model(am, tree, xf2))
+    assert ll2 > ll1 > ll0
+    # per-class adapted means track the true shifts
+    m2 = apply_mllr_to_model(am, tree, xf2)
+    np.testing.assert_allclose(
+        m2.pdfs[0].means[0] - am.pdfs[0].means[0], 1.5, atol=0.3)
+    np.testing.assert_allclose(
+        m2.pdfs[3].means[0] - am.pdfs[3].means[0], -2.0, atol=0.3)
+
+
+def test_regtree_fmllr_per_class_beats_global():
+    """Two differently-distorted feature groups: per-class fMLLR recovers
+    both distortions; global fMLLR can only compromise."""
+    from old_kaldi_git_tpu.transform.regtree import (
+        RegressionTree,
+        RegtreeFmllrAccs,
+        estimate_regtree_fmllr,
+        regtree_fmllr_loglikes,
+    )
+
+    rng = np.random.default_rng(4)
+    am = _two_group_am(rng)
+    tree = RegressionTree.build(am, num_baseclasses=2, seed=1)
+    x, pdfs, grp = _grouped_speaker(rng, am, 250)
+    dists = [np.eye(am.dim) + 0.25 * rng.normal(size=(am.dim, am.dim))
+             / np.sqrt(am.dim) for _ in range(2)]
+    y = x.copy()
+    for g in range(2):
+        sel = grp == g
+        y[sel] = x[sel] @ dists[g].T + (0.5 if g else -0.5)
+
+    acc = RegtreeFmllrAccs(am.dim, tree.num_baseclasses)
+    acc.accumulate(am, tree, y, pdfs)
+    xf2 = estimate_regtree_fmllr(acc, tree, min_count=50.0)
+    assert xf2.num_xforms == 2
+    # 750/leaf, 1500 at root: min_count=1200 yields one real global transform
+    xf1 = estimate_regtree_fmllr(acc, tree, min_count=1200.0)
+    assert xf1.num_xforms == 1
+
+    def tot_like(ll):
+        return ll[np.arange(len(pdfs)), pdfs].sum()
+
+    ll0 = tot_like(am.loglikes_numpy(y))
+    ll1 = tot_like(regtree_fmllr_loglikes(am, tree, xf1, y))
+    ll2 = tot_like(regtree_fmllr_loglikes(am, tree, xf2, y))
+    assert ll2 > ll1 > ll0
+
+
+def test_regtree_xform_serialization(tmp_path):
+    from old_kaldi_git_tpu.transform.regtree import RegtreeTransform
+
+    rng = np.random.default_rng(0)
+    xf = RegtreeTransform("fmllr", rng.normal(size=(2, 3, 4)),
+                          [0, 1, 1, 0])
+    p = str(tmp_path / "xf")
+    xf.save(p)
+    x2 = RegtreeTransform.load(p)
+    assert x2.kind == "fmllr"
+    np.testing.assert_allclose(x2.xforms, xf.xforms, atol=1e-6)
+    np.testing.assert_array_equal(x2.bclass2xform, xf.bclass2xform)
+    np.testing.assert_allclose(x2.logdets, xf.logdets, atol=1e-5)
