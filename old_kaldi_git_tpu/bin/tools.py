@@ -1622,3 +1622,4 @@ from old_kaldi_git_tpu.bin import lat_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import nnet3_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import util_tools  # noqa: E402,F401  (isort:skip)
 from old_kaldi_git_tpu.bin import kws_tools  # noqa: E402,F401  (isort:skip)
+from old_kaldi_git_tpu.bin import sgmm2_tools  # noqa: E402,F401  (isort:skip)

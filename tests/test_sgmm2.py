@@ -1,0 +1,231 @@
+"""SGMM2 tests (reference src/sgmm2/am-sgmm2{,-test}.cc,
+estimate-am-sgmm2.{h,cc}): brute-force likelihood oracle, EM monotonicity
+under the alternating update schedule, substate splitting, serialization,
+and the CLI chain."""
+
+import numpy as np
+import pytest
+
+from old_kaldi_git_tpu.gmm.full_gmm import FullGmm
+from old_kaldi_git_tpu.gmm.sgmm2 import (
+    AmSgmm2,
+    MleAmSgmm2Accs,
+    Sgmm2UpdateOptions,
+    alternating_flags,
+    sgmm2_update,
+    split_substates,
+)
+
+
+def _ubm(rng, I=5, D=3):
+    covs = []
+    for _ in range(I):
+        a = rng.normal(size=(D, D)) * 0.2
+        covs.append(np.eye(D) + a @ a.T)
+    return FullGmm(np.full(I, 1 / I), rng.normal(size=(I, D)) * 2,
+                   np.stack(covs))
+
+
+def _data(rng, J, D, n=200, sep=3.0):
+    X = np.concatenate([rng.normal(size=(n, D)) + sep * j for j in range(J)])
+    return X, np.repeat(np.arange(J), n)
+
+
+def test_sgmm2_loglikes_match_bruteforce():
+    """The einsum evaluation equals the direct per-(j,m,i) formula."""
+    rng = np.random.default_rng(0)
+    ubm = _ubm(rng)
+    m = AmSgmm2.init(ubm, num_pdfs=2)
+    # make it non-trivial: random v's, two substates, random w
+    m.v = [rng.normal(size=(2, m.phn_dim)), rng.normal(size=(1, m.phn_dim))]
+    m.c = [np.asarray([0.3, 0.7]), np.ones(1)]
+    m.w = rng.normal(size=m.w.shape) * 0.5
+    m.invalidate()
+    X = rng.normal(size=(7, m.dim))
+    got = m.loglikes_numpy(X)
+
+    I, D, S = m.M.shape
+    sigma = np.linalg.inv(m.sigma_inv)
+    want = np.zeros_like(got)
+    for t in range(len(X)):
+        for j in range(m.num_pdfs):
+            total = 0.0
+            cj = m.c[j] / m.c[j].sum()
+            for mm in range(len(m.v[j])):
+                v = m.v[j][mm]
+                logits = m.w @ v
+                wts = np.exp(logits - logits.max())
+                wts = wts / wts.sum()
+                for i in range(I):
+                    mu = m.M[i] @ v
+                    diff = X[t] - mu
+                    e = -0.5 * diff @ m.sigma_inv[i] @ diff
+                    norm = np.sqrt(
+                        (2 * np.pi) ** D * np.linalg.det(sigma[i]))
+                    total += cj[mm] * wts[i] * np.exp(e) / norm
+            want[t, j] = np.log(total)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_sgmm2_init_reproduces_ubm_means():
+    """v = e1 and M_i = [mu_i | I] → state means equal UBM means."""
+    rng = np.random.default_rng(1)
+    ubm = _ubm(rng)
+    m = AmSgmm2.init(ubm, num_pdfs=3)
+    for j in range(3):
+        mu = np.einsum("ids,s->id", m.M, m.v[j][0])
+        np.testing.assert_allclose(mu, ubm.means, atol=1e-12)
+
+
+def test_sgmm2_em_monotone_alternating():
+    """Avg like/frame is non-decreasing under the vwc/MS alternation and
+    the trained model classifies its own data."""
+    rng = np.random.default_rng(2)
+    ubm = _ubm(rng, I=6, D=4)
+    J = 3
+    m = AmSgmm2.init(ubm, J)
+    X, pdfs = _data(rng, J, 4)
+    hist = []
+    for it in range(6):
+        acc = MleAmSgmm2Accs(m)
+        acc.accumulate(m, X, pdfs)
+        hist.append(sgmm2_update(m, acc, Sgmm2UpdateOptions(
+            update_flags=alternating_flags(it))))
+    for a, b in zip(hist, hist[1:]):
+        assert b >= a - 1e-6, hist
+    assert hist[-1] > hist[0] + 1.0  # actually learned something
+    ll = m.loglikes_numpy(X[::7])
+    assert (ll.argmax(1) == pdfs[::7]).mean() > 0.9
+
+
+def test_sgmm2_substate_split_improves():
+    """Bimodal data within one pdf, Gaussian pool FROZEN ('vwc' updates
+    only, so the substate vectors must do the modeling): one substate can
+    only shift all pool means rigidly, so splitting to two substates must
+    buy real likelihood."""
+    rng = np.random.default_rng(3)
+    ubm = _ubm(rng, I=4, D=3)
+    m = AmSgmm2.init(ubm, num_pdfs=1)
+    X = np.concatenate([rng.normal(size=(200, 3)) - 3,
+                        rng.normal(size=(200, 3)) + 3])
+    pdfs = np.zeros(len(X), int)
+
+    def em(model, iters):
+        last = None
+        for _ in range(iters):
+            acc = MleAmSgmm2Accs(model)
+            acc.accumulate(model, X, pdfs)
+            last = sgmm2_update(model, acc, Sgmm2UpdateOptions(
+                update_flags="vwc"))
+        return last, acc
+
+    base, acc = em(m, 8)
+    split_substates(m, acc, target=2, perturb=0.2)
+    assert m.num_substates == 2
+    after, _ = em(m, 8)
+    assert after > base + 0.3, (base, after)
+    # the two substate vectors ended up modeling different modes
+    mu = np.einsum("ids,ms->mid", m.M, m.v[0]).mean(axis=1)  # [2, D]
+    assert np.linalg.norm(mu[0] - mu[1]) > 2.0
+
+
+def test_sgmm2_accs_sum_equals_single_pass():
+    rng = np.random.default_rng(4)
+    ubm = _ubm(rng)
+    m = AmSgmm2.init(ubm, 2)
+    X, pdfs = _data(rng, 2, 3, n=60)
+    whole = MleAmSgmm2Accs(m)
+    whole.accumulate(m, X, pdfs)
+    a = MleAmSgmm2Accs(m)
+    b = MleAmSgmm2Accs(m)
+    a.accumulate(m, X[:50], pdfs[:50])
+    b.accumulate(m, X[50:], pdfs[50:])
+    a.add(b)
+    np.testing.assert_allclose(a.Y, whole.Y, rtol=1e-9)
+    np.testing.assert_allclose(a.S, whole.S, rtol=1e-9)
+    for j in range(2):
+        np.testing.assert_allclose(a.gamma[j], whole.gamma[j], rtol=1e-9)
+        np.testing.assert_allclose(a.y[j], whole.y[j], rtol=1e-9)
+    assert a.total_frames == pytest.approx(whole.total_frames)
+
+
+def test_sgmm2_serialization_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    ubm = _ubm(rng)
+    m = AmSgmm2.init(ubm, 2)
+    m.v[0] = rng.normal(size=(2, m.phn_dim))
+    m.c[0] = np.asarray([0.4, 0.6])
+    m.w = rng.normal(size=m.w.shape)
+    m.invalidate()
+    p = str(tmp_path / "sgmm")
+    with open(p, "wb") as f:
+        m.write(f)
+    with open(p, "rb") as f:
+        m2 = AmSgmm2.read(f)
+    X = rng.normal(size=(5, m.dim))
+    np.testing.assert_allclose(
+        m2.loglikes_numpy(X), m.loglikes_numpy(X), atol=1e-3)
+
+    acc = MleAmSgmm2Accs(m)
+    X2, pdfs2 = _data(rng, 2, m.dim, n=30)
+    acc.accumulate(m, X2, pdfs2)
+    ap = str(tmp_path / "accs")
+    acc.save(ap)
+    acc2 = MleAmSgmm2Accs.load(ap, m)
+    np.testing.assert_allclose(acc2.Y, acc.Y, rtol=1e-12)
+    np.testing.assert_allclose(acc2.gamma[0], acc.gamma[0], rtol=1e-12)
+    assert acc2.total_like == pytest.approx(acc.total_like)
+
+
+def test_sgmm2_recipe_runs(tmp_path):
+    """recipes/sgmm2.train_sgmm2 with fixed alignments: runs the
+    alternating EM schedule end-to-end and the result round-trips."""
+    from old_kaldi_git_tpu.fst.lang import Lang, Lexicon
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, AmGmmModel, DiagGmm
+    from old_kaldi_git_tpu.gmm.sgmm2 import Sgmm2Model
+    from old_kaldi_git_tpu.hmm.topology import HmmTopology
+    from old_kaldi_git_tpu.hmm.transition_model import TransitionModel
+    from old_kaldi_git_tpu.recipes.sgmm2 import Sgmm2TrainOptions, train_sgmm2
+    from old_kaldi_git_tpu.tree.context_dep import monophone_context_dependency
+
+    rng = np.random.default_rng(0)
+    lex = Lexicon.from_dict({"yes": "Y EH S", "no": "N OW"})
+    lang = Lang(lex, silence_phone="SIL", sil_prob=0.5)
+    phones = lang.real_phone_ids
+    topo = HmmTopology.standard(phones, silence_phones=[lang.silence_id])
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones})
+    tm = TransitionModel(cd, topo)
+    D = 4
+    am = AmDiagGmm([
+        DiagGmm(np.ones(1), rng.normal(size=(1, D)) * 2,
+                0.5 + rng.random((1, D)))
+        for _ in range(cd.num_pdfs)])
+    base = AmGmmModel(tm, am)
+    tid2pdf = tm.tid_to_pdf_array()
+    # frames sampled from each pdf's own Gaussian; alignment = self-loop tids
+    self_loops = {}
+    for tid in range(1, tm.num_tids + 1):
+        self_loops.setdefault(int(tid2pdf[tid]), tid)
+    feats, alis = {}, {}
+    for u in range(6):
+        pdf_seq = rng.choice(cd.num_pdfs, size=30)
+        feats[f"u{u}"] = np.stack([
+            am.pdfs[p].means[0]
+            + np.sqrt(am.pdfs[p].vars[0]) * rng.normal(size=D)
+            for p in pdf_seq]).astype(np.float32)
+        alis[f"u{u}"] = np.asarray(
+            [self_loops[int(p)] for p in pdf_seq], np.int32)
+
+    model = train_sgmm2(base, feats, alis, opts=Sgmm2TrainOptions(
+        num_iters=4, num_ubm_gauss=8,
+        total_substates=cd.num_pdfs + 4))
+    assert isinstance(model, Sgmm2Model)
+    assert model.sgmm.num_substates >= cd.num_pdfs + 4
+    ll = model.sgmm.loglikes_numpy(feats["u0"])
+    assert ll.shape == (30, cd.num_pdfs) and np.isfinite(ll).all()
+    p = str(tmp_path / "sgmm.mdl")
+    model.save(p)
+    m2 = Sgmm2Model.load(p)
+    np.testing.assert_allclose(
+        m2.sgmm.loglikes_numpy(feats["u0"]), ll, atol=1e-3)

@@ -562,3 +562,56 @@ def test_mpe_post_and_fmpe_cli_chain(corpus):
         assert a.shape == b.shape and np.isfinite(a).all()
         moved += float(np.abs(a - b).mean())
     assert moved > 0  # the update actually produced nonzero offsets
+
+
+def test_sgmm2_cli_chain(corpus):
+    """sgmm2-init → (acc-stats-ali → est, alternating flags, with a split
+    and a realign) → sgmm2-latgen-faster: WER 0.00 on yesno."""
+    d, tf, sf, st = corpus
+    if not (d / "final.mdl").exists() or not (d / "graph").exists():
+        pytest.skip("training pipeline test must run first")
+
+    run(["gmm-global-init-from-feats", "--num-gauss=12", "--num-iters=6",
+         "ark:train.ark", "sgmm.ubm"], d)
+    run(["gmm-global-to-fgmm", "sgmm.ubm", "sgmm.fubm"], d)
+    run(["sgmm2-init", "final.mdl", "sgmm.fubm", "sgmm.0.mdl"], d)
+    r = run(["sgmm2-info", "sgmm.0.mdl"], d)
+    assert "number of pdfs" in r.stdout
+
+    cur, ali = "sgmm.0.mdl", "ark:ali.1.ark"
+    for it in range(4):
+        flags = "vwc" if it % 2 == 0 else "MS"
+        split = ["--split-substates=60"] if it == 2 else []
+        run(["sgmm2-acc-stats-ali", cur, "ark:train.ark", ali,
+             f"sgmm.{it}.accs"], d)
+        run(["sgmm2-est", f"--update-flags={flags}", *split, cur,
+             f"sgmm.{it}.accs", f"sgmm.{it + 1}.mdl"], d)
+        cur = f"sgmm.{it + 1}.mdl"
+        if it == 1:
+            run(["sgmm2-align-compiled", "--beam=200", cur, "ark:gra.fsts",
+                 "ark:train.ark", "ark:sgmm.ali.ark"], d)
+            ali = "ark:sgmm.ali.ark"
+
+    # map-reduce equivalence: two half-corpus accs summed == whole-corpus
+    # acc (the ali.0.{a,b} splits come from the pipeline test)
+    run(["sgmm2-acc-stats-ali", cur, "ark:train.ark", "ark:ali.0.a.ark",
+         "sgmm.a.accs"], d)
+    run(["sgmm2-acc-stats-ali", cur, "ark:train.ark", "ark:ali.0.b.ark",
+         "sgmm.b.accs"], d)
+    run(["sgmm2-sum-accs", cur, "sgmm.sum.accs", "sgmm.a.accs",
+         "sgmm.b.accs"], d)
+    run(["sgmm2-acc-stats-ali", cur, "ark:train.ark", "ark:ali.0.ark",
+         "sgmm.whole.accs"], d)
+    from old_kaldi_git_tpu.gmm.sgmm2 import MleAmSgmm2Accs, Sgmm2Model
+
+    sm = Sgmm2Model.load(str(d / cur))
+    summed = MleAmSgmm2Accs.load(str(d / "sgmm.sum.accs"), sm.sgmm)
+    whole = MleAmSgmm2Accs.load(str(d / "sgmm.whole.accs"), sm.sgmm)
+    np.testing.assert_allclose(summed.Y, whole.Y, rtol=1e-6, atol=1e-8)
+    assert summed.total_frames == pytest.approx(whole.total_frames)
+
+    run(["sgmm2-latgen-faster", "--beam=24", "--acoustic-scale=0.1",
+         "--word-symbol-table=graph/words.txt", cur, "graph/HCLG.fst",
+         "ark:test.ark", "ark:sgmm_lat.ark", "ark:sgmm_hyp.ark"], d)
+    out = run(["compute-wer", "ark:ref.ark", "ark:sgmm_hyp.ark"], d)
+    assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
