@@ -398,22 +398,11 @@ def lattice_lmrescore_tool(argv: List[str]) -> int:
     return 0
 
 
-def _rescore_lattice_acoustics(lat, loglikes: np.ndarray, tid_to_pdf) -> None:
-    """Replace each emitting arc's acoustic cost with -loglike[t, pdf]
-    (the shared core of lattice-rescore-mapped / gmm-rescore-lattice)."""
-    from old_kaldi_git_tpu.lat.lattice import LatticeArc
-
-    T = loglikes.shape[0]
-    for s in range(lat.num_states):
-        t = lat.state_time[s]
-        new = []
-        for a in lat.arcs[s]:
-            ac = a.acoustic_cost
-            if a.ilabel and 0 <= t < T:
-                ac = float(-loglikes[t, tid_to_pdf(a.ilabel)])
-            new.append(LatticeArc(a.ilabel, a.olabel, a.graph_cost, ac,
-                                  a.nextstate))
-        lat.arcs[s] = new
+# _rescore_lattice_acoustics moved to lat/rescore.py (library code used
+# by nnet3 discriminative training too); re-exported here for the tools
+from old_kaldi_git_tpu.lat.rescore import (  # noqa: E402  (isort:skip)
+    rescore_lattice_acoustics as _rescore_lattice_acoustics,
+)
 
 
 @tool("lattice-rescore-mapped")
@@ -1335,3 +1324,54 @@ def make_grammar_fst_tool(argv: List[str]) -> int:
     log.info("make-grammar-fst: %d nonterminals, %d states, %d arcs",
              len(repl), out.num_states, out.num_arcs)
     return _write_fst(out, args[-1])
+
+
+@tool("lattice-confidence")
+def lattice_confidence_tool(argv: List[str]) -> int:
+    """Per-utterance confidence = total-cost gap between the best and
+    second-best word sequences (reference src/lat/confidence.{h,cc}
+    ComputeLatticeConfidence / latbin/lattice-confidence.cc); clipped to
+    [0, max] like the reference, with max for single-path lattices."""
+    from old_kaldi_git_tpu.lat.lattice import lattice_nbest_paths
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-confidence [options] <lat-rspecifier> <conf-wspecifier>")
+
+    class Opts:
+        lm_scale = 1.0
+        acoustic_scale = 0.1
+        max_confidence = 1e10
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    po.register("max-confidence", o, "max_confidence")
+    args = po.parse(argv)
+    if len(args) != 2:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    n = 0
+    with TableWriter(args[1], "flt") as w:
+        for key, lat in SequentialTableReader(args[0], "lat"):
+            # distinct word sequences: pull extra paths and dedup on words
+            paths = lattice_nbest_paths(lat, 8, o.lm_scale, o.acoustic_scale)
+            seen = []
+            for arcs, (fg, fa) in paths:
+                words = tuple(a.olabel for a in arcs if a.olabel)
+                cost = (sum(lat.combined(a, o.lm_scale, o.acoustic_scale)
+                            for a in arcs)
+                        + o.lm_scale * fg + o.acoustic_scale * fa)
+                if not seen or words != seen[0][0]:
+                    seen.append((words, cost))
+                if len(seen) == 2:
+                    break
+            if not seen:
+                continue
+            conf = (o.max_confidence if len(seen) < 2
+                    else min(max(seen[1][1] - seen[0][1], 0.0),
+                             o.max_confidence))
+            w[key] = conf
+            n += 1
+    log.info("lattice-confidence: %d utterances", n)
+    return 0

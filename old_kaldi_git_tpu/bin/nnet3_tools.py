@@ -1324,3 +1324,98 @@ def online2_tcp_nnet3_decode_tool(argv: List[str]) -> int:
     finally:
         srv.close()
     return 0
+
+
+@tool("nnet3-discriminative-train")
+def nnet3_discriminative_train_tool(argv: List[str]) -> int:
+    """Lattice-based sequence training (MMI / sMBR / MPFE) of an am-nnet
+    (reference nnet3bin/nnet3-discriminative-train.cc; the degs bundle is
+    read here as separate feats/ali/lattice tables)."""
+    _jnp()
+    from old_kaldi_git_tpu.models.am_nnet import AmNnetModel
+    from old_kaldi_git_tpu.models.discriminative import (
+        DiscriminativeOptions,
+        train_discriminative,
+    )
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions(
+        "nnet3-discriminative-train [options] <am-nnet-in> "
+        "<feats-rspecifier> <num-ali-rspecifier> <den-lat-rspecifier> "
+        "<am-nnet-out>"
+    )
+
+    class Opts:
+        criterion = "smbr"
+        acoustic_scale = 0.1
+        num_epochs = 1
+        minibatch_size = 8
+        learning_rate = 2e-4
+        silence_phones = ""
+
+    o = Opts()
+    po.register("criterion", o, "criterion")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    po.register("num-epochs", o, "num_epochs")
+    po.register("minibatch-size", o, "minibatch_size")
+    po.register("learning-rate", o, "learning_rate")
+    po.register("silence-phones", o, "silence_phones")
+    args = po.parse(argv)
+    if len(args) != 5:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    bundle = AmNnetModel.load(args[0])
+    feats = {k: np.asarray(v, np.float32)
+             for k, v in SequentialTableReader(args[1], "mat")}
+    alis = dict(SequentialTableReader(args[2], "ivec"))
+    lats = dict(SequentialTableReader(args[3], "lat"))
+    sil = tuple(int(p) for p in o.silence_phones.split(":") if p)
+    am2 = train_discriminative(
+        bundle.am, feats, alis, lats, bundle.tm,
+        DiscriminativeOptions(
+            criterion=o.criterion, acoustic_scale=o.acoustic_scale,
+            num_epochs=o.num_epochs, minibatch_size=o.minibatch_size,
+            learning_rate=o.learning_rate, silence_phones=sil))
+    AmNnetModel(am2, bundle.tm).save(args[4])
+    return 0
+
+
+@tool("nnet3-discriminative-compute-objf")
+def nnet3_discriminative_compute_objf_tool(argv: List[str]) -> int:
+    """Average sequence objective over a dataset (reference
+    nnet3bin/nnet3-discriminative-compute-objf.cc)."""
+    _jnp()
+    from old_kaldi_git_tpu.models.am_nnet import AmNnetModel
+    from old_kaldi_git_tpu.models.discriminative import (
+        DiscriminativeOptions,
+        compute_discriminative_objf,
+    )
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions(
+        "nnet3-discriminative-compute-objf [options] <am-nnet> "
+        "<feats-rspecifier> <num-ali-rspecifier> <den-lat-rspecifier>"
+    )
+
+    class Opts:
+        criterion = "smbr"
+        acoustic_scale = 0.1
+
+    o = Opts()
+    po.register("criterion", o, "criterion")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    args = po.parse(argv)
+    if len(args) != 4:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    bundle = AmNnetModel.load(args[0])
+    feats = {k: np.asarray(v, np.float32)
+             for k, v in SequentialTableReader(args[1], "mat")}
+    alis = dict(SequentialTableReader(args[2], "ivec"))
+    lats = dict(SequentialTableReader(args[3], "lat"))
+    objf = compute_discriminative_objf(
+        bundle.am, feats, alis, lats, bundle.tm,
+        DiscriminativeOptions(criterion=o.criterion,
+                              acoustic_scale=o.acoustic_scale))
+    print(f"{o.criterion} objf per frame: {objf:.6f}")
+    return 0

@@ -102,3 +102,26 @@ def lmrescore_compact_lattice(
         clat.num_states, out.num_states, out.num_arcs,
     )
     return out
+
+
+def rescore_lattice_acoustics(lat, loglikes, tid_to_pdf) -> None:
+    """Replace each emitting arc's acoustic cost with -loglike[t, pdf]
+    in place (the shared core of lattice-rescore-mapped /
+    gmm-rescore-lattice, and the per-minibatch step of nnet3
+    discriminative training — reference nnet3/nnet-discriminative-*)."""
+    import numpy as np
+
+    from old_kaldi_git_tpu.lat.lattice import LatticeArc
+
+    loglikes = np.asarray(loglikes)
+    T = loglikes.shape[0]
+    for s in range(lat.num_states):
+        t = lat.state_time[s]
+        new = []
+        for a in lat.arcs[s]:
+            ac = a.acoustic_cost
+            if a.ilabel and 0 <= t < T:
+                ac = float(-loglikes[t, tid_to_pdf(a.ilabel)])
+            new.append(LatticeArc(a.ilabel, a.olabel, a.graph_cost, ac,
+                                  a.nextstate))
+        lat.arcs[s] = new

@@ -202,6 +202,19 @@ class StreamingAmNnet:
                     spec.num_left_inputs * spec.time_stride,
                     spec.num_right_inputs * spec.time_stride,
                 ))
+            elif spec.kind == "conv":
+                from old_kaldi_git_tpu.models.tdnn import TimeHeightConvLayer
+
+                name = f"conv{i}"
+                mod = TimeHeightConvLayer(
+                    spec.dim, spec.height_in, spec.offsets,
+                    spec.height_offsets, spec.height_subsample,
+                )
+                v = layer_vars(name)
+                self.streams.append(_FiniteCtxStream(
+                    lambda x, mod=mod, v=v: mod.apply(v, x, train=False),
+                    max(0, -min(spec.offsets)), max(0, max(spec.offsets)),
+                ))
             else:
                 raise ValueError(f"unknown layer kind {spec.kind}")
         if cfg.final_hidden_dim:

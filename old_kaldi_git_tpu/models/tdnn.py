@@ -34,9 +34,9 @@ def splice(x: jnp.ndarray, offsets: Sequence[int]) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class TdnnLayerSpec:
-    kind: str  # "tdnn" | "tdnnf" | "lstmp" | "blstmp" | "attention"
-    dim: int  # output dim (tdnn/tdnnf) or cell dim (lstmp/blstmp)
-    offsets: Tuple[int, ...] = (0,)
+    kind: str  # "tdnn" | "tdnnf" | "lstmp" | "blstmp" | "attention" | "conv"
+    dim: int  # output dim (tdnn/tdnnf), cell dim (lstmp/blstmp), filters (conv)
+    offsets: Tuple[int, ...] = (0,)  # time offsets (tdnn splice / conv kernel)
     bottleneck_dim: int = 0  # tdnnf only
     time_stride: int = 1  # tdnnf: factor context; attention: window stride
     bypass_scale: float = 0.66  # tdnnf
@@ -48,6 +48,9 @@ class TdnnLayerSpec:
     value_dim: int = 60
     num_left_inputs: int = 5
     num_right_inputs: int = 2
+    height_in: int = 0  # conv: input interpreted as [.., height_in, D//height_in]
+    height_offsets: Tuple[int, ...] = (-1, 0, 1)  # conv kernel over height
+    height_subsample: int = 1  # conv: stride over height
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,7 +79,7 @@ class TdnnConfig:
             )
         if l.kind in ("lstmp", "blstmp"):
             return (0,)  # recurrent context is unbounded, not spliced
-        return l.offsets
+        return l.offsets  # tdnn splice / conv time taps
 
 
 class ReluBatchNorm(nn.Module):
@@ -100,6 +103,59 @@ class ReluBatchNorm(nn.Module):
             name="batchnorm",
         )(x)
         return x
+
+
+class TimeHeightConvLayer(nn.Module):
+    """Time-height convolution (reference
+    nnet-convolutional-component.{h,cc} TimeHeightConvolutionComponent) +
+    ReLU + BatchNorm, the CNN-TDNN front-end layer.
+
+    The input feature vector is a [height_in, channels] grid (e.g. 40 mel
+    bins x 1).  Convolution is expressed the TPU-native way: gather the
+    (time_offset, height_offset) taps — edge-replication over time like
+    every other layer's splice, zero padding over height — concatenate as
+    channels, then one shared Dense = the convolution as a single MXU
+    matmul (exactly how the reference lowers conv to PrecomputedIndexes +
+    AddRows + matrix multiply, but fused by XLA instead of scheduled by
+    the nnet3 compiler)."""
+
+    num_filters: int
+    height_in: int
+    time_offsets: Tuple[int, ...] = (-1, 0, 1)
+    height_offsets: Tuple[int, ...] = (-1, 0, 1)
+    height_subsample: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T, D = x.shape
+        H = self.height_in
+        if D % H:
+            raise ValueError(f"input dim {D} not divisible by height {H}")
+        C = D // H
+        nt = len(self.time_offsets)
+        xt = splice(x, self.time_offsets)  # [B, T, nt*H*C]
+        x4 = xt.reshape(B, T, nt, H, C)
+        taps = []
+        for o in self.height_offsets:
+            idx = np.arange(H) + o
+            valid = (idx >= 0) & (idx < H)
+            gathered = x4[:, :, :, np.clip(idx, 0, H - 1), :]
+            taps.append(gathered * valid[None, None, None, :, None])
+        # [B, T, H, nt*nh*C]: kernel taps as channels per (t, h) position
+        y = jnp.concatenate(taps, axis=-1).transpose(0, 1, 3, 2, 4)
+        y = y.reshape(B, T, H, nt * len(self.height_offsets) * C)
+        y = nn.Dense(self.num_filters, name="conv")(y)  # shared over h
+        y = y[:, :, ::self.height_subsample, :]
+        y = y.reshape(B, T, -1)
+        y = nn.relu(y)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            use_bias=False,
+            use_scale=False,
+            momentum=0.99,
+            name="batchnorm",
+        )(y)
+        return y
 
 
 class TdnnfLayer(nn.Module):
@@ -180,6 +236,12 @@ class TdnnModel(nn.Module):
                     spec.num_heads, spec.key_dim, spec.value_dim,
                     spec.num_left_inputs, spec.num_right_inputs,
                     spec.time_stride, name=f"attention{i}",
+                )(x, train=train)
+            elif spec.kind == "conv":
+                x = TimeHeightConvLayer(
+                    spec.dim, spec.height_in, spec.offsets,
+                    spec.height_offsets, spec.height_subsample,
+                    name=f"conv{i}",
                 )(x, train=train)
             else:
                 raise ValueError(f"unknown layer kind {spec.kind}")
@@ -312,3 +374,34 @@ def apply_orthonormal_constraints(params, every_name: str = "linear") -> object:
         return tree
 
     return walk(params)
+
+
+def make_cnn_tdnnf(
+    input_dim: int,
+    num_outputs: int,
+    height: int = 40,
+    num_filters: Tuple[int, ...] = (32, 64),
+    hidden_dim: int = 768,
+    bottleneck_dim: int = 96,
+    num_tdnnf_layers: int = 6,
+    time_stride: int = 1,
+) -> TdnnConfig:
+    """CNN-TDNN-F à la the cnn_tdnn chain recipes: time-height conv
+    front-end (halving the height each conv layer) over the mel grid, then
+    a TDNN-F stack."""
+    if input_dim % height:
+        raise ValueError(f"input dim {input_dim} not divisible by {height}")
+    layers = []
+    h = height
+    for f in num_filters:
+        layers.append(TdnnLayerSpec(
+            "conv", f, offsets=(-1, 0, 1), height_in=h,
+            height_offsets=(-1, 0, 1), height_subsample=2))
+        h = (h + 1) // 2
+    layers.append(TdnnLayerSpec("tdnn", hidden_dim, (-1, 0, 1)))
+    for _ in range(num_tdnnf_layers):
+        layers.append(TdnnLayerSpec(
+            "tdnnf", hidden_dim, offsets=(0,), bottleneck_dim=bottleneck_dim,
+            time_stride=time_stride))
+    return TdnnConfig(input_dim, num_outputs, tuple(layers),
+                      final_hidden_dim=hidden_dim)

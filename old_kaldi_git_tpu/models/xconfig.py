@@ -16,6 +16,8 @@ Supported layer types (the ones the BASELINE recipes use):
   blstmp-layer  (bidirectional variant)
   attention-relu-renorm-layer  name=.. num-heads=H key-dim=K value-dim=V
         num-left-inputs=L num-right-inputs=R [time-stride=S]
+  conv-relu-batchnorm-layer  name=.. height-in=H height-out=H' num-filters-out=F
+        [time-offsets=-1,0,1] [height-offsets=-1,0,1]   (CNN-TDNN front-end)
   prefinal-layer name=.. dim=D        (reference prefinal-l / prefinal chain pieces)
   output-layer  name=output dim=NumPdfs
 
@@ -113,6 +115,21 @@ def parse_xconfig(text: str) -> TdnnConfig:
                     num_left_inputs=int(kv.get("num-left-inputs", 5)),
                     num_right_inputs=int(kv.get("num-right-inputs", 2)),
                     time_stride=int(kv.get("time-stride", 1)),
+                )
+            )
+        elif kind in ("conv-relu-batchnorm-layer", "conv-layer"):
+            h_in = int(kv["height-in"])
+            h_out = int(kv.get("height-out", h_in))
+            sub = max(1, round(h_in / max(1, h_out)))
+            t_off = tuple(int(x) for x in kv.get(
+                "time-offsets", "-1,0,1").split(","))
+            h_off = tuple(int(x) for x in kv.get(
+                "height-offsets", "-1,0,1").split(","))
+            layers.append(
+                TdnnLayerSpec(
+                    "conv", int(kv["num-filters-out"]), t_off,
+                    height_in=h_in, height_offsets=h_off,
+                    height_subsample=sub,
                 )
             )
         elif kind == "prefinal-layer":

@@ -200,3 +200,72 @@ def test_fmpe_gselect_sparsity():
     D1 = ubm.dim + 1
     nonzero_blocks = (np.abs(h.reshape(5, 10, D1)).sum(axis=2) > 0).sum(axis=1)
     assert (nonzero_blocks <= 3).all()
+
+
+# ---------------------------------------------------------------------------
+# nnet3 discriminative sequence training
+# (reference src/nnet3/nnet-discriminative-training.{h,cc})
+# ---------------------------------------------------------------------------
+
+
+def _nnet_system(rng, D=6, P=2):
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.tdnn import TdnnConfig, TdnnLayerSpec
+
+    cfg = TdnnConfig(D, P, (TdnnLayerSpec("tdnn", 16, (-1, 0, 1)),))
+    am = AmNnet.init(cfg, seed=0)
+    am.log_priors = np.log(np.full(P, 1.0 / P, np.float32))
+    return am
+
+
+def test_discriminative_grad_zero_sum_per_frame():
+    from old_kaldi_git_tpu.models.discriminative import discriminative_grad
+
+    rng = np.random.default_rng(0)
+    tm = _FakeTm()
+    T, P = 4, 2
+    ll = rng.normal(size=(T, P))
+    for crit in ("mmi", "smbr", "mpfe"):
+        lat = _two_path_lattice(frames=T)
+        g, objf = discriminative_grad(tm, ll, [1] * T, lat, criterion=crit)
+        assert g.shape == (T, P)
+        np.testing.assert_allclose(g.sum(axis=1), 0.0, atol=1e-9)
+        assert np.isfinite(objf)
+
+
+def test_nnet3_discriminative_training_improves():
+    """Two-path lattices, reference path = pdf 0: sequence training must
+    raise the objective (expected accuracy / MMI) on the training data."""
+    import jax.numpy as jnp
+
+    from old_kaldi_git_tpu.models.discriminative import (
+        DiscriminativeOptions,
+        compute_discriminative_objf,
+        train_discriminative,
+    )
+
+    rng = np.random.default_rng(1)
+    tm = _FakeTm()
+    am = _nnet_system(rng)
+    T = 12
+    feats, alis, lats = {}, {}, {}
+    for u in range(8):
+        feats[f"u{u}"] = rng.normal(
+            size=(T, 6)).astype(np.float32) + 0.5
+        alis[f"u{u}"] = np.full(T, 1, np.int32)  # ref = tid 1 = pdf 0
+        lats[f"u{u}"] = _two_path_lattice(frames=T)
+
+    for crit in ("smbr", "mmi"):
+        opts = DiscriminativeOptions(
+            criterion=crit, num_epochs=4, minibatch_size=4,
+            learning_rate=0.05, acoustic_scale=1.0)
+        before = compute_discriminative_objf(
+            am, feats, alis, lats, tm, opts)
+        am2 = train_discriminative(am, feats, alis, lats, tm, opts)
+        after = compute_discriminative_objf(
+            am2, feats, alis, lats, tm, opts)
+        assert after > before + 1e-3, (crit, before, after)
+        # trained model scores pdf 0 above pdf 1 on this data
+        ll = np.asarray(am2.loglikes_batch(
+            jnp.asarray(feats["u0"][None])))[0]
+        assert (ll[:, 0] > ll[:, 1]).mean() > 0.8
