@@ -2059,3 +2059,38 @@ def fmpe_apply_transform_tool(argv: List[str]) -> int:
             n += 1
     log.info("fmpe-apply-transform: %d utterances", n)
     return 0
+
+
+@tool("compile-questions")
+def compile_questions_tool(argv: List[str]) -> int:
+    """Validate/normalize a question set against a model's phone inventory
+    (reference bin/compile-questions.cc compiles questions + topo into the
+    Questions object; our build-tree consumes the text question file
+    directly, so this tool normalizes: drops out-of-inventory phones,
+    dedupes, sorts, and appends the all-phones question the reference adds
+    automatically)."""
+    po = ParseOptions(
+        "compile-questions [options] <topo-model> <questions-in> "
+        "<questions-out>")
+    args = po.parse(argv)
+    if len(args) != 3:
+        return _usage(po)
+    model = _load_model(args[0])
+    inventory = set(model.tm.topo.phones)
+    seen = set()
+    out: List[List[int]] = []
+    with open(args[1]) as f:
+        for line in f:
+            q = sorted({int(p) for p in line.split()} & inventory)
+            if q and tuple(q) not in seen:
+                seen.add(tuple(q))
+                out.append(q)
+    allq = sorted(inventory)
+    if tuple(allq) not in seen:
+        out.append(allq)
+    with open(args[2], "w") as f:
+        for q in out:
+            f.write(" ".join(str(p) for p in q) + "\n")
+    log.info("compile-questions: %d questions over %d phones",
+             len(out), len(inventory))
+    return 0

@@ -538,3 +538,103 @@ def analyze_counts_tool(argv: List[str]) -> int:
     log.info("analyze-counts: %d utterances, %d distinct ids, %d frames",
              n_utts, len(counts), int(arr.sum()))
     return 0
+
+
+@tool("fstrand")
+def fstrand_tool(argv: List[str]) -> int:
+    """Write a random FST (reference fstbin/fstrand.cc / fstext/rand-fst.h
+    — the equivalence-test generator)."""
+    import random
+
+    from old_kaldi_git_tpu.bin.tools import _write_fst
+    from old_kaldi_git_tpu.fst.rand import rand_fst
+
+    po = ParseOptions("fstrand [options] <fst-out>")
+
+    class Opts:
+        num_states = 6
+        num_arcs = 10
+        num_labels = 3
+        seed = 0
+        acyclic = False
+
+    o = Opts()
+    po.register("num-states", o, "num_states")
+    po.register("num-arcs", o, "num_arcs")
+    po.register("num-labels", o, "num_labels")
+    po.register("srand", o, "seed")
+    po.register("acyclic", o, "acyclic")
+    args = po.parse(argv)
+    if len(args) != 1:
+        return _usage(po)
+    fst = rand_fst(random.Random(o.seed), o.num_states, o.num_arcs,
+                   o.num_labels, o.num_labels, acyclic=o.acyclic)
+    return _write_fst(fst, args[0])
+
+
+@tool("subset-feats")
+def subset_feats_tool(argv: List[str]) -> int:
+    """Copy a subset of a feature table (reference featbin/subset-feats.cc:
+    first --n utterances, or --include list)."""
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "subset-feats [options] <feats-rspecifier> <feats-wspecifier>")
+
+    class Opts:
+        n = 10
+        include = ""
+
+    o = Opts()
+    po.register("n", o, "n")
+    po.register("include", o, "include")
+    args = po.parse(argv)
+    if len(args) != 2:
+        return _usage(po)
+    include = None
+    if o.include:
+        with open(o.include) as f:
+            include = {line.split()[0] for line in f if line.strip()}
+    n = 0
+    with TableWriter(args[1], "mat") as w:
+        for key, m in SequentialTableReader(args[0], "mat"):
+            if include is not None:
+                if key not in include:
+                    continue
+            elif n >= o.n:
+                break
+            w[key] = m
+            n += 1
+    log.info("subset-feats: wrote %d utterances", n)
+    return 0
+
+
+@tool("feat-to-post")
+def feat_to_post_tool(argv: List[str]) -> int:
+    """Feature rows → posterior entries (reference featbin/feat-to-post.cc:
+    per frame the --top-n largest (index, value) pairs — the generic NN
+    soft-target format)."""
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "feat-to-post [options] <feats-rspecifier> <post-wspecifier>")
+
+    class Opts:
+        top_n = 10
+
+    o = Opts()
+    po.register("top-n", o, "top_n")
+    args = po.parse(argv)
+    if len(args) != 2:
+        return _usage(po)
+    with TableWriter(args[1], "post") as w:
+        for key, m in SequentialTableReader(args[0], "mat"):
+            m = np.asarray(m)
+            k = min(o.top_n, m.shape[1])
+            idx = np.argpartition(-m, k - 1, axis=1)[:, :k]
+            post = []
+            for t in range(len(m)):
+                cols = sorted(int(c) for c in idx[t])
+                post.append([(c, float(m[t, c])) for c in cols])
+            w[key] = post
+    return 0

@@ -607,3 +607,52 @@ def test_make_grammar_fst_cli(tmp_path):
         out = VectorFst.read(f)
     _, _, olabs = shortest_path(out)
     assert [o for o in olabs if o] == [1, 2, 3]
+
+
+def test_small_tool_batch(tmp_path):
+    """fstrand / subset-feats / feat-to-post / lattice-confidence."""
+    from old_kaldi_git_tpu.fst.vector_fst import VectorFst
+    from old_kaldi_git_tpu.lat.lattice import Lattice, LatticeArc
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    run(["fstrand", "--num-states=8", "--num-arcs=14", "--srand=3",
+         "r.fst"], tmp_path)
+    with open(tmp_path / "r.fst", "rb") as f:
+        fst = VectorFst.read(f)
+    assert fst.num_states > 0
+
+    rng = np.random.default_rng(0)
+    with TableWriter(f"ark:{tmp_path}/f.ark", "mat") as w:
+        for i in range(5):
+            w[f"u{i}"] = rng.normal(size=(4, 6)).astype(np.float32)
+    run(["subset-feats", "--n=2", "ark:f.ark", "ark:sub.ark"], tmp_path)
+    assert sorted(read_table(f"ark:{tmp_path}/sub.ark", "mat")) == ["u0", "u1"]
+    with open(tmp_path / "keep.txt", "w") as f:
+        f.write("u3\nu4\n")
+    run(["subset-feats", "--include=keep.txt", "ark:f.ark", "ark:inc.ark"],
+        tmp_path)
+    assert sorted(read_table(f"ark:{tmp_path}/inc.ark", "mat")) == ["u3", "u4"]
+
+    run(["feat-to-post", "--top-n=2", "ark:f.ark", "ark:p.ark"], tmp_path)
+    posts = read_table(f"ark:{tmp_path}/p.ark", "post")
+    feats = read_table(f"ark:{tmp_path}/f.ark", "mat")
+    for k, post in posts.items():
+        m = np.asarray(feats[k])
+        for t, frame in enumerate(post):
+            assert len(frame) == 2
+            got = {c for c, _ in frame}
+            want = set(np.argsort(-m[t])[:2].tolist())
+            assert got == want
+
+    # two-alternative lattice: best path cost 0, second 1.5 → confidence 1.5
+    lat = Lattice()
+    s0, s1 = lat.add_state(), lat.add_state()
+    lat.start = s0
+    lat.arcs[s0].append(LatticeArc(1, 7, 0.0, 0.0, s1))
+    lat.arcs[s0].append(LatticeArc(2, 8, 1.5, 0.0, s1))
+    lat.finals[s1] = (0.0, 0.0)
+    with TableWriter(f"ark:{tmp_path}/l.ark", "lat") as w:
+        w["u0"] = lat
+    run(["lattice-confidence", "ark:l.ark", "ark:c.ark"], tmp_path)
+    conf = read_table(f"ark:{tmp_path}/c.ark", "flt")
+    assert abs(conf["u0"] - 1.5) < 1e-4

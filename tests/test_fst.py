@@ -23,41 +23,7 @@ from old_kaldi_git_tpu.fst import (
 )
 from old_kaldi_git_tpu.fst.vector_fst import INF, linear_fst
 from old_kaldi_git_tpu.fst.algorithms import _string_weights
-
-
-def rand_fst(
-    rng: random.Random,
-    num_states=6,
-    num_arcs=10,
-    num_ilabels=3,
-    num_olabels=3,
-    eps_prob=0.2,
-    acyclic=False,
-    functional_ish=False,
-) -> VectorFst:
-    fst = VectorFst()
-    for _ in range(num_states):
-        fst.add_state()
-    fst.set_start(0)
-    for _ in range(num_arcs):
-        s = rng.randrange(num_states)
-        if acyclic:
-            lo = s + 1
-            if lo >= num_states:
-                continue
-            ns = rng.randrange(lo, num_states)
-        else:
-            ns = rng.randrange(num_states)
-        il = 0 if rng.random() < eps_prob else rng.randint(1, num_ilabels)
-        if functional_ish:
-            ol = il  # identity transduction keeps it functional
-        else:
-            ol = 0 if rng.random() < eps_prob else rng.randint(1, num_olabels)
-        fst.add_arc(s, Arc(il, ol, round(rng.uniform(0, 2), 3), ns))
-    for _ in range(2):
-        fst.set_final(rng.randrange(num_states), round(rng.uniform(0, 1), 3))
-    fst.connect()
-    return fst
+from old_kaldi_git_tpu.fst.rand import rand_fst
 
 
 def test_linear_and_shortest_path():

@@ -615,3 +615,22 @@ def test_sgmm2_cli_chain(corpus):
          "ark:test.ark", "ark:sgmm_lat.ark", "ark:sgmm_hyp.ark"], d)
     out = run(["compute-wer", "ark:ref.ark", "ark:sgmm_hyp.ark"], d)
     assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
+
+
+def test_compile_questions(corpus):
+    d, tf, sf, st = corpus
+    if not (d / "questions.txt").exists():
+        pytest.skip("tree tools test must run first")
+    run(["compile-questions", "final.mdl", "questions.txt",
+         "questions.qst.txt"], d)
+    with open(d / "questions.txt") as f:
+        n_in = sum(1 for line in f if line.strip())
+    lines = [sorted(int(p) for p in line.split())
+             for line in open(d / "questions.qst.txt") if line.strip()]
+    assert len(lines) >= 1
+    # normalized: sorted, unique, and includes the all-phones question
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+
+    phones = sorted(AmGmmModel.load(str(d / "final.mdl")).tm.topo.phones)
+    assert phones in lines
+    assert len({tuple(q) for q in lines}) == len(lines)
