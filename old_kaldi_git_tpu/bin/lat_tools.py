@@ -1375,3 +1375,113 @@ def lattice_confidence_tool(argv: List[str]) -> int:
             n += 1
     log.info("lattice-confidence: %d utterances", n)
     return 0
+
+
+@tool("rnnlm-train")
+def rnnlm_train_tool(argv: List[str]) -> int:
+    """Train the LSTM word LM on a transcript table (the reference's
+    mikolov-rnnlm / kaldi-rnnlm training role, TPU-batched)."""
+    _jnp()
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.lm.rnnlm import (
+        RnnLmOptions,
+        save_rnnlm,
+        train_rnnlm,
+    )
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions(
+        "rnnlm-train [options] <text-rspecifier> <word-symbol-table> "
+        "<rnnlm-out>"
+    )
+    o = RnnLmOptions()
+    po.register("embed-dim", o, "embed_dim")
+    po.register("cell-dim", o, "cell_dim")
+    po.register("recurrent-dim", o, "recurrent_dim")
+    po.register("num-epochs", o, "num_epochs")
+    po.register("learning-rate", o, "learning_rate")
+    po.register("srand", o, "seed")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    syms = SymbolTable.read(args[1])
+    num_words = max(syms.ids())
+    seqs = []
+    for _, line in SequentialTableReader(args[0], "text"):
+        ids = [syms[w] for w in line.split() if w in syms]
+        if ids:
+            seqs.append(ids)
+    lm = train_rnnlm(seqs, num_words, o)
+    save_rnnlm(lm, args[2])
+    log.info("rnnlm-train: %d sentences, vocab %d", len(seqs), num_words)
+    return 0
+
+
+@tool("lattice-lmrescore-rnnlm")
+def lattice_lmrescore_rnnlm_tool(argv: List[str]) -> int:
+    """RNNLM N-best lattice rescoring (the reference's
+    rnnlm/lmrescore_nbest path: lattice-to-nbest → score → re-rank,
+    batched through one forward pass per lattice).  Each of the N best
+    paths' graph cost is interpolated with the RNNLM negative log-prob at
+    --rnnlm-scale; output is the re-ranked N-best as lattices."""
+    _jnp()
+    from old_kaldi_git_tpu.lat.lattice import (
+        LatticeArc,
+        lattice_nbest_paths,
+        lattice_union,
+        linear_lattice_from_path,
+    )
+    from old_kaldi_git_tpu.lm.rnnlm import load_rnnlm
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-lmrescore-rnnlm [options] <rnnlm> <lat-rspecifier> "
+        "<lat-wspecifier>"
+    )
+
+    class Opts:
+        rnnlm_scale = 0.5
+        n = 10
+        lm_scale = 1.0
+        acoustic_scale = 0.1
+
+    o = Opts()
+    po.register("rnnlm-scale", o, "rnnlm_scale")
+    po.register("n", o, "n")
+    po.register("lm-scale", o, "lm_scale")
+    po.register("acoustic-scale", o, "acoustic_scale")
+    args = po.parse(argv)
+    if len(args) != 3:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    rnnlm = load_rnnlm(args[0])
+    n_done = 0
+    with TableWriter(args[2], "lat") as w:
+        for key, lat in SequentialTableReader(args[1], "lat"):
+            paths = lattice_nbest_paths(lat, o.n, o.lm_scale,
+                                        o.acoustic_scale)
+            if not paths:
+                continue
+            word_seqs = [[a.olabel for a in arcs if a.olabel]
+                         for arcs, _ in paths]
+            rnn_neglogs = -rnnlm.logprobs_batch(word_seqs)
+            linear = []
+            for (arcs, fin), rnn in zip(paths, rnn_neglogs):
+                old_g = sum(a.graph_cost for a in arcs) + fin[0]
+                new_g = ((1.0 - o.rnnlm_scale) * old_g
+                         + o.rnnlm_scale * float(rnn))
+                # put the interpolated graph cost on the first arc; the
+                # final keeps only its acoustic part
+                new_arcs = [
+                    LatticeArc(a.ilabel, a.olabel,
+                               new_g if i == 0 else 0.0,
+                               a.acoustic_cost, a.nextstate)
+                    for i, a in enumerate(arcs)
+                ]
+                linear.append(
+                    linear_lattice_from_path(new_arcs, (0.0, fin[1])))
+            w[key] = lattice_union(linear)
+            n_done += 1
+    log.info("lattice-lmrescore-rnnlm: %d lattices", n_done)
+    return 0

@@ -171,3 +171,20 @@ def rescore_nbest_rnnlm(
         )
     out.sort(key=lambda x: x[1])
     return out
+
+
+def save_rnnlm(lm: RnnLm, path: str) -> None:
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump({"kind": "rnnlm",
+                     "params": jax.tree.map(np.asarray, lm.params),
+                     "opts": lm.opts, "vocab": lm.vocab}, f)
+
+
+def load_rnnlm(path: str) -> RnnLm:
+    import pickle
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return RnnLm(d["params"], d["opts"], d["vocab"])

@@ -656,3 +656,43 @@ def test_small_tool_batch(tmp_path):
     run(["lattice-confidence", "ark:l.ark", "ark:c.ark"], tmp_path)
     conf = read_table(f"ark:{tmp_path}/c.ark", "flt")
     assert abs(conf["u0"] - 1.5) < 1e-4
+
+
+def test_rnnlm_cli_train_and_rescore(tmp_path):
+    """rnnlm-train on a toy corpus; lattice-lmrescore-rnnlm flips the best
+    path toward the LM-favored word sequence."""
+    from old_kaldi_git_tpu.lat.lattice import (
+        Lattice,
+        LatticeArc,
+        lattice_best_path,
+    )
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    with open(tmp_path / "words.txt", "w") as f:
+        f.write("<eps> 0\nalpha 1\nbeta 2\n")
+    with TableWriter(f"ark:{tmp_path}/text.ark", "text") as w:
+        for i in range(30):
+            w[f"s{i}"] = "alpha alpha"  # the LM learns: alpha likely
+    run(["rnnlm-train", "--num-epochs=20", "--embed-dim=8", "--cell-dim=16",
+         "--recurrent-dim=8", "ark:text.ark", "words.txt", "toy.rnnlm"],
+        tmp_path)
+
+    # acoustics tie; old graph slightly prefers beta-beta
+    lat = Lattice()
+    s0, s1, s2 = (lat.add_state() for _ in range(3))
+    lat.start = s0
+    lat.arcs[s0].append(LatticeArc(1, 1, 0.3, 0.0, s1))
+    lat.arcs[s0].append(LatticeArc(2, 2, 0.0, 0.0, s1))
+    lat.arcs[s1].append(LatticeArc(1, 1, 0.3, 0.0, s2))
+    lat.arcs[s1].append(LatticeArc(2, 2, 0.0, 0.0, s2))
+    lat.finals[s2] = (0.0, 0.0)
+    with TableWriter(f"ark:{tmp_path}/l.ark", "lat") as w:
+        w["u0"] = lat
+    words0, _, _ = lattice_best_path(lat)
+    assert words0 == [2, 2]
+
+    run(["lattice-lmrescore-rnnlm", "--rnnlm-scale=1.0", "--n=4",
+         "toy.rnnlm", "ark:l.ark", "ark:resc.ark"], tmp_path)
+    resc = read_table(f"ark:{tmp_path}/resc.ark", "lat")
+    words1, _, _ = lattice_best_path(resc["u0"])
+    assert words1 == [1, 1], words1
