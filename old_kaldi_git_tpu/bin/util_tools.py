@@ -638,3 +638,255 @@ def feat_to_post_tool(argv: List[str]) -> int:
                 post.append([(c, float(m[t, c])) for c in cols])
             w[key] = post
     return 0
+
+
+# ---------------------------------------------------------------------------
+# utils/ script family (reference utils/sym2int.pl, int2sym.pl,
+# apply_map.pl, filter_scp.pl, subset_data_dir.sh, compute-wer-bootci)
+# ---------------------------------------------------------------------------
+
+
+def _open_r(path: str):
+    return sys.stdin if path == "-" else open(path)
+
+
+def _open_w(path: str):
+    return sys.stdout if path == "-" else open(path, "w")
+
+
+@tool("sym2int")
+def sym2int_tool(argv: List[str]) -> int:
+    """Map symbols → integer ids using a symbol table
+    (reference utils/sym2int.pl; -f 2- skips the utterance id)."""
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+
+    po = ParseOptions("sym2int [options] <symtab> <text-in|-> <text-out|->")
+
+    class Opts:
+        map_oov = ""
+        skip_first_field = True
+
+    o = Opts()
+    po.register("map-oov", o, "map_oov")
+    po.register("skip-first-field", o, "skip_first_field")
+    args = po.parse(argv)
+    if len(args) != 3:
+        return _usage(po)
+    syms = SymbolTable.read(args[0])
+    oov = syms[o.map_oov] if o.map_oov else None
+    n_oov = 0
+    fin, fout = _open_r(args[1]), _open_w(args[2])
+    try:
+        for line in fin:
+            parts = line.split()
+            start = 1 if (o.skip_first_field and parts) else 0
+            out = parts[:start]
+            for w in parts[start:]:
+                if w in syms:
+                    out.append(str(syms[w]))
+                elif oov is not None:
+                    out.append(str(oov))
+                    n_oov += 1
+                else:
+                    raise KaldiError(
+                        f"sym2int: OOV {w!r} and no --map-oov given")
+            fout.write(" ".join(out) + "\n")
+    finally:
+        if fin is not sys.stdin:
+            fin.close()
+        if fout is not sys.stdout:
+            fout.close()
+    if n_oov:
+        log.warning("sym2int: mapped %d OOV tokens", n_oov)
+    return 0
+
+
+@tool("int2sym")
+def int2sym_tool(argv: List[str]) -> int:
+    """Map integer ids → symbols (reference utils/int2sym.pl)."""
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+
+    po = ParseOptions("int2sym [options] <symtab> <text-in|-> <text-out|->")
+
+    class Opts:
+        skip_first_field = True
+
+    o = Opts()
+    po.register("skip-first-field", o, "skip_first_field")
+    args = po.parse(argv)
+    if len(args) != 3:
+        return _usage(po)
+    syms = SymbolTable.read(args[0])
+    fin, fout = _open_r(args[1]), _open_w(args[2])
+    try:
+        for line in fin:
+            parts = line.split()
+            start = 1 if (o.skip_first_field and parts) else 0
+            out = parts[:start] + [syms[int(w)] for w in parts[start:]]
+            fout.write(" ".join(out) + "\n")
+    finally:
+        if fin is not sys.stdin:
+            fin.close()
+        if fout is not sys.stdout:
+            fout.close()
+    return 0
+
+
+@tool("apply-map")
+def apply_map_tool(argv: List[str]) -> int:
+    """Replace each token (beyond the key) via a map file
+    (reference utils/apply_map.pl); --permissive keeps unmapped tokens."""
+    from old_kaldi_git_tpu.utils.data_dir import _read_map
+
+    po = ParseOptions("apply-map [options] <map-file> <text-in|-> <text-out|->")
+
+    class Opts:
+        permissive = False
+
+    o = Opts()
+    po.register("permissive", o, "permissive")
+    args = po.parse(argv)
+    if len(args) != 3:
+        return _usage(po)
+    mapping = _read_map(args[0])
+    fin, fout = _open_r(args[1]), _open_w(args[2])
+    try:
+        for line in fin:
+            parts = line.split()
+            out = parts[:1]
+            for w in parts[1:]:
+                if w in mapping:
+                    out.append(mapping[w])
+                elif o.permissive:
+                    out.append(w)
+                else:
+                    raise KaldiError(f"apply-map: no mapping for {w!r}")
+            fout.write(" ".join(out) + "\n")
+    finally:
+        if fin is not sys.stdin:
+            fin.close()
+        if fout is not sys.stdout:
+            fout.close()
+    return 0
+
+
+@tool("filter-scp")
+def filter_scp_tool(argv: List[str]) -> int:
+    """Keep lines whose key appears in an id list
+    (reference utils/filter_scp.pl; --exclude inverts)."""
+    po = ParseOptions("filter-scp [options] <id-list> <in|-> <out|->")
+
+    class Opts:
+        exclude = False
+
+    o = Opts()
+    po.register("exclude", o, "exclude")
+    args = po.parse(argv)
+    if len(args) != 3:
+        return _usage(po)
+    with open(args[0]) as f:
+        ids = {line.split()[0] for line in f if line.strip()}
+    fin, fout = _open_r(args[1]), _open_w(args[2])
+    n = 0
+    try:
+        for line in fin:
+            parts = line.split()
+            if not parts:
+                continue
+            if (parts[0] in ids) != o.exclude:
+                fout.write(line if line.endswith("\n") else line + "\n")
+                n += 1
+    finally:
+        if fin is not sys.stdin:
+            fin.close()
+        if fout is not sys.stdout:
+            fout.close()
+    log.info("filter-scp: kept %d lines", n)
+    return 0
+
+
+@tool("subset-data-dir")
+def subset_data_dir_tool(argv: List[str]) -> int:
+    """Subset a data dir (reference utils/subset_data_dir.sh): first N
+    utterances, --utt-list, or --per-spk N utterances per speaker."""
+    from old_kaldi_git_tpu.utils.data_dir import DataDir, _write_map
+
+    po = ParseOptions(
+        "subset-data-dir [options] <src-data-dir> <n> <dest-data-dir>")
+
+    class Opts:
+        utt_list = ""
+        per_spk = False
+        shortest = False
+
+    o = Opts()
+    po.register("utt-list", o, "utt_list")
+    po.register("per-spk", o, "per_spk")
+    args = po.parse(argv)
+    if len(args) != 3:
+        return _usage(po)
+    src = DataDir(args[0], require_text=False)
+    n = int(args[1])
+    if o.utt_list:
+        with open(o.utt_list) as f:
+            keep = [line.split()[0] for line in f if line.strip()]
+        keep = [u for u in keep if u in set(src.utts)]
+    elif o.per_spk:
+        keep = []
+        for spk, utts in sorted(src.spk2utt.items()):
+            keep.extend(sorted(utts)[:n])
+    else:
+        keep = sorted(src.utts)[:n]
+    keep_set = set(keep)
+    os.makedirs(args[2], exist_ok=True)
+    for name, mapping in (("wav.scp", src.wav_scp), ("text", src.text),
+                          ("utt2spk", src.utt2spk),
+                          ("feats.scp", src.feats_scp),
+                          ("segments", src.segments)):
+        if mapping:
+            _write_map(os.path.join(args[2], name),
+                       {k: v for k, v in mapping.items() if k in keep_set})
+    log.info("subset-data-dir: %d of %d utterances", len(keep),
+             len(src.utts))
+    return 0
+
+
+@tool("compute-wer-bootci")
+def compute_wer_bootci_tool(argv: List[str]) -> int:
+    """WER with a bootstrap confidence interval
+    (reference bin/compute-wer-bootci.cc, Bisani & Ney 2004): resample
+    utterances with replacement, report the 95% interval."""
+    from old_kaldi_git_tpu.utils.edit_distance import edit_distance
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader
+
+    po = ParseOptions(
+        "compute-wer-bootci [options] <ref-rspecifier> <hyp-rspecifier>")
+
+    class Opts:
+        replications = 10000
+        seed = 0
+
+    o = Opts()
+    po.register("replications", o, "replications")
+    po.register("srand", o, "seed")
+    args = po.parse(argv)
+    if len(args) != 2:
+        return _usage(po)
+    refs = dict(SequentialTableReader(args[0], "text"))
+    hyps = dict(SequentialTableReader(args[1], "text"))
+    keys = sorted(set(refs) & set(hyps))
+    if not keys:
+        raise KaldiError("no overlapping utterances")
+    errs = np.asarray([
+        edit_distance(refs[k].split(), hyps[k].split()).errors for k in keys
+    ], np.float64)
+    lens = np.asarray([len(refs[k].split()) for k in keys], np.float64)
+    wer = 100.0 * errs.sum() / max(lens.sum(), 1.0)
+    rng = np.random.default_rng(o.seed)
+    idx = rng.integers(0, len(keys), size=(o.replications, len(keys)))
+    boot = 100.0 * errs[idx].sum(axis=1) / np.maximum(
+        lens[idx].sum(axis=1), 1.0)
+    lo, hi = np.percentile(boot, [2.5, 97.5])
+    print(f"Set up with {len(keys)} utterances.")
+    print(f"WER {wer:.2f} 95% conf interval [ {lo:.2f}, {hi:.2f} ]")
+    return 0

@@ -696,3 +696,69 @@ def test_rnnlm_cli_train_and_rescore(tmp_path):
     resc = read_table(f"ark:{tmp_path}/resc.ark", "lat")
     words1, _, _ = lattice_best_path(resc["u0"])
     assert words1 == [1, 1], words1
+
+
+def test_utils_script_family(tmp_path):
+    """sym2int / int2sym / apply-map / filter-scp / subset-data-dir /
+    compute-wer-bootci."""
+    from old_kaldi_git_tpu.utils.table import TableWriter
+
+    with open(tmp_path / "words.txt", "w") as f:
+        f.write("<eps> 0\nyes 1\nno 2\n<unk> 3\n")
+    with open(tmp_path / "text", "w") as f:
+        f.write("u1 yes no\nu2 no maybe\n")
+    run(["sym2int", "--map-oov=<unk>", "words.txt", "text", "text.int"],
+        tmp_path)
+    lines = open(tmp_path / "text.int").read().splitlines()
+    assert lines == ["u1 1 2", "u2 2 3"]
+    run(["int2sym", "words.txt", "text.int", "text.sym"], tmp_path)
+    assert open(tmp_path / "text.sym").read().splitlines() == [
+        "u1 yes no", "u2 no <unk>"]
+    # OOV without --map-oov fails
+    r = run(["sym2int", "words.txt", "text", "x"], tmp_path, check=False)
+    assert r.returncode != 0
+
+    with open(tmp_path / "map.txt", "w") as f:
+        f.write("yes YES\nno NO\n")
+    run(["apply-map", "--permissive", "map.txt", "text", "text.map"],
+        tmp_path)
+    assert open(tmp_path / "text.map").read().splitlines() == [
+        "u1 YES NO", "u2 NO maybe"]
+
+    with open(tmp_path / "ids", "w") as f:
+        f.write("u2\n")
+    run(["filter-scp", "ids", "text", "text.f"], tmp_path)
+    assert open(tmp_path / "text.f").read().splitlines() == ["u2 no maybe"]
+    run(["filter-scp", "--exclude", "ids", "text", "text.e"], tmp_path)
+    assert open(tmp_path / "text.e").read().splitlines() == ["u1 yes no"]
+
+    # subset-data-dir
+    d = tmp_path / "data"
+    d.mkdir()
+    for name, rows in (
+        ("wav.scp", [f"u{i} /x/u{i}.wav" for i in range(6)]),
+        ("text", [f"u{i} yes" for i in range(6)]),
+        ("utt2spk", [f"u{i} s{i // 3}" for i in range(6)]),
+    ):
+        (d / name).write_text("\n".join(rows) + "\n")
+    run(["subset-data-dir", "data", "2", "sub"], tmp_path)
+    assert open(tmp_path / "sub/utt2spk").read().splitlines() == [
+        "u0 s0", "u1 s0"]
+    run(["subset-data-dir", "--per-spk", "data", "1", "persub"], tmp_path)
+    assert open(tmp_path / "persub/utt2spk").read().splitlines() == [
+        "u0 s0", "u3 s1"]
+
+    with TableWriter(f"ark:{tmp_path}/ref.ark", "text") as w:
+        for i in range(10):
+            w[f"u{i}"] = "yes no yes no"
+    with TableWriter(f"ark:{tmp_path}/hyp.ark", "text") as w:
+        for i in range(10):
+            w[f"u{i}"] = "yes no yes yes" if i < 5 else "yes no yes no"
+    out = run(["compute-wer-bootci", "--replications=2000",
+               "ark:ref.ark", "ark:hyp.ark"], tmp_path)
+    assert "WER 12.50" in out.stdout
+    import re
+
+    m = re.search(r"\[ ([0-9.]+), ([0-9.]+) \]", out.stdout)
+    lo, hi = float(m.group(1)), float(m.group(2))
+    assert lo <= 12.5 <= hi and hi - lo > 0.1
