@@ -12,7 +12,7 @@ into one jitted data-parallel step (SURVEY.md §2.8 P3).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -431,3 +431,160 @@ def decode_chain(
         k: ([lang.words[w] for w in res.words] if res else [])
         for k, res in zip(keys, results)
     }
+
+
+def train_chain_e2e(
+    feats: Dict[str, np.ndarray],
+    transcripts: Dict[str, Sequence[str]],
+    lang: Lang,
+    opts: Optional[ChainTrainOptions] = None,
+) -> ChainModel:
+    """Flat-start LF-MMI (reference steps/nnet3/chain/e2e/ +
+    chain-generic-numerator): no GMM system, no alignments — the numerator
+    of every utterance is its full training graph (monophone chain tree;
+    the reference's e2e biphone init is a no-cluster variant, see
+    build_chain_objects for the aligned biphone path).  Phone LM comes
+    from lexicon-phonemized transcripts."""
+    from old_kaldi_git_tpu.chain.e2e import (
+        NumeratorGraphBatch,
+        chain_e2e_loss,
+        normalize_numerator_csr,
+    )
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.graph import GraphCompiler
+
+    opts = opts or ChainTrainOptions()
+    phones = lang.real_phone_ids
+    topo = chain_topology(phones)
+    ctx_dep = monophone_context_dependency(phones, {p: 1 for p in phones})
+    tm = TransitionModel(ctx_dep, topo)
+
+    # phone LM from lexicon-phonemized transcripts (first pronunciation).
+    # CRITICAL: include silence-augmented variants — the training graphs
+    # allow optional silence, and if the den LM never saw silence the den
+    # graph has NO silence-emitting state at all, making long-silence
+    # numerator paths an unbounded objective exploit (measured: the model
+    # parks on silence pdfs and objf diverges to +55/frame).  The
+    # reference's e2e recipe likewise feeds silence-bearing phone
+    # transcripts to its phone LM.
+    first_pron = {}
+    for word, _prob, pron in lang.lexicon.entries:
+        first_pron.setdefault(word, [lang.phones[p] for p in pron])
+    sil = lang.silence_id
+    keys = sorted(k for k in transcripts if k in feats)
+    phone_seqs = []
+    for k in keys:
+        seq, seq_sil = [], [sil]
+        for w in transcripts[k]:
+            seq.extend(first_pron[w])
+            seq_sil.extend(first_pron[w])
+            seq_sil.append(sil)
+        phone_seqs.append(seq)
+        phone_seqs.append(seq_sil)
+    phone_lm = estimate_phone_lm(phone_seqs, opts.phone_lm_order)
+    den = make_denominator_graph(phone_lm, ctx_dep)
+
+    # per-utterance numerator graphs (tid level → pdf level CSR)
+    compiler = GraphCompiler(lang, ctx_dep, tm)
+    tid2pdf = tm.tid_to_pdf_array()
+    graphs = [
+        normalize_numerator_csr(
+            fst_to_csr(compiler.compile_graph_from_text(transcripts[k]),
+                       tid2pdf),
+            tm, den)
+        for k in keys
+    ]
+    gbatch = NumeratorGraphBatch.from_csr_graphs(graphs)
+    log.info(
+        "train_chain_e2e: %d utts, %d pdfs, num graphs ≤%d states/%d arcs, "
+        "den %d states",
+        len(keys), ctx_dep.num_pdfs, gbatch.num_states,
+        gbatch.src.shape[1], den.num_states,
+    )
+
+    input_dim = next(iter(feats.values())).shape[1]
+    config = make_tdnnf(
+        input_dim, ctx_dep.num_pdfs, opts.hidden_dim, opts.bottleneck_dim,
+        opts.num_layers,
+    )
+    am = AmNnet.init(config, seed=opts.seed)
+    model = am.model()
+
+    fsf = opts.frame_subsampling_factor
+    Tfull = max(feats[k].shape[0] for k in keys)
+    Tfull = ((Tfull + fsf - 1) // fsf) * fsf
+    feats_padded = np.zeros((len(keys), Tfull, input_dim), np.float32)
+    nf_sub = np.zeros(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        t = feats[k].shape[0]
+        feats_padded[i, :t] = feats[k]
+        nf_sub[i] = (t + fsf - 1) // fsf
+    loss_opts = ChainLossOptions(
+        leaky_hmm_coefficient=opts.leaky_hmm_coefficient,
+        l2_regularize=opts.l2_regularize,
+        xent_regularize=0.0,  # no alignment targets in flat-start
+    )
+    num_steps = opts.num_epochs * max(1, len(keys) // opts.minibatch_size)
+    nnet_opts = NnetTrainOptions(initial_lr=opts.initial_lr,
+                                 final_lr=opts.final_lr)
+    optimizer = make_optimizer(nnet_opts, num_steps)
+    params = am.variables["params"]
+    state = TrainState(params, am.variables.get("batch_stats", {}),
+                       optimizer.init(params), 0)
+
+    def loss_fn(params, batch_stats, bf, b_nf, bg, dropout_rng):
+        logits_full, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, bf, train=True,
+            dropout_rng=dropout_rng, mutable=["batch_stats"],
+        )
+        logits = logits_full[:, ::fsf]
+        loss, metrics = chain_e2e_loss(logits, den, bg, b_nf, loss_opts)
+        return loss, (mutated["batch_stats"], metrics)
+
+    @jax.jit
+    def step_fn(state, bf, b_nf, b_src, b_dst, b_pdf, b_w, b_m, b_init,
+                b_final):
+        from old_kaldi_git_tpu.chain.e2e import NumeratorGraphBatch as NGB
+
+        bg = NGB(b_src, b_dst, b_pdf, b_w, b_m, b_init, b_final)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, bf, b_nf, bg, rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (TrainState(new_params, new_bs, new_opt, state.step + 1),
+                loss, metrics)
+
+    rng = np.random.default_rng(opts.seed)
+    order = np.arange(len(keys))
+    B = opts.minibatch_size
+    for epoch in range(opts.num_epochs):
+        rng.shuffle(order)
+        objs = []
+        for i in range(0, len(order) - B + 1, B) or [0]:
+            idx = order[i:i + B]
+            if len(idx) < B:
+                continue
+            state, loss, metrics = step_fn(
+                state, feats_padded[idx], nf_sub[idx], gbatch.src[idx],
+                gbatch.dst[idx], gbatch.pdf[idx], gbatch.weight[idx],
+                gbatch.mask[idx], gbatch.init_lp[idx], gbatch.final_lp[idx],
+            )
+            objs.append(float(metrics["objf"]))
+            if state.step % 4 == 0:
+                state = TrainState(
+                    apply_orthonormal_constraints(state.params),
+                    state.batch_stats, state.opt_state, state.step,
+                )
+        log.info("chain-e2e epoch %d: objf %.4f (%d steps)",
+                 epoch, float(np.mean(objs)) if objs else float("nan"),
+                 len(objs))
+    out_am = AmNnet(
+        config,
+        {"params": jax.tree.map(np.asarray, state.params),
+         "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
+        None,
+    )
+    return ChainModel(out_am, ctx_dep, tm, den, fsf)
