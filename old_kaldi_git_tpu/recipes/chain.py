@@ -456,7 +456,17 @@ def train_chain_e2e(
     opts = opts or ChainTrainOptions()
     phones = lang.real_phone_ids
     topo = chain_topology(phones)
-    ctx_dep = monophone_context_dependency(phones, {p: 1 for p in phones})
+    if opts.tree_context_width == 2:
+        # full unclustered left-biphone (reference gmm-init-biphone):
+        # no alignments exist to build a data-driven tree from
+        from old_kaldi_git_tpu.tree.context_dep import (
+            biphone_context_dependency,
+        )
+
+        ctx_dep = biphone_context_dependency(phones, {p: 1 for p in phones})
+    else:
+        ctx_dep = monophone_context_dependency(
+            phones, {p: 1 for p in phones})
     tm = TransitionModel(ctx_dep, topo)
 
     # phone LM from lexicon-phonemized transcripts (first pronunciation).

@@ -154,3 +154,26 @@ def monophone_context_dependency(
             pdf += 1
         table[phone] = TableEventMap(KEY_PDF_CLASS, sub)
     return ContextDependency(1, 0, TableEventMap(0, table))
+
+
+def biphone_context_dependency(
+    phones: Sequence[int], num_pdf_classes: Dict[int, int]
+) -> ContextDependency:
+    """Full (unclustered) left-biphone tree: every (left-phone-or-eps,
+    center-phone, pdf-class) triple gets its own pdf — the reference's
+    gmm-init-biphone / e2e flat-start tree (chainbin, steps/nnet3/chain/
+    e2e: trees built without alignment stats use the full biphone
+    inventory instead of likelihood-gain clustering)."""
+    lefts = [0] + sorted(phones)  # 0 = utterance-initial (eps) context
+    table: Dict[int, EventMap] = {}
+    pdf = 0
+    for phone in sorted(phones):
+        by_left: Dict[int, EventMap] = {}
+        for left in lefts:
+            sub: Dict[int, EventMap] = {}
+            for pc in range(num_pdf_classes[phone]):
+                sub[pc] = ConstantEventMap(pdf)
+                pdf += 1
+            by_left[left] = TableEventMap(KEY_PDF_CLASS, sub)
+        table[phone] = TableEventMap(0, by_left)  # key 0 = left position
+    return ContextDependency(2, 1, TableEventMap(1, table))

@@ -357,3 +357,53 @@ def test_chain_e2e_flat_start_yesno():
     hyps = decode_chain(chain, graph, lang, test_feats, beam=20.0)
     stats = score_hyps(test_text, hyps)
     assert stats.wer <= 15.0, stats.report()
+
+
+def test_biphone_context_dependency_full():
+    """Unclustered left-biphone tree (gmm-init-biphone role): distinct pdf
+    per (left, center); eps-left for utterance-initial."""
+    from old_kaldi_git_tpu.tree.context_dep import biphone_context_dependency
+
+    phones = [1, 2, 3]
+    cd = biphone_context_dependency(phones, {p: 1 for p in phones})
+    assert cd.N == 2 and cd.P == 1
+    assert cd.num_pdfs == 3 * 4  # (eps + 3 lefts) x 3 centers
+    seen = set()
+    for center in phones:
+        for left in [0] + phones:
+            pdf = cd.compute([left, center], 0)
+            assert pdf not in seen
+            seen.add(pdf)
+
+
+def test_chain_e2e_biphone_trains():
+    """Flat-start with the full-biphone tree: objective stays <= 0 and
+    improves (capability smoke; monophone e2e covers decode quality)."""
+    import logging
+
+    from old_kaldi_git_tpu.recipes.chain import (
+        ChainTrainOptions,
+        train_chain_e2e,
+    )
+    from old_kaldi_git_tpu.recipes.yesno import compute_feats, make_corpus, make_lang
+
+    tw, tt, sw, st = make_corpus(8, 2)
+    tf = compute_feats(tw)
+    lang = make_lang()
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    logging.getLogger("okt.chain").addHandler(handler)
+    try:
+        chain = train_chain_e2e(tf, tt, lang, ChainTrainOptions(
+            num_epochs=8, minibatch_size=8, hidden_dim=64,
+            bottleneck_dim=16, num_layers=2, initial_lr=2e-3,
+            final_lr=2e-3, tree_context_width=2))
+    finally:
+        logging.getLogger("okt.chain").removeHandler(handler)
+    assert chain.ctx_dep.N == 2
+    objs = [float(m.split("objf ")[1].split()[0])
+            for m in records if "chain-e2e epoch" in m]
+    assert len(objs) == 8
+    assert all(o <= 1e-6 for o in objs), objs  # num <= den identity holds
+    assert objs[-1] > objs[0]
