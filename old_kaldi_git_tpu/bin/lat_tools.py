@@ -1485,3 +1485,45 @@ def lattice_lmrescore_rnnlm_tool(argv: List[str]) -> int:
             n_done += 1
     log.info("lattice-lmrescore-rnnlm: %d lattices", n_done)
     return 0
+
+
+@tool("lattice-lmrescore-pruned")
+def lattice_lmrescore_pruned_tool(argv: List[str]) -> int:
+    """Beam-pruned LM rescoring of compact lattices (reference
+    lat/compose-lattice-pruned.{h,cc} via latbin lattice-lmrescore-pruned):
+    only the competitive region of the (lattice x LM-history) product is
+    expanded — the big-LM path where exact composition blows up."""
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.lat.rescore import compose_lattice_pruned
+    from old_kaldi_git_tpu.lm.arpa import load_lm
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "lattice-lmrescore-pruned [options] --words=words.txt "
+        "<clat-rspecifier> <const-arpa-or-arpa-file> <clat-wspecifier>"
+    )
+
+    class Opts:
+        lm_scale = 1.0
+        lattice_beam = 6.0
+        max_arcs = 200000
+        words = ""
+
+    o = Opts()
+    po.register("lm-scale", o, "lm_scale")
+    po.register("lattice-beam", o, "lattice_beam")
+    po.register("max-arcs", o, "max_arcs")
+    po.register("words", o, "words")
+    args = po.parse(argv)
+    if len(args) != 3 or not o.words:
+        print(po.print_usage(), file=sys.stderr)
+        return 1
+    lm = load_lm(args[1])
+    words = SymbolTable.read(o.words)
+    with TableWriter(args[2], "clat") as w:
+        for key, clat in SequentialTableReader(args[0], "clat"):
+            w[key] = compose_lattice_pruned(
+                clat, words, lm, new_scale=o.lm_scale,
+                lattice_beam=o.lattice_beam, max_arcs=o.max_arcs,
+            )
+    return 0

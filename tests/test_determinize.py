@@ -421,3 +421,58 @@ def test_push_and_minimize_compact_lattice():
         again = minimize_compact_lattice(mini)
         assert again.num_states == mini.num_states
     assert shrunk >= 1  # minimization actually merges suffixes sometimes
+
+
+def test_compose_lattice_pruned_matches_exact():
+    """compose_lattice_pruned with a huge beam == exact composition
+    path-for-path; with a tight beam the best path survives at the exact
+    score and the output is no bigger."""
+    from old_kaldi_git_tpu.fst.symbols import SymbolTable
+    from old_kaldi_git_tpu.lat.rescore import (
+        compose_lattice_pruned,
+        lmrescore_compact_lattice,
+    )
+    from old_kaldi_git_tpu.lm.arpa import parse_arpa
+
+    words = SymbolTable.with_eps()
+    for w in ("a", "b", "c"):
+        words.add(w)
+    new_arpa = r"""
+\data\
+ngram 1=5
+ngram 2=3
+\1-grams:
+-1.2 a -0.1
+-1.0 b -0.1
+-0.4 c -0.1
+-0.6 </s>
+-99 <s> -0.2
+\2-grams:
+-0.1 a c
+-0.2 c </s>
+-0.15 <s> a
+\end\
+"""
+    new_lm = parse_arpa(new_arpa)
+    rng = np.random.default_rng(11)
+    checked = 0
+    for _ in range(12):
+        lat = random_lattice(rng, num_states=10, num_arcs=24, num_words=3)
+        if not all_paths(lat):
+            continue
+        clat = determinize_lattice(lat)
+        exact = lmrescore_compact_lattice(clat, words, new_lm)
+        wide = compose_lattice_pruned(clat, words, new_lm,
+                                      lattice_beam=1e9)
+        assert clat_paths(wide) == clat_paths(exact) or all(
+            clat_paths(wide)[k][0] == pytest.approx(v[0], abs=1e-4)
+            for k, v in clat_paths(exact).items()
+        )
+        tight = compose_lattice_pruned(clat, words, new_lm,
+                                       lattice_beam=0.5)
+        assert tight.num_states <= wide.num_states
+        wb, _, cb = wide.best_path()
+        tb, _, ct = tight.best_path()
+        assert tb == wb and ct == pytest.approx(cb, abs=1e-4)
+        checked += 1
+    assert checked >= 5
