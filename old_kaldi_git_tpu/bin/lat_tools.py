@@ -1354,16 +1354,22 @@ def lattice_confidence_tool(argv: List[str]) -> int:
     n = 0
     with TableWriter(args[1], "flt") as w:
         for key, lat in SequentialTableReader(args[0], "lat"):
-            # distinct word sequences: pull extra paths and dedup on words
-            paths = lattice_nbest_paths(lat, 8, o.lm_scale, o.acoustic_scale)
+            # confidence is over DISTINCT word sequences: raw lattices
+            # often have many same-word paths (alternative alignments), so
+            # pull a deep N-best and dedup on the word tuple
+            paths = lattice_nbest_paths(lat, 64, o.lm_scale,
+                                        o.acoustic_scale)
             seen = []
+            seen_words = set()
             for arcs, (fg, fa) in paths:
                 words = tuple(a.olabel for a in arcs if a.olabel)
+                if words in seen_words:
+                    continue
+                seen_words.add(words)
                 cost = (sum(lat.combined(a, o.lm_scale, o.acoustic_scale)
                             for a in arcs)
                         + o.lm_scale * fg + o.acoustic_scale * fa)
-                if not seen or words != seen[0][0]:
-                    seen.append((words, cost))
+                seen.append((words, cost))
                 if len(seen) == 2:
                     break
             if not seen:

@@ -817,7 +817,6 @@ def subset_data_dir_tool(argv: List[str]) -> int:
     class Opts:
         utt_list = ""
         per_spk = False
-        shortest = False
 
     o = Opts()
     po.register("utt-list", o, "utt_list")
@@ -828,9 +827,10 @@ def subset_data_dir_tool(argv: List[str]) -> int:
     src = DataDir(args[0], require_text=False)
     n = int(args[1])
     if o.utt_list:
+        have = set(src.utts)
         with open(o.utt_list) as f:
             keep = [line.split()[0] for line in f if line.strip()]
-        keep = [u for u in keep if u in set(src.utts)]
+        keep = [u for u in keep if u in have]
     elif o.per_spk:
         keep = []
         for spk, utts in sorted(src.spk2utt.items()):

@@ -9,9 +9,8 @@ tolerance window around one alignment.
 TPU formulation: per-utterance graphs are padded into batched arc tensors
 [B, A] (src, dst, pdf, log-weight, mask) + [B, S] initial/final vectors;
 one `lax.scan` over time does, per frame, an arc gather of the emission
-scores and a linear-space scatter-add to the destination states with
-per-frame renormalization — the same overflow-rescue numerics as the
-denominator (chain-denominator.cc), and jax.grad gives the occupancies.
+scores and a log-space scatter-max/exp-sum (stable logsumexp) into the
+destination states; jax.grad gives the occupancies.
 Utterance graphs are tiny (a few states per transcript phone), so the
 scatter path is cheap; the denominator stays on the dense MXU matmul
 formulation of chain/loss.py.
@@ -154,9 +153,15 @@ def normalize_numerator_csr(csr, tm, den: DenominatorGraph) -> SimpleNumGraph:
                 phone = tm.tid_to_phone(tid)
                 lm = den.lm_start if ds < 0 else int(den.lm_next[ds])
                 ds2 = den.arc_lookup.get((lm, phone))
-                if ds2 is None:  # unseen n-gram: floor like numerator_weights
+                if ds2 is None:
+                    # unseen n-gram: floor the LM advance like
+                    # numerator_weights (-20), keeping the structural loop
+                    # term so seen and unseen arcs stay comparable; the den
+                    # state is unknown — stay on the current one (first
+                    # frame: den state 0, arbitrary but harmless since the
+                    # -20 floor dominates any subsequent weight lookups)
                     nds = ds if ds >= 0 else 0
-                    w = -20.0 if ds >= 0 else -20.0
+                    w = (loop_lp - 20.0) if ds >= 0 else -20.0
                 elif ds < 0:  # first frame: den initial prob, no loop term
                     nds, w = ds2, float(den.initial_log_probs[ds2])
                 else:
@@ -235,11 +240,11 @@ def chain_e2e_loss(
     opts: ChainLossOptions = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Flat-start LF-MMI loss: generic numerator − dense denominator.
-    NOTE unlike the aligned path (chain/loss.py numerator_weights), the
-    numerator here carries the TRAINING GRAPH's own LM/transition weights,
-    not the denominator normalization weights, so num ≤ den is not an
-    identity — same caveat as the reference's e2e recipe (which
-    renormalizes egs for the same reason)."""
+    train_chain_e2e always routes the numerator graphs through
+    normalize_numerator_csr, so num ≤ den IS an identity (up to the −20
+    unseen-n-gram floor) and the objective must stay ≤ 0 — treat a
+    positive objf as a normalization regression, not as expected
+    flat-start behaviour."""
     opts = opts or ChainLossOptions()
     num = generic_numerator_logprob(logits, g, num_frames)
     den_lp = denominator_logprob(

@@ -70,6 +70,7 @@ class AmSgmm2:
         self.c = [np.asarray(x, np.float64) for x in c]  # per pdf [Mj]
         self.ubm = ubm
         self._shared = None
+        self._stacked = None
 
     # -- shapes -------------------------------------------------------------
     @property
@@ -94,6 +95,7 @@ class AmSgmm2:
 
     def invalidate(self) -> None:
         self._shared = None
+        self._stacked = None
 
     # -- init ------------------------------------------------------------------
     @staticmethod
@@ -132,7 +134,12 @@ class AmSgmm2:
         return self._shared
 
     def _stacked_states(self):
-        """(V [JM,S], logc [JM], owner [JM], bilin [JM,I], logw [JM,I])."""
+        """(V [JM,S], logc [JM], owner [JM], bilin [JM,I], logw [JM,I]);
+        cached — these are feature-independent per-state constants rebuilt
+        only after invalidate() (the decode path calls loglikes per
+        utterance)."""
+        if getattr(self, "_stacked", None) is not None:
+            return self._stacked
         H, _, _ = self.shared()
         V = np.concatenate(self.v, axis=0)
         logc = np.concatenate([
@@ -144,7 +151,8 @@ class AmSgmm2:
         bilin = -0.5 * np.einsum("ms,ist,mt->mi", V, H, V)
         a = V @ self.w.T  # [JM, I]
         logw = a - _logsumexp(a, axis=1, keepdims=True)
-        return V, logc, owner.astype(np.int64), bilin, logw
+        self._stacked = (V, logc, owner.astype(np.int64), bilin, logw)
+        return self._stacked
 
     # -- evaluation -----------------------------------------------------------------
     def frame_terms(self, feats: np.ndarray):

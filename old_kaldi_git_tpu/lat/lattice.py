@@ -793,3 +793,25 @@ def lattice_interp(
         return None
     _connect(out)
     return out if out.num_states and out.arcs[out.start] else None
+
+
+def lattice_total_logprob(
+    lat: Lattice, lm_scale: float = 1.0, ac_scale: float = 0.1
+) -> float:
+    """log of the total path mass under the given scales (the denominator
+    of lattice_arc_posteriors' normalization; MMI den log-likelihood)."""
+    order = _topo_order(lat)
+    n = lat.num_states
+    fwd = np.full(n, -INF)
+    fwd[lat.start] = 0.0
+    total = -INF
+    for s in order:
+        if fwd[s] == -INF:
+            continue
+        if lat.is_final(s):
+            g, ac = lat.finals[s]
+            total = np.logaddexp(total, fwd[s] - (lm_scale * g + ac_scale * ac))
+        for a in lat.arcs[s]:
+            c = fwd[s] - lat.combined(a, lm_scale, ac_scale)
+            fwd[a.nextstate] = np.logaddexp(fwd[a.nextstate], c)
+    return float(total)

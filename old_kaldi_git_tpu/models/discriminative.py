@@ -40,6 +40,7 @@ from old_kaldi_git_tpu.lat.discriminative import forward_backward_mpe_variants
 from old_kaldi_git_tpu.lat.lattice import (
     lattice_arc_posteriors,
     lattice_state_times,
+    lattice_total_logprob,
 )
 from old_kaldi_git_tpu.lat.rescore import rescore_lattice_acoustics
 from old_kaldi_git_tpu.models.am_nnet import AmNnet
@@ -82,18 +83,21 @@ def discriminative_grad(
         post = lattice_arc_posteriors(den_lat, lm_scale=1.0,
                                       ac_scale=acoustic_scale)
         times = den_lat.state_time
-        den_ll = 0.0
         for s in range(den_lat.num_states):
             t = times[s]
             for a, p in zip(den_lat.arcs[s], post[s]):
                 if a.ilabel and 0 <= t < T and p > 0:
                     grad[t, tm.tid_to_pdf(a.ilabel)] -= p
         grad[np.arange(len(pdfs)), pdfs] += 1.0
-        # objective: (num-path acoustic loglike - den total)/T, both at the
-        # acoustic scale (graph costs cancel into a constant offset)
+        # objective: (num acoustic loglike - den total)/T.  The den total
+        # includes its graph costs (a model-independent offset), the num
+        # term only acoustics — constants differ but deltas, which is what
+        # the epoch logs and compute-objf trends report, are exact.
         num_ll = acoustic_scale * loglikes[
             np.arange(len(pdfs)), pdfs].sum()
-        objf = float(num_ll) / max(T, 1)
+        den_ll = lattice_total_logprob(den_lat, lm_scale=1.0,
+                                       ac_scale=acoustic_scale)
+        objf = float(num_ll - den_ll) / max(T, 1)
         grad *= acoustic_scale  # dF/dlogp includes the scale
     elif criterion in ("smbr", "mpfe"):
         post, acc = forward_backward_mpe_variants(

@@ -365,10 +365,13 @@ def train_chain(
     for epoch in range(opts.num_epochs):
         rng.shuffle(order)
         objs, xents = [], []
-        for i in range(0, len(order) - B + 1, B) or [0]:
-            idx = order[i : i + B]
-            if len(idx) < B:
-                continue
+        # full batches; if the dataset is smaller than one minibatch, train
+        # on the whole dataset (a dead `or [0]` fallback here used to be
+        # skipped by the len guard, silently doing ZERO steps)
+        batches = [order[i: i + B] for i in range(0, len(order) - B + 1, B)]
+        if not batches:
+            batches = [order]
+        for idx in batches:
             state, loss, metrics = step_fn(
                 state, feats_padded[idx], pdf_seq[idx], allowed[idx],
                 sup_frames[idx], seq_len[idx], advance_lp[idx], xent_labels[idx],
@@ -573,10 +576,10 @@ def train_chain_e2e(
     for epoch in range(opts.num_epochs):
         rng.shuffle(order)
         objs = []
-        for i in range(0, len(order) - B + 1, B) or [0]:
-            idx = order[i:i + B]
-            if len(idx) < B:
-                continue
+        batches = [order[i: i + B] for i in range(0, len(order) - B + 1, B)]
+        if not batches:  # dataset smaller than one minibatch
+            batches = [order]
+        for idx in batches:
             state, loss, metrics = step_fn(
                 state, feats_padded[idx], nf_sub[idx], gbatch.src[idx],
                 gbatch.dst[idx], gbatch.pdf[idx], gbatch.weight[idx],

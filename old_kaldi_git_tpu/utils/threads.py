@@ -63,24 +63,43 @@ def prefetch(items: Iterable[T], depth: int = 4) -> Iterator[T]:
 
     q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
     err = []
+    stop = threading.Event()
 
     def producer():
         try:
             for x in items:
-                q.put(x)
+                # bounded put that notices consumer abandonment — otherwise
+                # an early `break` in the consumer leaves this thread
+                # blocked forever holding the source iterator open
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised on consumer side
             err.append(e)
         finally:
-            q.put(_STOP)
+            while not stop.is_set():  # consumer still listening
+                try:
+                    q.put(_STOP, timeout=0.1)
+                    break
+                except _queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        x = q.get()
-        if x is _STOP:
-            break
-        yield x
-    t.join()
+    try:
+        while True:
+            x = q.get()
+            if x is _STOP:
+                break
+            yield x
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
     if err:
         raise err[0]
 
