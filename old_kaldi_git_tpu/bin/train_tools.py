@@ -2094,3 +2094,69 @@ def compile_questions_tool(argv: List[str]) -> int:
     log.info("compile-questions: %d questions over %d phones",
              len(out), len(inventory))
     return 0
+
+
+@tool("build-tree-two-level")
+def build_tree_two_level_tool(argv: List[str]) -> int:
+    """Two-level tree (reference bin/build-tree-two-level.cc): fine tree
+    with --max-leaves-second leaves, then its leaves clustered bottom-up
+    by likelihood loss into --max-leaves-first coarse groups; writes the
+    fine tree + the leaf→coarse int-vector mapping (the multi-codebook /
+    SGMM sharing structure)."""
+    from old_kaldi_git_tpu.tree.build_tree import (
+        build_tree,
+        cluster_leaves,
+        read_tree_stats,
+    )
+    from old_kaldi_git_tpu.utils.io_funcs import (
+        init_kaldi_output_stream,
+        write_int_vector,
+    )
+
+    po = ParseOptions(
+        "build-tree-two-level [options] <tree-stats> <topo-model> "
+        "<tree-out> <mapping-out>"
+    )
+
+    class Opts:
+        max_leaves_first = 100
+        max_leaves_second = 1000
+        thresh = 20.0
+        context_width = 3
+        central_position = 1
+        questions = ""
+
+    o = Opts()
+    po.register("max-leaves-first", o, "max_leaves_first")
+    po.register("max-leaves-second", o, "max_leaves_second")
+    po.register("thresh", o, "thresh")
+    po.register("context-width", o, "context_width")
+    po.register("central-position", o, "central_position")
+    po.register("questions", o, "questions")
+    args = po.parse(argv)
+    if len(args) != 4:
+        return _usage(po)
+    with open(args[0], "rb") as f:
+        stats = read_tree_stats(f)
+    topo = _load_model(args[1]).tm.topo
+    phones = topo.phones
+    questions = None
+    if o.questions:
+        with open(o.questions) as f:
+            questions = [
+                {int(p) for p in ln.split()} for ln in f if ln.split()
+            ]
+    ctx_dep = build_tree(
+        stats, phones, {p: topo.num_pdf_classes(p) for p in phones},
+        N=o.context_width, P=o.central_position, questions=questions,
+        max_leaves=o.max_leaves_second, thresh=o.thresh,
+    )
+    mapping = cluster_leaves(stats, ctx_dep, o.max_leaves_first)
+    with open(args[2], "wb") as f:
+        ctx_dep.write(f)
+    with open(args[3], "wb") as f:
+        init_kaldi_output_stream(f, True)
+        write_int_vector(f, mapping)
+    log.info("build-tree-two-level: %d fine leaves → %d coarse",
+             ctx_dep.num_pdfs, max(mapping) + 1)
+    return 0

@@ -381,3 +381,45 @@ def sum_tree_stats(
         else:
             dsts[event] = gc.copy()
     return dsts
+
+
+def cluster_leaves(
+    stats: Dict[tuple, GaussClusterable],
+    ctx_dep,
+    num_clusters: int,
+) -> List[int]:
+    """Agglomerative bottom-up clustering of a tree's leaves into
+    `num_clusters` groups by likelihood loss (reference
+    bin/build-tree-two-level.cc / cluster-utils ClusterBottomUp): returns
+    the leaf → cluster mapping, clusters renumbered 0..K-1 in order of
+    smallest member leaf."""
+    num_pdfs = ctx_dep.num_pdfs
+    pooled: List[Optional[GaussClusterable]] = [None] * num_pdfs
+    for event, st in stats.items():
+        leaf = ctx_dep.root.map(event)
+        if leaf is None:
+            continue
+        if pooled[leaf] is None:
+            pooled[leaf] = st.copy()
+        else:
+            pooled[leaf].add(st)
+    # leaves with no stats merge into cluster of leaf 0 at zero cost
+    live = {i: pooled[i] for i in range(num_pdfs) if pooled[i] is not None}
+    members: Dict[int, List[int]] = {i: [i] for i in live}
+    while len(live) > max(1, num_clusters):
+        keys = sorted(live)
+        best = None
+        for ai, a in enumerate(keys):
+            for b in keys[ai + 1:]:
+                loss = (live[a].objf() + live[b].objf()
+                        - merged_objf(live[a], live[b]))
+                if best is None or loss < best[0]:
+                    best = (loss, a, b)
+        _, a, b = best
+        live[a].add(live.pop(b))
+        members[a].extend(members.pop(b))
+    mapping = [0] * num_pdfs
+    for cluster, (root_leaf, leaves) in enumerate(sorted(members.items())):
+        for leaf in leaves:
+            mapping[leaf] = cluster
+    return mapping

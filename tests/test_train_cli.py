@@ -634,3 +634,29 @@ def test_compile_questions(corpus):
     phones = sorted(AmGmmModel.load(str(d / "final.mdl")).tm.topo.phones)
     assert phones in lines
     assert len({tuple(q) for q in lines}) == len(lines)
+
+
+def test_build_tree_two_level(corpus):
+    d, tf, sf, st = corpus
+    if not (d / "tree.sum.stats").exists():
+        pytest.skip("tree tools test must run first")
+    run(["build-tree-two-level", "--max-leaves-first=4",
+         "--max-leaves-second=20", "--thresh=5",
+         "--questions=questions.txt", "tree.sum.stats", "final.mdl",
+         "two.tree", "two.map"], d)
+    from old_kaldi_git_tpu.tree.context_dep import ContextDependency
+    from old_kaldi_git_tpu.utils.io_funcs import (
+        init_kaldi_input_stream,
+        read_int_vector,
+    )
+
+    with open(d / "two.tree", "rb") as f:
+        cd = ContextDependency.read(f)
+    with open(d / "two.map", "rb") as f:
+        init_kaldi_input_stream(f)
+        mapping = read_int_vector(f)
+    assert len(mapping) == cd.num_pdfs
+    n_coarse = int(max(mapping)) + 1
+    assert 1 <= n_coarse <= 4 < cd.num_pdfs
+    # every coarse cluster non-empty
+    assert set(range(n_coarse)) == set(int(m) for m in mapping)
