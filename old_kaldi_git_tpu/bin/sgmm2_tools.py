@@ -41,19 +41,33 @@ def sgmm2_init_tool(argv: List[str]) -> int:
 
     class Opts:
         phn_space_dim = 0
+        spk_space_dim = 0
 
     o = Opts()
     po.register("phn-space-dim", o, "phn_space_dim")
+    po.register("spk-space-dim", o, "spk_space_dim")
     args = po.parse(argv)
     if len(args) != 3:
         return _usage(po)
     base = AmGmmModel.load(args[0])
     ubm = FullGmm.load(args[1])
     sgmm = AmSgmm2.init(ubm, base.am.num_pdfs, o.phn_space_dim or None)
+    if o.spk_space_dim:
+        sgmm.init_speaker_subspace(o.spk_space_dim)
     Sgmm2Model(base.tm, sgmm).save(args[2])
-    log.info("sgmm2-init: %d pdfs, %d Gaussians, phn-dim %d",
-             sgmm.num_pdfs, sgmm.num_gauss, sgmm.phn_dim)
+    log.info("sgmm2-init: %d pdfs, %d Gaussians, phn-dim %d, spk-dim %d",
+             sgmm.num_pdfs, sgmm.num_gauss, sgmm.phn_dim, sgmm.spk_dim)
     return 0
+
+
+def _read_utt2spk(path: str) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                out[parts[0]] = parts[1]
+    return out
 
 
 @tool("sgmm2-info")
@@ -70,7 +84,64 @@ def sgmm2_info_tool(argv: List[str]) -> int:
     print(f"feature dimension {m.sgmm.dim}")
     print(f"phone-space dimension {m.sgmm.phn_dim}")
     print(f"number of substates {m.sgmm.num_substates}")
+    print(f"speaker-space dimension {m.sgmm.spk_dim}")
     print(f"number of transition-ids {m.tm.num_tids}")
+    return 0
+
+
+@tool("sgmm2-est-spkvecs")
+def sgmm2_est_spkvecs_tool(argv: List[str]) -> int:
+    """Estimate per-speaker vectors from aligned frames
+    (sgmm2bin/sgmm2-est-spkvecs.cc): pools every utterance of a speaker
+    (--utt2spk, else per-utterance) and solves the speaker-subspace
+    system; writes a 'vec' table keyed by speaker."""
+    from old_kaldi_git_tpu.gmm.sgmm2 import Sgmm2Model, estimate_spk_vector
+    from old_kaldi_git_tpu.utils.table import SequentialTableReader, TableWriter
+
+    po = ParseOptions(
+        "sgmm2-est-spkvecs [options] <sgmm2-mdl> <feats-rspecifier> "
+        "<ali-rspecifier> <vecs-wspecifier>")
+
+    class Opts:
+        utt2spk = ""
+        num_iters = 2
+        min_count = 10.0
+
+    o = Opts()
+    po.register("utt2spk", o, "utt2spk")
+    po.register("num-iters", o, "num_iters")
+    po.register("min-count", o, "min_count")
+    args = po.parse(argv)
+    if len(args) != 4:
+        return _usage(po)
+    model = Sgmm2Model.load(args[0])
+    if model.sgmm.N is None:
+        raise KaldiError("model has no speaker subspace "
+                         "(sgmm2-init --spk-space-dim)")
+    u2s = _read_utt2spk(o.utt2spk) if o.utt2spk else {}
+    alis = dict(SequentialTableReader(args[2], "ivec"))
+    tid2pdf = model.tm.tid_to_pdf_array()
+    by_spk: dict = {}
+    for key, x in SequentialTableReader(args[1], "mat"):
+        if key not in alis:
+            continue
+        ali = np.asarray(alis[key])
+        x = np.asarray(x, np.float64)
+        t = min(len(x), len(ali))
+        spk = u2s.get(key, key)
+        fx, fp = by_spk.setdefault(spk, ([], []))
+        fx.append(x[:t])
+        fp.append(tid2pdf[ali[:t]])
+    n = 0
+    with TableWriter(args[3], "vec") as w:
+        for spk in sorted(by_spk):
+            fx, fp = by_spk[spk]
+            vs = estimate_spk_vector(
+                model.sgmm, np.concatenate(fx), np.concatenate(fp),
+                num_iters=o.num_iters, min_count=o.min_count)
+            w[spk] = vs.astype(np.float32)
+            n += 1
+    log.info("sgmm2-est-spkvecs: %d speakers", n)
     return 0
 
 
@@ -82,13 +153,24 @@ def sgmm2_acc_stats_ali_tool(argv: List[str]) -> int:
     from old_kaldi_git_tpu.utils.table import SequentialTableReader
 
     po = ParseOptions(
-        "sgmm2-acc-stats-ali <sgmm2-mdl> <feats-rspecifier> "
+        "sgmm2-acc-stats-ali [options] <sgmm2-mdl> <feats-rspecifier> "
         "<ali-rspecifier> <accs-out>")
+
+    class Opts:
+        spk_vecs = ""
+        utt2spk = ""
+
+    o = Opts()
+    po.register("spk-vecs", o, "spk_vecs")
+    po.register("utt2spk", o, "utt2spk")
     args = po.parse(argv)
     if len(args) != 4:
         return _usage(po)
     model = Sgmm2Model.load(args[0])
     alis = dict(SequentialTableReader(args[2], "ivec"))
+    vecs = (dict(SequentialTableReader(o.spk_vecs, "vec"))
+            if o.spk_vecs else {})
+    u2s = _read_utt2spk(o.utt2spk) if o.utt2spk else {}
     tid2pdf = model.tm.tid_to_pdf_array()
     accs = MleAmSgmm2Accs(model.sgmm)
     n = 0
@@ -98,7 +180,8 @@ def sgmm2_acc_stats_ali_tool(argv: List[str]) -> int:
         ali = np.asarray(alis[key])
         x = np.asarray(x, np.float64)
         t = min(len(x), len(ali))
-        accs.accumulate(model.sgmm, x[:t], tid2pdf[ali[:t]])
+        vs = vecs.get(u2s.get(key, key)) if vecs else None
+        accs.accumulate(model.sgmm, x[:t], tid2pdf[ali[:t]], spk_vec=vs)
         n += 1
     accs.save(args[3])
     log.info("sgmm2-acc-stats-ali: %d utterances, %.0f frames, "
@@ -224,6 +307,8 @@ def sgmm2_latgen_faster_tool(argv: List[str]) -> int:
         max_active = 7000
         acoustic_scale = 0.1
         word_symbol_table = ""
+        spk_vecs = ""
+        utt2spk = ""
 
     o = Opts()
     po.register("beam", o, "beam")
@@ -231,6 +316,8 @@ def sgmm2_latgen_faster_tool(argv: List[str]) -> int:
     po.register("max-active", o, "max_active")
     po.register("acoustic-scale", o, "acoustic_scale")
     po.register("word-symbol-table", o, "word_symbol_table")
+    po.register("spk-vecs", o, "spk_vecs")
+    po.register("utt2spk", o, "utt2spk")
     args = po.parse(argv)
     if len(args) not in (4, 5):
         return _usage(po)
@@ -242,7 +329,13 @@ def sgmm2_latgen_faster_tool(argv: List[str]) -> int:
     if not feats:
         raise KaldiError("no features")
     keys, padded, nf = pad_feature_batch(feats)
-    loglikes = model.sgmm.loglikes_batch(padded).astype(np.float32)
+    spk_vecs = None
+    if o.spk_vecs:
+        vecs = dict(SequentialTableReader(o.spk_vecs, "vec"))
+        u2s = _read_utt2spk(o.utt2spk) if o.utt2spk else {}
+        spk_vecs = [vecs.get(u2s.get(k, k)) for k in keys]
+    loglikes = model.sgmm.loglikes_batch(
+        padded, spk_vecs=spk_vecs).astype(np.float32)
     results = decode_batch(
         csr, loglikes, nf,
         ViterbiOptions(beam=o.beam, max_active=o.max_active,

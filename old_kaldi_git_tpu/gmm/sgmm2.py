@@ -21,10 +21,21 @@ and per-(j,m,i) constants -0.5 v' H_i v with H_i = M_i' Sigma_i^{-1} M_i,
 so scoring is a batch of dense einsums over [T, I, S] x [JM, S] — exactly
 the MXU-shaped computation the TPU wants (no per-Gaussian scalar loops).
 
+Speaker subspace (reference src/sgmm2/am-sgmm2.cc speaker-space code,
+estimate-am-sgmm2.cc UpdateN, fmllr-sgmm2 aside): optional per-Gaussian
+speaker projections N_i [D, T] with a per-speaker vector v_s [T], so the
+adapted mean is  mean_jmi(s) = M_i v_jm + N_i v_s.  Scoring subtracts the
+per-Gaussian offset o_i = N_i v_s from the features before the shared
+quadratic/projection terms (mathematically exact, keeps the einsum
+factorization); v_s is estimated per speaker by a closed-form solve over
+the speaker's aligned frames (`estimate_spk_vector`, the
+sgmm2-est-spkvecs role) and N_i by the Y_N Q_N^{-1} system (flag 'N').
+
 Scope notes vs the reference (documented, deliberate):
-- speaker subspace (N_i, per-speaker vectors) and SGMM fMLLR are omitted;
-  speaker adaptation in this build goes through the shared fMLLR/basis/
-  regtree machinery on features instead.
+- SGMM fMLLR is omitted; feature-side adaptation in this build goes
+  through the shared fMLLR/basis/regtree machinery instead.
+- speaker-dependent WEIGHTS (the symmetric-SGMM u_i term) are omitted;
+  only speaker mean offsets are modeled (the dominant adaptation term).
 - the v_jm update solves the means term exactly (sum_i gamma H_i) v = y_jm
   and then refreshes the weight projections; the reference folds a
   second-order weight term into the same solve.
@@ -62,13 +73,16 @@ class AmSgmm2:
 
     def __init__(self, M: np.ndarray, w: np.ndarray, sigma_inv: np.ndarray,
                  v: List[np.ndarray], c: List[np.ndarray],
-                 ubm: Optional[FullGmm] = None):
+                 ubm: Optional[FullGmm] = None,
+                 N: Optional[np.ndarray] = None):
         self.M = np.asarray(M, np.float64)              # [I, D, S]
         self.w = np.asarray(w, np.float64)              # [I, S]
         self.sigma_inv = np.asarray(sigma_inv, np.float64)  # [I, D, D]
         self.v = [np.asarray(x, np.float64) for x in v]  # per pdf [Mj, S]
         self.c = [np.asarray(x, np.float64) for x in c]  # per pdf [Mj]
         self.ubm = ubm
+        # speaker subspace [I, D, Tspk] (None: no speaker adaptation)
+        self.N = None if N is None else np.asarray(N, np.float64)
         self._shared = None
         self._stacked = None
 
@@ -92,6 +106,10 @@ class AmSgmm2:
     @property
     def num_substates(self) -> int:
         return sum(len(x) for x in self.v)
+
+    @property
+    def spk_dim(self) -> int:
+        return 0 if self.N is None else self.N.shape[2]
 
     def invalidate(self) -> None:
         self._shared = None
@@ -118,6 +136,27 @@ class AmSgmm2:
         v = [v0[None, :].copy() for _ in range(num_pdfs)]
         c = [np.ones(1) for _ in range(num_pdfs)]
         return AmSgmm2(M, np.zeros((I, S)), sigma_inv, v, c, ubm)
+
+    def init_speaker_subspace(self, spk_dim: int) -> None:
+        """sgmm2-init --spk-space-dim: N_i = first `spk_dim` identity
+        columns (so v_s directly offsets the leading feature dims at init;
+        EM rotates it into the real speaker directions)."""
+        I, D, _ = self.M.shape
+        if spk_dim < 1 or spk_dim > D:
+            raise KaldiError(f"spk_dim must be in [1, D], got {spk_dim}")
+        self.N = np.broadcast_to(
+            np.eye(D)[:, :spk_dim], (I, D, spk_dim)).copy()
+        self.invalidate()
+
+    def spk_offsets(self, spk_vec: Optional[np.ndarray]) -> Optional[np.ndarray]:
+        """Per-Gaussian mean offsets o_i = N_i v_s  [I, D] (None ≡ zeros)."""
+        if self.N is None or spk_vec is None:
+            return None
+        vs = np.asarray(spk_vec, np.float64)
+        if vs.shape != (self.spk_dim,):
+            raise KaldiError(
+                f"speaker vector dim {vs.shape} vs spk_dim {self.spk_dim}")
+        return np.einsum("idt,t->id", self.N, vs)
 
     # -- shared precomputations ---------------------------------------------------
     def shared(self):
@@ -155,26 +194,36 @@ class AmSgmm2:
         return self._stacked
 
     # -- evaluation -----------------------------------------------------------------
-    def frame_terms(self, feats: np.ndarray):
-        """a [T, I] frame quadratic terms and z [T, I, S] projections."""
+    def frame_terms(self, feats: np.ndarray,
+                    spk_offsets: Optional[np.ndarray] = None):
+        """a [T, I] frame quadratic terms and z [T, I, S] projections.
+        With speaker offsets o [I, D] the terms are those of the shifted
+        features x - o_i (exact: N(x; Mv + o, Σ) = N(x - o; Mv, Σ))."""
         x = np.asarray(feats, np.float64)
         H, C, MtSi = self.shared()
         quad = np.einsum("td,ide,te->ti", x, self.sigma_inv, x)
         a = C[None, :] - 0.5 * quad
         z = np.einsum("isd,td->tis", MtSi, x)
+        if spk_offsets is not None:
+            o = np.asarray(spk_offsets, np.float64)  # [I, D]
+            sig_o = np.einsum("ide,ie->id", self.sigma_inv, o)  # Σ⁻¹o
+            a = a + x @ sig_o.T - 0.5 * np.einsum("id,id->i", o, sig_o)[None]
+            z = z - np.einsum("isd,id->is", MtSi, o)[None]
         return a, z
 
-    def loglikes_numpy(self, feats: np.ndarray,
-                       chunk: int = 256) -> np.ndarray:
+    def loglikes_numpy(self, feats: np.ndarray, chunk: int = 256,
+                       spk_vec: Optional[np.ndarray] = None) -> np.ndarray:
         """[T, D] → [T, num_pdfs] (DecodableAmSgmm2 role; dense over the
         Gaussian pool — gselect pruning matters for I >> 100, the batched
-        einsum is already the TPU-friendly form)."""
+        einsum is already the TPU-friendly form).  `spk_vec` applies the
+        speaker subspace (decode with sgmm2-est-spkvecs output)."""
         x = np.asarray(feats, np.float64)
+        off = self.spk_offsets(spk_vec)
         V, logc, owner, bilin, logw = self._stacked_states()
         J = self.num_pdfs
         out = np.empty((len(x), J))
         for lo in range(0, len(x), chunk):
-            a, z = self.frame_terms(x[lo:lo + chunk])
+            a, z = self.frame_terms(x[lo:lo + chunk], off)
             # [t, jm, i]
             s = (a[:, None, :] + np.einsum("tis,ms->tmi", z, V)
                  + (bilin + logw + logc[:, None])[None, :, :])
@@ -184,18 +233,25 @@ class AmSgmm2:
                 out[lo:lo + len(a), j] = _logsumexp(comp[:, sel], axis=1)
         return out
 
-    def loglikes_batch(self, feats) -> np.ndarray:
+    def loglikes_batch(self, feats, spk_vecs=None) -> np.ndarray:
         """[B, T, D] → [B, T, num_pdfs]: the decodable contract shared with
         AmDiagGmm (feeds the batched aligner/decoder).  Host einsums here;
         the same arithmetic jits unchanged if the SGMM2 path ever becomes
-        hot (it is not in any BASELINE config)."""
+        hot (it is not in any BASELINE config).  `spk_vecs` is an optional
+        per-utterance list of speaker vectors (None entries = unadapted)."""
         x = np.asarray(feats, np.float64)
-        return np.stack([self.loglikes_numpy(x[b]) for b in range(len(x))])
+        return np.stack([
+            self.loglikes_numpy(
+                x[b], spk_vec=None if spk_vecs is None else spk_vecs[b])
+            for b in range(len(x))
+        ])
 
-    def component_posteriors(self, feats: np.ndarray, pdf: int) -> np.ndarray:
+    def component_posteriors(self, feats: np.ndarray, pdf: int,
+                             spk_offsets: Optional[np.ndarray] = None
+                             ) -> np.ndarray:
         """[T, Mj, I] responsibilities within one pdf."""
         x = np.asarray(feats, np.float64)
-        a, z = self.frame_terms(x)
+        a, z = self.frame_terms(x, spk_offsets)
         H, _, _ = self.shared()
         V = self.v[pdf]
         cj = self.c[pdf] / max(self.c[pdf].sum(), 1e-20)
@@ -223,6 +279,10 @@ class AmSgmm2:
         for j in range(self.num_pdfs):
             write_matrix(f, self.v[j].astype(np.float32))
             write_vector(f, self.c[j].astype(np.float32))
+        write_int32(f, self.spk_dim)
+        if self.N is not None:
+            for i in range(self.num_gauss):
+                write_matrix(f, self.N[i].astype(np.float32))
         write_int32(f, 1 if self.ubm is not None else 0)
         if self.ubm is not None:
             self.ubm.write(f)
@@ -242,9 +302,12 @@ class AmSgmm2:
         for _ in range(J):
             v.append(np.asarray(read_matrix(f), np.float64))
             c.append(np.asarray(read_vector(f), np.float64))
+        spk_dim = read_int32(f)
+        N = (np.stack([read_matrix(f) for _ in range(I)])
+             if spk_dim > 0 else None)
         ubm = FullGmm.read(f) if read_int32(f) else None
         expect_token(f, "</AmSgmm2>")
-        out = AmSgmm2(M, w, sigma_inv, v, c, ubm)
+        out = AmSgmm2(M, w, sigma_inv, v, c, ubm, N=N)
         if out.dim != D or out.phn_dim != S:
             raise KaldiError("inconsistent AmSgmm2 header")
         return out
@@ -273,21 +336,32 @@ class MleAmSgmm2Accs:
         self.Y = np.zeros((I, D, S))
         self.Q = np.zeros((I, S, S))
         self.S = np.zeros((I, D, D))
+        # speaker-subspace stats (UpdateN system): N_i = Y_N_i Q_N_i^{-1}
+        T_spk = model.spk_dim
+        self.Y_N = np.zeros((I, D, T_spk)) if T_spk else None
+        self.Q_N = np.zeros((I, T_spk, T_spk)) if T_spk else None
         self.total_frames = 0.0
         self.total_like = 0.0
 
     def accumulate(self, model: AmSgmm2, feats: np.ndarray,
-                   pdf_ids: np.ndarray, weights=None) -> None:
+                   pdf_ids: np.ndarray, weights=None,
+                   spk_vec: Optional[np.ndarray] = None) -> None:
+        """Accumulate one utterance (or one speaker's worth) of aligned
+        frames.  With `spk_vec` (and a model speaker subspace) the phonetic
+        stats are collected on the speaker-shifted features x - N_i v_s
+        (exact canonicalization), and Y_N/Q_N collect the UpdateN system."""
         x = np.asarray(feats, np.float64)
         pdf_ids = np.asarray(pdf_ids)
         wts = (np.ones(len(x)) if weights is None
                else np.asarray(weights, np.float64))
-        _, z = model.frame_terms(x)
-        ll = model.loglikes_numpy(x)
+        off = model.spk_offsets(spk_vec)  # [I, D] or None
+        _, z = model.frame_terms(x, off)
+        ll = model.loglikes_numpy(x, spk_vec=spk_vec)
+        vs = None if spk_vec is None else np.asarray(spk_vec, np.float64)
         for j in np.unique(pdf_ids):
             sel = pdf_ids == j
             xs, zs, ws = x[sel], z[sel], wts[sel]
-            post = model.component_posteriors(xs, int(j))  # [t, Mj, I]
+            post = model.component_posteriors(xs, int(j), off)  # [t, Mj, I]
             post = post * ws[:, None, None]
             g = post.sum(axis=0)  # [Mj, I]
             self.gamma[j] += g
@@ -300,6 +374,20 @@ class MleAmSgmm2Accs:
             # E and M steps cannot corrupt the variances
             gi = post.sum(axis=1)  # [t, I]
             self.S += np.einsum("ti,td,te->ide", gi, xs, xs)
+            if off is not None:
+                # shift Y and S to the speaker-canonical features x - o_i
+                gv = g.T @ model.v[j]          # [I, S] Σ_m γ_mi v_jm
+                gsum = g.sum(axis=0)           # [I]
+                xw = np.einsum("ti,td->id", gi, xs)  # [I, D]
+                self.Y -= np.einsum("id,is->ids", off, gv)
+                self.S -= (np.einsum("id,ie->ide", off, xw)
+                           + np.einsum("id,ie->ide", xw, off))
+                self.S += gsum[:, None, None] * np.einsum(
+                    "id,ie->ide", off, off)
+                # UpdateN system: residual vs the UNSHIFTED phonetic mean
+                r = xw - np.einsum("ids,is->id", model.M, gv)  # [I, D]
+                self.Y_N += np.einsum("id,t->idt", r, vs)
+                self.Q_N += gsum[:, None, None] * np.outer(vs, vs)[None]
             self.total_like += float(
                 (ll[sel, j] * ws).sum())
             self.total_frames += float(ws.sum())
@@ -311,6 +399,9 @@ class MleAmSgmm2Accs:
         self.Y += other.Y
         self.Q += other.Q
         self.S += other.S
+        if self.Y_N is not None and other.Y_N is not None:
+            self.Y_N += other.Y_N
+            self.Q_N += other.Q_N
         self.total_frames += other.total_frames
         self.total_like += other.total_like
 
@@ -327,6 +418,12 @@ class MleAmSgmm2Accs:
                 write_token(f, f"<{name}>")
                 for i in range(len(arr)):
                     write_matrix(f, arr[i], np.float64)
+            write_int32(f, 0 if self.Y_N is None else self.Y_N.shape[2])
+            if self.Y_N is not None:
+                for name, arr in (("YN", self.Y_N), ("QN", self.Q_N)):
+                    write_token(f, f"<{name}>")
+                    for i in range(len(arr)):
+                        write_matrix(f, arr[i], np.float64)
             write_vector(f, np.asarray(
                 [self.total_frames, self.total_like]), np.float64)
             write_token(f, "</Sgmm2Accs>")
@@ -353,6 +450,14 @@ class MleAmSgmm2Accs:
                 expect_token(f, f"<{name}>")
                 for i in range(len(arr)):
                     arr[i] = read_matrix(f)
+            t_spk = read_int32(f)
+            if t_spk:
+                if out.Y_N is None or out.Y_N.shape[2] != t_spk:
+                    raise KaldiError("acc/model speaker-subspace mismatch")
+                for name, arr in (("YN", out.Y_N), ("QN", out.Q_N)):
+                    expect_token(f, f"<{name}>")
+                    for i in range(len(arr)):
+                        arr[i] = read_matrix(f)
             tots = read_vector(f)
             out.total_frames, out.total_like = float(tots[0]), float(tots[1])
             expect_token(f, "</Sgmm2Accs>")
@@ -425,6 +530,18 @@ def sgmm2_update(model: AmSgmm2, accs: MleAmSgmm2Accs,
             cov = 0.5 * (cov + cov.T) + opts.cov_floor * np.eye(D)
             model.sigma_inv[i] = np.linalg.inv(cov)
 
+    if "N" in flags and model.N is not None:
+        if accs.Y_N is None:
+            raise KaldiError("flag 'N' needs speaker-subspace stats "
+                             "(accumulate with spk_vec)")
+        T_spk = model.spk_dim
+        for i in range(I):
+            occ = float(np.trace(accs.Q_N[i]))  # Σ γ |v_s|² proxy for data
+            if occ < 1e-8:
+                continue
+            model.N[i] = accs.Y_N[i] @ np.linalg.inv(
+                accs.Q_N[i] + 1e-6 * np.eye(T_spk))
+
     if "w" in flags:
         _update_weight_projections(model, accs, opts.w_newton_steps)
 
@@ -474,6 +591,55 @@ def _update_weight_projections(model: AmSgmm2, accs: MleAmSgmm2Accs,
                 break
             step *= 0.5
     model.w = w
+
+
+def estimate_spk_vector(model: AmSgmm2, feats: np.ndarray,
+                        pdf_ids: np.ndarray, weights=None,
+                        num_iters: int = 2,
+                        min_count: float = 10.0) -> np.ndarray:
+    """Per-speaker vector v_s (sgmm2-est-spkvecs role): closed-form solve
+    of the speaker-subspace auxiliary over the speaker's aligned frames,
+
+        (Σ_i γ_i N_i'Σ⁻¹N_i) v_s = Σ_i N_i'Σ⁻¹ Σ_t γ_ti (x_t − M_i v̄_i)
+
+    iterated because the posteriors themselves depend on v_s (2 iterations
+    match the reference's default behaviour of re-estimating once per
+    decode pass).  Returns zeros when the speaker has < min_count frames
+    of occupancy (no reliable estimate)."""
+    if model.N is None:
+        raise KaldiError("model has no speaker subspace")
+    x = np.asarray(feats, np.float64)
+    pdf_ids = np.asarray(pdf_ids)
+    wts = (np.ones(len(x)) if weights is None
+           else np.asarray(weights, np.float64))
+    I, D, _ = model.M.shape
+    T_spk = model.spk_dim
+    NtSi = np.einsum("idt,ide->ite", model.N, model.sigma_inv)  # N'Σ⁻¹
+    H_spk = np.einsum("ite,ieu->itu", NtSi, model.N)  # [I, T_spk, T_spk]
+    vs = np.zeros(T_spk)
+    for _ in range(max(1, num_iters)):
+        off = model.spk_offsets(vs)
+        lhs = np.zeros((T_spk, T_spk))
+        rhs = np.zeros(T_spk)
+        tot = 0.0
+        for j in np.unique(pdf_ids):
+            sel = pdf_ids == j
+            xs, ws = x[sel], wts[sel]
+            post = model.component_posteriors(xs, int(j), off)
+            post = post * ws[:, None, None]
+            g = post.sum(axis=0)                    # [Mj, I]
+            gi = post.sum(axis=1)                   # [t, I]
+            gsum = g.sum(axis=0)                    # [I]
+            xw = np.einsum("ti,td->id", gi, xs)     # [I, D]
+            gv = g.T @ model.v[j]                   # [I, S]
+            r = xw - np.einsum("ids,is->id", model.M, gv)  # [I, D]
+            lhs += np.einsum("i,itu->tu", gsum, H_spk)
+            rhs += np.einsum("ite,ie->t", NtSi, r)
+            tot += float(gsum.sum())
+        if tot < min_count:
+            return np.zeros(T_spk)
+        vs = np.linalg.solve(lhs + 1e-6 * np.eye(T_spk), rhs)
+    return vs
 
 
 def split_substates(model: AmSgmm2, accs: MleAmSgmm2Accs,

@@ -177,6 +177,188 @@ def test_sgmm2_serialization_roundtrip(tmp_path):
     assert acc2.total_like == pytest.approx(acc.total_like)
 
 
+def test_sgmm2_spk_adapted_loglikes_match_bruteforce():
+    """With a speaker subspace, loglikes(spk_vec) equal the direct formula
+    with means M_i v_jm + N_i v_s."""
+    rng = np.random.default_rng(10)
+    ubm = _ubm(rng)
+    m = AmSgmm2.init(ubm, num_pdfs=2)
+    m.v = [rng.normal(size=(2, m.phn_dim)), rng.normal(size=(1, m.phn_dim))]
+    m.c = [np.asarray([0.3, 0.7]), np.ones(1)]
+    m.w = rng.normal(size=m.w.shape) * 0.5
+    m.init_speaker_subspace(2)
+    m.N = rng.normal(size=m.N.shape) * 0.5  # non-trivial projections
+    m.invalidate()
+    vs = rng.normal(size=2)
+    X = rng.normal(size=(5, m.dim))
+    got = m.loglikes_numpy(X, spk_vec=vs)
+
+    I, D, S = m.M.shape
+    sigma = np.linalg.inv(m.sigma_inv)
+    off = np.einsum("idt,t->id", m.N, vs)
+    want = np.zeros_like(got)
+    for t in range(len(X)):
+        for j in range(m.num_pdfs):
+            total = 0.0
+            cj = m.c[j] / m.c[j].sum()
+            for mm in range(len(m.v[j])):
+                v = m.v[j][mm]
+                logits = m.w @ v
+                wts = np.exp(logits - logits.max())
+                wts = wts / wts.sum()
+                for i in range(I):
+                    mu = m.M[i] @ v + off[i]
+                    diff = X[t] - mu
+                    e = -0.5 * diff @ m.sigma_inv[i] @ diff
+                    norm = np.sqrt(
+                        (2 * np.pi) ** D * np.linalg.det(sigma[i]))
+                    total += cj[mm] * wts[i] * np.exp(e) / norm
+            want[t, j] = np.log(total)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    # zero speaker vector ≡ unadapted
+    np.testing.assert_allclose(
+        m.loglikes_numpy(X, spk_vec=np.zeros(2)), m.loglikes_numpy(X),
+        rtol=1e-12)
+
+
+def test_sgmm2_spk_vector_estimation_recovers_offset():
+    """Data generated with a known offset inside the speaker subspace:
+    estimate_spk_vector recovers it and adaptation buys likelihood."""
+    from old_kaldi_git_tpu.gmm.sgmm2 import estimate_spk_vector
+
+    rng = np.random.default_rng(11)
+    ubm = _ubm(rng, I=5, D=4)
+    J = 3
+    m = AmSgmm2.init(ubm, J)
+    m.init_speaker_subspace(2)  # N_i = identity cols 0,1
+    v_true = np.asarray([1.5, -2.0])
+    n = 120
+    pdfs = np.repeat(np.arange(J), n)
+    # sample from each pdf's dominant Gaussian + the speaker offset
+    X = []
+    for j in range(J):
+        mu = np.einsum("ids,s->id", m.M, m.v[j][0])  # [I, D] = UBM means
+        i = j % m.num_gauss
+        X.append(mu[i] + np.concatenate([v_true, np.zeros(2)])
+                 + 0.3 * rng.normal(size=(n, 4)))
+    X = np.concatenate(X)
+    vs = estimate_spk_vector(m, X, pdfs, num_iters=3)
+    assert np.linalg.norm(vs - v_true) < 0.5, vs
+    ll_un = m.loglikes_numpy(X)[np.arange(len(X)), pdfs].mean()
+    ll_ad = m.loglikes_numpy(X, spk_vec=vs)[np.arange(len(X)), pdfs].mean()
+    assert ll_ad > ll_un + 0.5, (ll_un, ll_ad)
+
+
+def test_sgmm2_update_N_improves_adapted_likelihood():
+    """Accumulating with per-speaker vectors and updating N ('N' flag)
+    raises the speaker-adapted likelihood."""
+    from old_kaldi_git_tpu.gmm.sgmm2 import estimate_spk_vector
+
+    rng = np.random.default_rng(12)
+    ubm = _ubm(rng, I=4, D=4)
+    J = 2
+    m = AmSgmm2.init(ubm, J)
+    m.init_speaker_subspace(2)
+    # two speakers with different true offsets NOT exactly in the initial
+    # subspace span direction magnitudes
+    offs = {"s0": np.asarray([2.0, 0.5, 0.8, 0.0]),
+            "s1": np.asarray([-1.0, 1.5, -0.6, 0.0])}
+    data = {}
+    n = 100
+    for spk, off in offs.items():
+        pdfs = np.repeat(np.arange(J), n)
+        X = []
+        for j in range(J):
+            mu = np.einsum("ids,s->id", m.M, m.v[j][0])
+            i = j % m.num_gauss
+            X.append(mu[i] + off + 0.3 * rng.normal(size=(n, 4)))
+        data[spk] = (np.concatenate(X), pdfs)
+
+    def adapted_like(model):
+        tot, cnt = 0.0, 0
+        for spk, (X, pdfs) in data.items():
+            vs = estimate_spk_vector(model, X, pdfs)
+            ll = model.loglikes_numpy(X, spk_vec=vs)
+            tot += ll[np.arange(len(X)), pdfs].sum()
+            cnt += len(X)
+        return tot / cnt
+
+    before = adapted_like(m)
+    acc = MleAmSgmm2Accs(m)
+    for spk, (X, pdfs) in data.items():
+        vs = estimate_spk_vector(m, X, pdfs)
+        acc.accumulate(m, X, pdfs, spk_vec=vs)
+    assert acc.Y_N is not None and np.abs(acc.Y_N).sum() > 0
+    sgmm2_update(m, acc, Sgmm2UpdateOptions(update_flags="N"))
+    after = adapted_like(m)
+    assert after >= before - 1e-9, (before, after)
+    # and a full alternating pass including N keeps improving
+    for it, flags in enumerate(["vwc", "MS", "N"]):
+        acc = MleAmSgmm2Accs(m)
+        for spk, (X, pdfs) in data.items():
+            vs = estimate_spk_vector(m, X, pdfs)
+            acc.accumulate(m, X, pdfs, spk_vec=vs)
+        sgmm2_update(m, acc, Sgmm2UpdateOptions(update_flags=flags))
+    final = adapted_like(m)
+    assert final > before, (before, final)
+
+
+def test_sgmm2_spk_serialization_roundtrip(tmp_path):
+    rng = np.random.default_rng(13)
+    ubm = _ubm(rng)
+    m = AmSgmm2.init(ubm, 2)
+    m.init_speaker_subspace(2)
+    m.N = rng.normal(size=m.N.shape)
+    m.invalidate()
+    p = str(tmp_path / "sgmm_spk")
+    with open(p, "wb") as f:
+        m.write(f)
+    with open(p, "rb") as f:
+        m2 = AmSgmm2.read(f)
+    assert m2.spk_dim == 2
+    vs = rng.normal(size=2)
+    X = rng.normal(size=(4, m.dim))
+    np.testing.assert_allclose(
+        m2.loglikes_numpy(X, spk_vec=vs), m.loglikes_numpy(X, spk_vec=vs),
+        atol=1e-3)
+    # accs with speaker stats round-trip
+    acc = MleAmSgmm2Accs(m)
+    acc.accumulate(m, X, np.zeros(4, int), spk_vec=vs)
+    ap = str(tmp_path / "accs_spk")
+    acc.save(ap)
+    acc2 = MleAmSgmm2Accs.load(ap, m)
+    np.testing.assert_allclose(acc2.Y_N, acc.Y_N, rtol=1e-12)
+    np.testing.assert_allclose(acc2.Q_N, acc.Q_N, rtol=1e-12)
+
+
+def test_sgmm2_spk_accs_shift_consistency():
+    """Accumulating with spk_vec equals accumulating UNADAPTED stats on a
+    model whose point of view is the shifted features: the speaker-
+    canonical Y/S/y/gamma from (X, v_s) must match plain stats collected
+    on X when N v_s happens to be a GLOBAL shift (N_i identical), where
+    x - o is the same for every Gaussian."""
+    rng = np.random.default_rng(14)
+    ubm = _ubm(rng, I=4, D=3)
+    m = AmSgmm2.init(ubm, 2)
+    m.init_speaker_subspace(2)
+    # identical N_i for all i → offset is Gaussian-independent
+    N0 = rng.normal(size=(3, 2))
+    m.N = np.broadcast_to(N0, m.N.shape).copy()
+    m.invalidate()
+    vs = rng.normal(size=2)
+    off = N0 @ vs
+    X, pdfs = _data(rng, 2, 3, n=40)
+    a = MleAmSgmm2Accs(m)
+    a.accumulate(m, X, pdfs, spk_vec=vs)
+    b = MleAmSgmm2Accs(m)
+    b.accumulate(m, X - off, pdfs)
+    np.testing.assert_allclose(a.Y, b.Y, rtol=1e-8)
+    np.testing.assert_allclose(a.S, b.S, rtol=1e-7)
+    for j in range(2):
+        np.testing.assert_allclose(a.gamma[j], b.gamma[j], rtol=1e-8)
+        np.testing.assert_allclose(a.y[j], b.y[j], rtol=1e-8)
+
+
 def test_sgmm2_recipe_runs(tmp_path):
     """recipes/sgmm2.train_sgmm2 with fixed alignments: runs the
     alternating EM schedule end-to-end and the result round-trips."""

@@ -617,6 +617,48 @@ def test_sgmm2_cli_chain(corpus):
     assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
 
 
+def test_sgmm2_spkvecs_cli(corpus):
+    """Speaker-subspace leg: sgmm2-init --spk-space-dim → EM →
+    sgmm2-est-spkvecs → acc --spk-vecs → est --update-flags=N →
+    speaker-adapted sgmm2-latgen-faster --spk-vecs keeps WER 0.00."""
+    d, tf, sf, st = corpus
+    if not (d / "sgmm.fubm").exists() or not (d / "graph").exists():
+        pytest.skip("sgmm2 chain test must run first")
+
+    run(["sgmm2-init", "--spk-space-dim=3", "final.mdl", "sgmm.fubm",
+         "spk.0.mdl"], d)
+    r = run(["sgmm2-info", "spk.0.mdl"], d)
+    assert "speaker-space dimension 3" in r.stdout
+    cur = "spk.0.mdl"
+    for it in range(2):
+        flags = "vwc" if it % 2 == 0 else "MS"
+        run(["sgmm2-acc-stats-ali", cur, "ark:train.ark", "ark:ali.1.ark",
+             f"spk.{it}.accs"], d)
+        run(["sgmm2-est", f"--update-flags={flags}", cur,
+             f"spk.{it}.accs", f"spk.{it + 1}.mdl"], d)
+        cur = f"spk.{it + 1}.mdl"
+    # per-utterance "speakers" (no utt2spk): estimate vectors on train
+    run(["sgmm2-est-spkvecs", cur, "ark:train.ark", "ark:ali.1.ark",
+         "ark:spkvecs.ark"], d)
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    vecs = read_table(f"ark:{d}/spkvecs.ark", "vec")
+    assert vecs and all(np.asarray(v).shape == (3,) for v in vecs.values())
+    # re-accumulate WITH the vectors and update the speaker projections
+    run(["sgmm2-acc-stats-ali", "--spk-vecs=ark:spkvecs.ark", cur,
+         "ark:train.ark", "ark:ali.1.ark", "spk.N.accs"], d)
+    run(["sgmm2-est", "--update-flags=N", cur, "spk.N.accs",
+         "spk.final.mdl"], d)
+    # adapted decode of the training utterances (per-utt vectors) stays
+    # at WER 0.00 against the training transcripts
+    run(["sgmm2-latgen-faster", "--beam=24", "--acoustic-scale=0.1",
+         "--word-symbol-table=graph/words.txt", "--spk-vecs=ark:spkvecs.ark",
+         "spk.final.mdl", "graph/HCLG.fst", "ark:train.ark",
+         "ark:spk_lat.ark", "ark:spk_hyp.ark"], d)
+    out = run(["compute-wer", "ark:text.ark", "ark:spk_hyp.ark"], d)
+    assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
+
+
 def test_compile_questions(corpus):
     d, tf, sf, st = corpus
     if not (d / "questions.txt").exists():
