@@ -392,22 +392,42 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
 
       tokens [B, K] (state id, cost)  — cost-sorted, slot 0 = best
       → CSR row expansion of the K states into a static arc budget E
-        (searchsorted over the cumulative out-degrees; arcs beyond E are
-        dropped from the WORST tokens — graceful beam shrink)
+        (arcs beyond E are dropped from the WORST tokens — graceful beam
+        shrink, tokens are cost-sorted)
       → candidate (dest, cost, arc) triples
       → lax.sort by (dest, cost): the first entry of each dest run is its
         Viterbi min (the ε-free dedup)
       → top-K + beam gate → next token set.
 
-    Sorting E elements per frame is the price of graph-size independence;
-    the dense scatter-min kernels stay 4-5x faster where they fit and are
-    auto-selected in decode_batch.
+    Kernel shape (chip-measured; benchmarks/token_sparse_microbench.py):
+    the CSR row expansion maps slot j → owning token k_of[j] =
+    max{k : run_start[k] ≤ j}.  A vmapped searchsorted costs 20 ms/frame
+    at [8, 24k] (log K passes of per-element gathers); the same map as a
+    run-start scatter + cummax costs 0.36 ms — both k_of and the run-end
+    bound cum_of are monotone in j, so each is one scatter + one cummax.
+    Per-slot values then need only two [B,E]←[B,K] take_along_axis
+    gathers (arc base, cost base), the unavoidable random arc-data
+    gathers from HBM, and one [B,E] 2-key sort (0.24 ms — sorting is
+    CHEAP on TPU at this width; the gathers are what must be minimized).
 
     Returns (tok_state [B,K], tok_cost [B,K], bp_state [T,B,K],
     bp_arc [T,B,K], bp_cost [T,B,K]) — same contract as _decode_scan.
     """
     B, T, P = loglikes.shape
+    A = frm.shape[0]
     j = jnp.arange(E, dtype=jnp.int32)
+    # pack per-arc (weight, pdf, nextstate) into [A, 3] rows so the random
+    # HBM access per expanded arc is ONE row gather, not three element
+    # gathers (chip-measured 2.6x: 2.1 vs 5.4 ms/frame at [8, 24k]).
+    # The carrier dtype must be INT32: small ints bitcast to f32 are
+    # denormal bit patterns and get flushed to zero in f32 copies
+    # (measured on both CPU and TPU backends); int paths are bit-exact,
+    # so the f32 weight rides as its bit pattern instead.
+    packed = jnp.stack([
+        jax.lax.bitcast_convert_type(w, jnp.int32),
+        pdf,
+        ns,
+    ], axis=1)
 
     tok_state0 = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(start)
     tok_cost0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
@@ -415,26 +435,47 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
     def frame_update(tok_state, tok_cost, ll_t, t):
         live = (tok_state >= 0) & (tok_cost < BIG)
         s_cl = jnp.maximum(tok_state, 0)
-        deg = jnp.where(live, row_ptr[s_cl + 1] - row_ptr[s_cl], 0)
-        cum = jnp.cumsum(deg, axis=1)  # [B, K] inclusive
-        total = cum[:, -1:]
-        k_of = jax.vmap(
-            lambda c: jnp.searchsorted(c, j, side="right")
-        )(cum).astype(jnp.int32)  # [B, E] in [0, K]
-        k_cl = jnp.minimum(k_of, K - 1)
-        prev = jnp.where(
-            k_cl > 0, jnp.take_along_axis(cum, jnp.maximum(k_cl - 1, 0), 1), 0
-        )
-        within = j[None, :] - prev
-        src = jnp.take_along_axis(tok_state, k_cl, 1)
-        src_cl = jnp.maximum(src, 0)
-        arc = jnp.minimum(row_ptr[src_cl] + within, frm.shape[0] - 1)
-        valid = (j[None, :] < total) & (src >= 0)
+        rp = row_ptr[s_cl]  # [B, K]
+        deg = jnp.where(live, row_ptr[s_cl + 1] - rp, 0)
+        cum = jnp.cumsum(deg, axis=1)  # [B, K] inclusive run ends
+        prev = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1)
+        # slot j belongs to token k_of[j] = max{k : prev[k] <= j} (exactly
+        # searchsorted(cum, j, 'right')): scatter k at each run start and
+        # cummax — ties (empty runs share a start) resolve to the larger
+        # k, which is the token whose run actually contains the slot.
+        # Run starts beyond E are dropped (mode="drop"): those tokens'
+        # arcs fall outside the budget.
+        kk = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+        k_of = jax.lax.cummax(
+            jnp.zeros((B, E), jnp.int32)
+            .at[jnp.arange(B)[:, None], prev]
+            .max(kk, mode="drop"),
+            axis=1)
+        # run-end bound per slot (cum is nondecreasing → same trick);
+        # j < cum_of[j] also implies j < total, and masks slots whose
+        # owner's run was truncated by the budget
+        cum_of = jax.lax.cummax(
+            jnp.zeros((B, E), jnp.int32)
+            .at[jnp.arange(B)[:, None], prev]
+            .max(cum, mode="drop"),
+            axis=1)
+        valid = j[None, :] < cum_of
+        # per-token bases, gathered once per slot
+        arc_base = rp - prev  # arc id = arc_base[k_of] + j
+        arc = jnp.clip(
+            jnp.take_along_axis(arc_base, k_of, 1) + j[None, :], 0, A - 1)
+        base_cost = jnp.take_along_axis(tok_cost, k_of, 1)
+        rows = jnp.take(packed, arc, axis=0)  # [B, E, 3] one row gather
+        w_arc = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
+        pdf_arc = rows[..., 1]
+        ns_arc = rows[..., 2]
         ac = acoustic_scale * jnp.take_along_axis(
-            ll_t, jnp.minimum(pdf[arc], P - 1), axis=1
+            ll_t, jnp.minimum(pdf_arc, P - 1), axis=1
         )
-        cost = jnp.take_along_axis(tok_cost, k_cl, 1) + w[arc] - ac
-        dest = jnp.where(valid, ns[arc], S)  # sentinel sorts last
+        cost = base_cost + w_arc - ac
+        dest = jnp.where(valid, ns_arc, S)  # sentinel sorts last
         cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)
         dest_s, cost_s, arc_s = jax.lax.sort(
             (dest, cost, arc), dimension=1, num_keys=2
@@ -480,12 +521,15 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
 
 
 def _token_budget(graph: CsrGraph, K: int) -> int:
-    """Static arc-expansion budget E for the token-sparse decoder: generous
-    multiple of the expected active out-degree, capped at the full arc
-    count, rounded up to a lane-friendly multiple."""
+    """Static arc-expansion budget E for the token-sparse decoder: a 2x
+    multiple of the expected active out-degree (headroom for degree skew;
+    overflow drops arcs from the worst-cost tokens only), capped at the
+    full arc count, rounded up to a lane-friendly multiple.  Per-frame
+    cost is linear in E (gather-bound), so the budget is the main
+    throughput knob after K."""
     A = graph.num_arcs
     mean_deg = max(1.0, A / max(1, graph.num_states))
-    E = int(min(A, max(4.0 * K * mean_deg, 8.0 * K)))
+    E = int(min(A, max(2.0 * K * mean_deg, 4.0 * K)))
     return max(128, (E + 127) // 128 * 128)
 
 

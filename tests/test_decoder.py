@@ -180,6 +180,33 @@ def test_token_sparse_decoder_matches_dense():
         words, _tids, cost = lattice_best_path(lat, 1.0, 1.0)
         assert words == res.words
         assert cost == pytest.approx(res.cost, abs=0.1)
+    # random dense-degree graph at K >= S: token-sparse must be EXACT
+    # Viterbi (this regime caught a denormal-flush bug in the packed arc
+    # gather: int32 bit patterns must never ride in f32 carriers)
+    rng = np.random.default_rng(0)
+    S, deg, P = 500, 4, 20
+    row_ptr = (np.arange(S + 1) * deg).astype(np.int32)
+    nxt = ((np.repeat(np.arange(S), deg)
+            + rng.integers(1, 50, S * deg)) % S).astype(np.int32)
+    from old_kaldi_git_tpu.decoder.csr import CsrGraph
+
+    rnd = CsrGraph(
+        start=0, row_ptr=row_ptr,
+        tid=rng.integers(1, 100, S * deg).astype(np.int32),
+        pdf=rng.integers(0, P, S * deg).astype(np.int32),
+        weight=rng.exponential(1.0, S * deg).astype(np.float32),
+        nextstate=nxt, final_weight=np.zeros(S, np.float32),
+        arc_olabels=[() for _ in range(S * deg)],
+        final_olabels=[() for _ in range(S)])
+    ll2 = rng.normal(size=(3, 40, P)).astype(np.float32)
+    nf2 = np.full(3, 40, np.int32)
+    o2 = ViterbiOptions(beam=1e9, max_active=512, acoustic_scale=0.1)
+    d2 = decode_batch(rnd, ll2, nf2, o2)
+    s2 = decode_batch_tokens(rnd, ll2, nf2, o2)
+    for d, s in zip(d2, s2):
+        assert s.cost == pytest.approx(d.cost, abs=1e-3)
+        assert np.array_equal(s.alignment, d.alignment)
+
     # tight expansion budget degrades gracefully (drops worst tokens' arcs)
     import old_kaldi_git_tpu.decoder.viterbi as vit
 
