@@ -82,6 +82,28 @@ class TdnnConfig:
         return l.offsets  # tdnn splice / conv time taps
 
 
+def ng_dense(mod: nn.Module, name: str, features: int, x,
+             ng_collect: bool, use_bias: bool = True):
+    """Dense with optional NG-SGD instrumentation (reference
+    natural-gradient-online.cc estimates the Fisher factors from the
+    affine component's INPUT rows and OUTPUT-DERIVATIVE rows, not from
+    the aggregated gradient).  When `ng_collect` is set: the input rows
+    are sowed into the 'ng_in' collection and the output passes through a
+    zero flax perturbation, so grad wrt the 'perturbations' collection
+    yields the per-row output derivatives — the two streams
+    models/natural_gradient.py activation_fisher_stats consumes.  The
+    sow/perturb names are the Dense module name + '_in'/'_out' (flax
+    reserves bare names per scope across collections), so the stats tree
+    aligns with the param tree path-for-path after stripping the
+    suffix."""
+    if ng_collect:
+        mod.sow("ng_in", f"{name}_in", x)
+    y = nn.Dense(features, use_bias=use_bias, name=name)(x)
+    if ng_collect:
+        y = mod.perturb(f"{name}_out", y)
+    return y
+
+
 class ReluBatchNorm(nn.Module):
     """relu-batchnorm-layer: Affine → ReLU → BatchNorm (no scale/offset,
     like the reference BatchNormComponent)."""
@@ -90,9 +112,9 @@ class ReluBatchNorm(nn.Module):
     offsets: Tuple[int, ...] = (0,)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, ng_collect: bool = False):
         x = splice(x, self.offsets)
-        x = nn.Dense(self.dim, name="affine")(x)
+        x = ng_dense(self, "affine", self.dim, x, ng_collect)
         x = nn.relu(x)
         x = nn.BatchNorm(
             use_running_average=not train,
@@ -126,7 +148,7 @@ class TimeHeightConvLayer(nn.Module):
     height_subsample: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, ng_collect: bool = False):
         B, T, D = x.shape
         H = self.height_in
         if D % H:
@@ -144,7 +166,8 @@ class TimeHeightConvLayer(nn.Module):
         # [B, T, H, nt*nh*C]: kernel taps as channels per (t, h) position
         y = jnp.concatenate(taps, axis=-1).transpose(0, 1, 3, 2, 4)
         y = y.reshape(B, T, H, nt * len(self.height_offsets) * C)
-        y = nn.Dense(self.num_filters, name="conv")(y)  # shared over h
+        y = ng_dense(self, "conv", self.num_filters, y,
+                     ng_collect)  # shared over h
         y = y[:, :, ::self.height_subsample, :]
         y = y.reshape(B, T, -1)
         y = nn.relu(y)
@@ -170,15 +193,17 @@ class TdnnfLayer(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False, dropout_rng=None):
+    def __call__(self, x, train: bool = False, dropout_rng=None,
+                 ng_collect: bool = False):
         ts = self.time_stride
         down_offsets = (-ts, 0) if ts else (0,)
         up_offsets = (0, ts) if ts else (0,)
         y = splice(x, down_offsets)
         # the "linear" factor, constrained semi-orthogonal during training
-        y = nn.Dense(self.bottleneck_dim, use_bias=False, name="linear")(y)
+        y = ng_dense(self, "linear", self.bottleneck_dim, y, ng_collect,
+                     use_bias=False)
         y = splice(y, up_offsets)
-        y = nn.Dense(self.dim, name="affine")(y)
+        y = ng_dense(self, "affine", self.dim, y, ng_collect)
         y = nn.relu(y)
         y = nn.BatchNorm(
             use_running_average=not train,
@@ -200,12 +225,13 @@ class TdnnModel(nn.Module):
     config: TdnnConfig
 
     @nn.compact
-    def __call__(self, feats, train: bool = False, dropout_rng=None):
+    def __call__(self, feats, train: bool = False, dropout_rng=None,
+                 ng_collect: bool = False):
         x = feats
         for i, spec in enumerate(self.config.layers):
             if spec.kind == "tdnn":
                 x = ReluBatchNorm(spec.dim, spec.offsets, name=f"tdnn{i}")(
-                    x, train=train
+                    x, train=train, ng_collect=ng_collect
                 )
             elif spec.kind == "tdnnf":
                 x = TdnnfLayer(
@@ -215,7 +241,8 @@ class TdnnModel(nn.Module):
                     spec.bypass_scale,
                     spec.dropout,
                     name=f"tdnnf{i}",
-                )(x, train=train, dropout_rng=dropout_rng)
+                )(x, train=train, dropout_rng=dropout_rng,
+                  ng_collect=ng_collect)
             elif spec.kind in ("lstmp", "blstmp"):
                 from old_kaldi_git_tpu.models.recurrent import (
                     BlstmpLayer,
@@ -242,14 +269,17 @@ class TdnnModel(nn.Module):
                     spec.dim, spec.height_in, spec.offsets,
                     spec.height_offsets, spec.height_subsample,
                     name=f"conv{i}",
-                )(x, train=train)
+                )(x, train=train, ng_collect=ng_collect)
             else:
                 raise ValueError(f"unknown layer kind {spec.kind}")
         if self.config.final_hidden_dim:
             x = ReluBatchNorm(self.config.final_hidden_dim, (0,), name="prefinal")(
-                x, train=train
+                x, train=train, ng_collect=ng_collect
             )
-        x = nn.Dense(self.config.num_outputs, name="output")(x)
+        # recurrent/attention layers are not NG-instrumented (the reference
+        # preconditions the affine components; its LSTM/attention
+        # components carry their own update rules)
+        x = ng_dense(self, "output", self.config.num_outputs, x, ng_collect)
         return x  # raw logits; log-softmax applied by the loss / decodable
 
 

@@ -139,6 +139,19 @@ def make_optimizer(opts: NnetTrainOptions, num_steps: int, lr_factors=None):
             optax.trace(decay=opts.momentum) if opts.momentum > 0
             else optax.identity(),
         )
+    elif opts.optimizer == "ng-sgd-act":
+        # reference-faithful factors from activations/output-derivs
+        # (natural-gradient-online.cc); needs the instrumented model path
+        # (make_ce_train_step ng_activation=True threads `ng_stats` in)
+        from old_kaldi_git_tpu.models.natural_gradient import (
+            scale_by_natural_gradient_activations,
+        )
+
+        core = optax.chain(
+            scale_by_natural_gradient_activations(),
+            optax.trace(decay=opts.momentum) if opts.momentum > 0
+            else optax.identity(),
+        )
     else:
         raise ValueError(f"unknown optimizer {opts.optimizer}")
     return optax.chain(
@@ -151,11 +164,16 @@ def make_optimizer(opts: NnetTrainOptions, num_steps: int, lr_factors=None):
 
 
 def make_ce_train_step(
-    model: TdnnModel, optimizer
+    model: TdnnModel, optimizer, ng_activation: bool = False
 ) -> Callable:
     """Jitted CE step: (state, feats [B,T,D], labels [B,T], mask [B,T]) →
     (state, metrics).  Under a data-sharded batch XLA reduces grads with a
-    psum over the mesh automatically."""
+    psum over the mesh automatically.
+
+    With ng_activation=True the model runs instrumented (ng_collect): the
+    per-layer input rows and output-derivative rows (gradient wrt zero
+    flax perturbations) become Fisher factors threaded into the optimizer
+    as the `ng_stats` extra arg — the reference NG-SGD estimator."""
 
     def loss_fn(params, batch_stats, feats, labels, mask, dropout_rng):
         logits, mutated = model.apply(
@@ -187,7 +205,65 @@ def make_ce_train_step(
             {"loss": loss, "acc": acc},
         )
 
-    return step
+    if not ng_activation:
+        return step
+
+    from old_kaldi_git_tpu.models.natural_gradient import (
+        activation_fisher_stats,
+    )
+
+    def ng_loss_fn(params, pert, batch_stats, feats, labels, mask,
+                   dropout_rng):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats,
+             "perturbations": pert},
+            feats,
+            train=True,
+            dropout_rng=dropout_rng,
+            ng_collect=True,
+            mutable=["batch_stats", "ng_in"],
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        denom = jnp.maximum(mask.sum(), 1.0)
+        loss = -(ll * mask).sum() / denom
+        acc = ((jnp.argmax(logits, -1) == labels) * mask).sum() / denom
+        return loss, (mutated["batch_stats"], acc, mutated["ng_in"])
+
+    @jax.jit
+    def ng_step(state: TrainState, pert, feats, labels, mask):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        (loss, (new_bs, acc, ng_in)), (g_params, g_pert) = (
+            jax.value_and_grad(ng_loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, pert, state.batch_stats, feats, labels, mask,
+                rng
+            )
+        )
+        stats = activation_fisher_stats(ng_in, g_pert)
+        updates, new_opt = optimizer.update(
+            g_params, state.opt_state, state.params, ng_stats=stats)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            {"loss": loss, "acc": acc},
+        )
+
+    pert_cache: Dict[Tuple[int, int], Any] = {}
+
+    def step_with_perturbations(state: TrainState, feats, labels, mask):
+        key = feats.shape[:2]
+        if key not in pert_cache:
+            shapes = jax.eval_shape(
+                lambda r, x: model.init(
+                    r, x, train=True, dropout_rng=jax.random.PRNGKey(0),
+                    ng_collect=True),
+                jax.random.PRNGKey(0), jnp.zeros(feats.shape, jnp.float32))
+            pert_cache[key] = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                shapes["perturbations"])
+        return ng_step(state, pert_cache[key], feats, labels, mask)
+
+    return step_with_perturbations
 
 
 def _chunk_batches(
@@ -245,7 +321,8 @@ def train_ce(
     params = am.variables["params"]
     batch_stats = am.variables.get("batch_stats", {})
     state = TrainState(params, batch_stats, optimizer.init(params), 0)
-    step_fn = make_ce_train_step(model, optimizer)
+    step_fn = make_ce_train_step(
+        model, optimizer, ng_activation=(opts.optimizer == "ng-sgd-act"))
 
     for epoch in range(opts.num_epochs):
         losses, accs = [], []

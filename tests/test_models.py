@@ -475,6 +475,139 @@ def test_ng_sgd_trains_tdnn():
     assert acc > 0.5, acc
 
 
+def test_activation_fisher_stats_capture():
+    """The ng_collect instrumentation captures exactly the per-row inputs
+    and output derivatives of each Dense: for loss = sum(logits * C),
+    d loss/d logits = C, so f_out must equal the normalized CᵀC and f_in
+    the normalized X̃ᵀX̃ (bias column appended)."""
+    import jax
+
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.natural_gradient import (
+        activation_fisher_stats,
+    )
+    from old_kaldi_git_tpu.models.tdnn import TdnnConfig, TdnnModel
+
+    rng = np.random.default_rng(0)
+    D, P = 6, 4
+    cfg = TdnnConfig(D, P, ())  # output Dense only — exact hand check
+    model = TdnnModel(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 5, D)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((2, 5, P)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True,
+                           dropout_rng=jax.random.PRNGKey(0),
+                           ng_collect=True)
+    pert = jax.tree.map(jnp.zeros_like, variables["perturbations"])
+
+    def loss_fn(pert):
+        logits, mut = model.apply(
+            {"params": variables["params"], "perturbations": pert},
+            x, train=True, dropout_rng=jax.random.PRNGKey(0),
+            ng_collect=True, mutable=["ng_in"])
+        return jnp.sum(logits * C), mut["ng_in"]
+
+    (loss, ng_in), g_pert = jax.value_and_grad(
+        loss_fn, has_aux=True)(pert)
+    stats = activation_fisher_stats(ng_in, g_pert, max_rows=10_000)
+    assert set(stats) == {"output"}
+    xr = np.asarray(x).reshape(-1, D)
+    xb = np.concatenate([xr, np.ones((len(xr), 1), np.float32)], 1)
+    f_in_want = xb.T @ xb
+    f_in_want *= (D + 1) / np.trace(f_in_want)
+    np.testing.assert_allclose(stats["output"]["f_in"], f_in_want,
+                               rtol=1e-4)
+    cr = np.asarray(C).reshape(-1, P)
+    f_out_want = cr.T @ cr
+    f_out_want *= P / np.trace(f_out_want)
+    np.testing.assert_allclose(stats["output"]["f_out"], f_out_want,
+                               rtol=1e-4)
+
+
+def test_ng_act_transform_preconditions():
+    """scale_by_natural_gradient_activations: the update equals
+    P_in [G; b] P_out rescaled to the raw Frobenius norm; layers without
+    stats pass through."""
+    import optax
+
+    from old_kaldi_git_tpu.models.natural_gradient import (
+        scale_by_natural_gradient_activations,
+    )
+
+    rng = np.random.default_rng(1)
+    din, dout = 5, 3
+    params = {
+        "layer": {"affine": {
+            "kernel": jnp.asarray(rng.standard_normal((din, dout)),
+                                  jnp.float32),
+            "bias": jnp.zeros((dout,), jnp.float32)}},
+        "other": {"kernel": jnp.asarray(rng.standard_normal((4, 2)),
+                                        jnp.float32)},
+    }
+    tx = scale_by_natural_gradient_activations(
+        num_minibatches_history=1.0, alpha=4.0, update_period=1)
+    st = tx.init(params)
+    g = jax.tree.map(
+        lambda p: jnp.asarray(
+            rng.standard_normal(p.shape), jnp.float32), params)
+    f_in = np.eye(din + 1, dtype=np.float32)
+    f_in[0, 0] = 9.0
+    f_in *= (din + 1) / np.trace(f_in)
+    f_out = np.eye(dout, dtype=np.float32)
+    stats = {"layer": {"affine": {"f_in": jnp.asarray(f_in),
+                                  "f_out": jnp.asarray(f_out)}}}
+    up, st2 = tx.update(g, st, params, ng_stats=stats)
+    # untouched layer
+    np.testing.assert_allclose(up["other"]["kernel"], g["other"]["kernel"])
+    # preconditioned layer: P_in Gc P_out, gamma-rescaled
+    gc = np.concatenate([np.asarray(g["layer"]["affine"]["kernel"]),
+                         np.asarray(g["layer"]["affine"]["bias"])[None]],
+                        axis=0)
+    alpha = 4.0
+    # eta=1 → factors equal the stats exactly after one update
+    rho_in = alpha * np.trace(f_in) / (din + 1)
+    p_in = np.linalg.inv(f_in + (rho_in + 1e-8) * np.eye(din + 1))
+    rho_out = alpha * np.trace(f_out) / dout
+    p_out = np.linalg.inv(f_out + (rho_out + 1e-8) * np.eye(dout))
+    want = p_in @ gc @ p_out
+    want *= np.linalg.norm(gc) / np.linalg.norm(want)
+    got = np.concatenate([np.asarray(up["layer"]["affine"]["kernel"]),
+                          np.asarray(up["layer"]["affine"]["bias"])[None]],
+                         axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # norm preservation
+    assert np.linalg.norm(got) == pytest.approx(np.linalg.norm(gc),
+                                                rel=1e-4)
+
+
+def test_ng_sgd_act_trains_tdnnf():
+    """optimizer='ng-sgd-act' end-to-end: the instrumented TDNN-F model
+    (bias-free bottleneck Dense included) trains through the activation-
+    factor path and classifies."""
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.tdnn import make_tdnnf
+    from old_kaldi_git_tpu.models.train import NnetTrainOptions, train_ce
+
+    rng = np.random.default_rng(0)
+    D, P = 8, 5
+    feats, labels = {}, {}
+    centers = rng.standard_normal((P, D)) * 3
+    for i in range(20):
+        lab = rng.integers(0, P, 40)
+        feats[f"u{i}"] = (centers[lab] +
+                          rng.standard_normal((40, D))).astype(np.float32)
+        labels[f"u{i}"] = lab.astype(np.int32)
+    am = AmNnet.init(make_tdnnf(D, P, hidden_dim=16, bottleneck_dim=4,
+                                num_layers=3))
+    opts = NnetTrainOptions(num_epochs=20, minibatch_size=8, chunk_width=40,
+                            optimizer="ng-sgd-act", initial_lr=0.1,
+                            final_lr=0.03)
+    out = train_ce(am, feats, labels, opts)
+    logits = out.logits(jnp.asarray(feats["u0"][None]))
+    acc = float((jnp.argmax(logits[0], -1) ==
+                 jnp.asarray(labels["u0"])).mean())
+    assert acc > 0.5, acc
+
+
 def test_time_height_conv_matches_direct():
     """TimeHeightConvLayer (gather+matmul form) equals a direct loop conv
     with time edge-replication and height zero-padding."""
