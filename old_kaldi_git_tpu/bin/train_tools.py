@@ -1959,14 +1959,63 @@ def fmpe_init_tool(argv: List[str]) -> int:
     return 0
 
 
+@tool("gmm-get-stats-deriv")
+def gmm_get_stats_deriv_tool(argv: List[str]) -> int:
+    """Per-Gaussian derivative of the discriminative objective wrt the
+    model parameters + ML occupancies (reference
+    gmmbin/gmm-get-stats-deriv.cc) — input to the fMPE INDIRECT
+    differential.  Needs the signed MPE/MMI posteriors AND the ML
+    alignment the model will be re-estimated from."""
+    from old_kaldi_git_tpu.transform.fmpe import Fmpe, ModelDerivStats
+    from old_kaldi_git_tpu.utils.table import (
+        RandomAccessTableReader,
+        SequentialTableReader,
+    )
+
+    po = ParseOptions(
+        "gmm-get-stats-deriv [options] <model> <fmpe> <feats-rspecifier> "
+        "<signed-post-rspecifier> <ali-rspecifier> <deriv-stats-out>")
+
+    class Opts:
+        apply_fmpe = True
+
+    o = Opts()
+    po.register("apply-fmpe", o, "apply_fmpe")
+    args = po.parse(argv)
+    if len(args) != 6:
+        return _usage(po)
+    model = _load_model(args[0])
+    fmpe = Fmpe.load(args[1])
+    posts = RandomAccessTableReader(args[3], "post")
+    alis = RandomAccessTableReader(args[4], "ivec")
+    stats = ModelDerivStats(model.am)
+    n = 0
+    for key, x in SequentialTableReader(args[2], "mat"):
+        if key not in posts or key not in alis:
+            continue
+        x = np.asarray(x, np.float64)
+        xt = x + fmpe.offsets(x) if o.apply_fmpe else x
+        stats.accumulate(model.am, model.tm, xt, posts[key],
+                         np.asarray(alis[key]))
+        n += 1
+    stats.save(args[5])
+    log.info("gmm-get-stats-deriv: %d utterances", n)
+    return 0
+
+
 @tool("gmm-fmpe-acc-stats")
 def gmm_fmpe_acc_stats_tool(argv: List[str]) -> int:
     """Accumulate fMPE projection-gradient stats from signed (MPE/sMBR)
-    posteriors — the direct differential (see transform/fmpe.py)."""
+    posteriors — the direct differential, plus the indirect differential
+    through the model's ML re-estimation when --model-derivs (a
+    gmm-get-stats-deriv file) and --ali are given (see
+    transform/fmpe.py)."""
     from old_kaldi_git_tpu.transform.fmpe import (
         Fmpe,
         FmpeAccs,
+        ModelDerivStats,
         model_deriv_direct,
+        model_deriv_indirect,
     )
     from old_kaldi_git_tpu.utils.table import (
         RandomAccessTableReader,
@@ -1977,12 +2026,25 @@ def gmm_fmpe_acc_stats_tool(argv: List[str]) -> int:
         "gmm-fmpe-acc-stats [options] <model> <fmpe> <feats-rspecifier> "
         "<signed-post-rspecifier> <accs-out>"
     )
+
+    class Opts:
+        model_derivs = ""
+        ali = ""
+
+    o = Opts()
+    po.register("model-derivs", o, "model_derivs")
+    po.register("ali", o, "ali")
     args = po.parse(argv)
     if len(args) != 5:
         return _usage(po)
     model = _load_model(args[0])
     fmpe = Fmpe.load(args[1])
     posts = RandomAccessTableReader(args[3], "post")
+    deriv_stats = (ModelDerivStats.load(o.model_derivs, model.am)
+                   if o.model_derivs else None)
+    if deriv_stats is not None and not o.ali:
+        raise KaldiError("--model-derivs needs --ali (the ML alignment)")
+    alis = RandomAccessTableReader(o.ali, "ivec") if o.ali else None
     accs = FmpeAccs.zeros_like(fmpe)
     n = 0
     for key, x in SequentialTableReader(args[2], "mat"):
@@ -1993,10 +2055,14 @@ def gmm_fmpe_acc_stats_tool(argv: List[str]) -> int:
         # reference (the transform composes with itself across iterations)
         xt = x + fmpe.offsets(x)
         deriv = model_deriv_direct(model.am, model.tm, xt, posts[key])
+        if deriv_stats is not None and key in alis:
+            deriv = deriv + model_deriv_indirect(
+                model.am, model.tm, xt, np.asarray(alis[key]), deriv_stats)
         accs.add(fmpe.acc_from_deriv(x, deriv))
         n += 1
     accs.save(args[4])
-    log.info("gmm-fmpe-acc-stats: %d utterances", n)
+    log.info("gmm-fmpe-acc-stats: %d utterances%s", n,
+             " (direct+indirect)" if deriv_stats is not None else "")
     return 0
 
 

@@ -66,6 +66,7 @@ class ChainTrainOptions:
     num_layers: int = 5
     initial_lr: float = 1e-3
     final_lr: float = 1e-4
+    optimizer: str = "adam"  # adam | sgd | ng-sgd | ng-sgd-act
     leaky_hmm_coefficient: float = 0.1
     l2_regularize: float = 5e-5
     xent_regularize: float = 0.1
@@ -116,15 +117,24 @@ class ChainModel:
 
 
 def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
-                    fsf: int):
+                    fsf: int, ng_activation: bool = False):
     """Jitted LF-MMI(+xent) train step over batched supervision arrays —
-    shared by train_chain and the nnet3-chain-train CLI tool."""
+    shared by train_chain and the nnet3-chain-train CLI tool.  With
+    ng_activation=True the model runs NG-instrumented and the per-layer
+    activation/derivative Fisher factors feed the "ng-sgd-act" optimizer
+    (same seam as models/train.py make_ce_train_step)."""
 
     def loss_fn(params, batch_stats, bf, b_pdf, b_allowed, b_nf, b_sl,
-                b_adv, b_xent, dropout_rng):
+                b_adv, b_xent, dropout_rng, pert=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        mutable = ["batch_stats"]
+        if pert is not None:
+            variables["perturbations"] = pert
+            mutable = ["batch_stats", "ng_in"]
         logits_full, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats}, bf, train=True,
-            dropout_rng=dropout_rng, mutable=["batch_stats"],
+            variables, bf, train=True,
+            dropout_rng=dropout_rng, mutable=mutable,
+            **({"ng_collect": True} if pert is not None else {}),
         )
         logits = logits_full[:, ::fsf][:, : b_allowed.shape[1]]
         loss, metrics = chain_loss(
@@ -137,12 +147,14 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
             xent = -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
             loss = loss + loss_opts.xent_regularize * xent
             metrics = {**metrics, "xent": xent}
-        return loss, (mutated["batch_stats"], metrics)
+        aux = (mutated["batch_stats"], metrics,
+               mutated.get("ng_in") if pert is not None else None)
+        return loss, aux
 
     @jax.jit
     def step_fn(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent):
         rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
-        (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+        (loss, (new_bs, metrics, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, bf, b_pdf, b_allowed, b_nf,
           b_sl, b_adv, b_xent, rng)
@@ -152,7 +164,48 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
         return (TrainState(new_params, new_bs, new_opt, state.step + 1),
                 loss, metrics)
 
-    return step_fn
+    if not ng_activation:
+        return step_fn
+
+    from old_kaldi_git_tpu.models.natural_gradient import (
+        activation_fisher_stats,
+    )
+
+    @jax.jit
+    def ng_step_fn(state, pert, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv,
+                   b_xent):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
+        def wrapped(params, pert):
+            return loss_fn(params, state.batch_stats, bf, b_pdf, b_allowed,
+                           b_nf, b_sl, b_adv, b_xent, rng, pert=pert)
+
+        (loss, (new_bs, metrics, ng_in)), (g_params, g_pert) = (
+            jax.value_and_grad(wrapped, argnums=(0, 1), has_aux=True)(
+                state.params, pert))
+        stats = activation_fisher_stats(ng_in, g_pert)
+        updates, new_opt = optimizer.update(
+            g_params, state.opt_state, state.params, ng_stats=stats)
+        new_params = optax.apply_updates(state.params, updates)
+        return (TrainState(new_params, new_bs, new_opt, state.step + 1),
+                loss, metrics)
+
+    pert_cache = {}
+
+    def step_with_perturbations(state, bf, *rest):
+        key = bf.shape[:2]
+        if key not in pert_cache:
+            shapes = jax.eval_shape(
+                lambda r, x: model.init(
+                    r, x, train=True, dropout_rng=jax.random.PRNGKey(0),
+                    ng_collect=True),
+                jax.random.PRNGKey(0), jnp.zeros(bf.shape, jnp.float32))
+            pert_cache[key] = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                shapes["perturbations"])
+        return ng_step_fn(state, pert_cache[key], bf, *rest)
+
+    return step_with_perturbations
 
 
 def combine_chain_models(
@@ -351,13 +404,17 @@ def train_chain(
         xent_regularize=opts.xent_regularize,
     )
     num_steps = opts.num_epochs * max(1, len(sup_keys) // opts.minibatch_size)
-    nnet_opts = NnetTrainOptions(initial_lr=opts.initial_lr, final_lr=opts.final_lr)
+    nnet_opts = NnetTrainOptions(initial_lr=opts.initial_lr,
+                                 final_lr=opts.final_lr,
+                                 optimizer=opts.optimizer)
     optimizer = make_optimizer(nnet_opts, num_steps)
     params = am.variables["params"]
     state = TrainState(params, am.variables.get("batch_stats", {}),
                        optimizer.init(params), 0)
 
-    step_fn = make_chain_step(model, den, optimizer, loss_opts, fsf)
+    step_fn = make_chain_step(
+        model, den, optimizer, loss_opts, fsf,
+        ng_activation=(nnet_opts.optimizer == "ng-sgd-act"))
 
     rng = np.random.default_rng(opts.seed)
     order = np.arange(len(sup_keys))

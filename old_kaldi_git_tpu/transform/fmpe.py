@@ -17,11 +17,24 @@ projection; positive and negative gradient parts accumulate separately and
 the update is lr * (pos - neg) / (pos + neg) per element — step sizes are
 scale-free, like the reference's FmpeUpdate.
 
-This module implements the *direct* differential (gradient through the
-features).  The reference additionally adds an indirect differential
-through the model's ML re-estimation (gmm-get-stats-deriv); that term is
-omitted here and documented as such — with the model held fixed between
-fMPE iterations the direct term is the gradient.
+Both differentials of the reference are implemented:
+
+* the *direct* term `model_deriv_direct` — gradient of the
+  discriminative objective through the features with the model fixed;
+* the *indirect* term (`ModelDerivStats` + `model_deriv_indirect`, the
+  gmm-get-stats-deriv role) — the objective also depends on the model
+  parameters, which are ML-re-estimated FROM the fMPE features each
+  outer iteration, so dF/dx_t picks up a term through the ML stats:
+  with frozen component responsibilities γ_m(t),
+
+      μ_m(x)  = Σ_t γ_m(t) x_t / Γ_m                 (ML mean map)
+      σ²_m(x) = Σ_t γ_m(t) x_t² / Γ_m − μ_m²          (ML var map)
+      dF/dx_t += Σ_m γ_m(t)/Γ_m · [ ∂F/∂μ_m + 2 (x_t − μ_m) ∂F/∂σ²_m ]
+
+  where ∂F/∂μ_m, ∂F/∂σ²_m come from the signed (num − den) MPE/MMI
+  stats.  Verified against finite differences of the composite
+  objective F(x, λ_ML(x)) in tests (exact for M=1 components; frozen-γ
+  exact in general).
 
 The hot paths (high-dim expansion + projection) are plain dense matmuls of
 shape [T, G*(D+1)] @ [G*(D+1), C*D] — MXU-friendly; the numpy code below is
@@ -260,6 +273,121 @@ class FmpeAccs:
             expect_token(f, "</FmpeAccs>")
             return FmpeAccs(np.asarray(pos, np.float64),
                             np.asarray(neg, np.float64))
+
+
+class ModelDerivStats:
+    """Per-Gaussian derivative of the discriminative objective wrt the
+    model parameters, plus the ML occupancies that turn it into a
+    per-frame feature derivative (reference gmmbin/gmm-get-stats-deriv).
+
+    Accumulate over utterances with `accumulate` (signed MPE/MMI tid
+    posteriors + the ML alignment), `add` partial accs, then
+    `model_deriv_indirect` evaluates the indirect dF/dx per utterance."""
+
+    def __init__(self, am: AmDiagGmm):
+        self.occ_s = [np.zeros(g.num_mix) for g in am.pdfs]     # Σ w γ
+        self.s1_s = [np.zeros_like(g.means) for g in am.pdfs]   # Σ w γ x
+        self.s2_s = [np.zeros_like(g.means) for g in am.pdfs]   # Σ w γ x²
+        self.ml_occ = [np.zeros(g.num_mix) for g in am.pdfs]    # Σ γ_ml
+
+    def accumulate(self, am: AmDiagGmm, tm, feats: np.ndarray,
+                   signed_post, ali: np.ndarray) -> None:
+        x = np.asarray(feats, np.float64)
+        # signed discriminative stats per Gaussian
+        for t, frame in enumerate(signed_post):
+            if t >= len(x):
+                break
+            for tid, w in frame:
+                j = tm.tid_to_pdf(int(tid))
+                gmm = am.pdfs[j]
+                gamma = w * gmm.posteriors(x[t:t + 1])[0]  # [M] signed
+                self.occ_s[j] += gamma
+                self.s1_s[j] += gamma[:, None] * x[t]
+                self.s2_s[j] += gamma[:, None] * x[t] ** 2
+        # ML occupancies from the alignment (weight 1 per frame)
+        tid2pdf = tm.tid_to_pdf_array()
+        for t, tid in enumerate(np.asarray(ali)):
+            if t >= len(x):
+                break
+            j = int(tid2pdf[int(tid)])
+            self.ml_occ[j] += am.pdfs[j].posteriors(x[t:t + 1])[0]
+
+    def add(self, other: "ModelDerivStats") -> None:
+        for j in range(len(self.occ_s)):
+            self.occ_s[j] += other.occ_s[j]
+            self.s1_s[j] += other.s1_s[j]
+            self.s2_s[j] += other.s2_s[j]
+            self.ml_occ[j] += other.ml_occ[j]
+
+    def param_derivs(self, am: AmDiagGmm):
+        """(dF/dμ [M,D], dF/dσ² [M,D]) per pdf from the signed stats:
+        dF/dμ_m  = (s1 − occ·μ)/σ²
+        dF/dσ²_m = (s2 − 2 μ s1 + occ μ²)/(2σ⁴) − occ/(2σ²)."""
+        out = []
+        for j, g in enumerate(am.pdfs):
+            mu, var = g.means, g.vars
+            occ = self.occ_s[j][:, None]
+            dmu = (self.s1_s[j] - occ * mu) / var
+            dvar = ((self.s2_s[j] - 2 * mu * self.s1_s[j] + occ * mu ** 2)
+                    / (2 * var ** 2) - occ / (2 * var))
+            out.append((dmu, dvar))
+        return out
+
+    # -- serialization ------------------------------------------------------------
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            init_kaldi_output_stream(f, True)
+            write_token(f, "<ModelDerivStats>")
+            write_int32(f, len(self.occ_s))
+            for j in range(len(self.occ_s)):
+                write_matrix(f, self.occ_s[j][None, :], np.float64)
+                write_matrix(f, self.s1_s[j], np.float64)
+                write_matrix(f, self.s2_s[j], np.float64)
+                write_matrix(f, self.ml_occ[j][None, :], np.float64)
+            write_token(f, "</ModelDerivStats>")
+
+    @staticmethod
+    def load(path: str, am: AmDiagGmm) -> "ModelDerivStats":
+        out = ModelDerivStats(am)
+        with open(path, "rb") as f:
+            init_kaldi_input_stream(f)
+            expect_token(f, "<ModelDerivStats>")
+            if read_int32(f) != len(out.occ_s):
+                raise KaldiError("stats/model pdf count mismatch")
+            for j in range(len(out.occ_s)):
+                out.occ_s[j] = np.asarray(read_matrix(f), np.float64)[0]
+                out.s1_s[j] = np.asarray(read_matrix(f), np.float64)
+                out.s2_s[j] = np.asarray(read_matrix(f), np.float64)
+                out.ml_occ[j] = np.asarray(read_matrix(f), np.float64)[0]
+            expect_token(f, "</ModelDerivStats>")
+        return out
+
+
+def model_deriv_indirect(
+    am: AmDiagGmm, tm, feats: np.ndarray, ali: np.ndarray,
+    stats: ModelDerivStats, min_count: float = 1e-3,
+) -> np.ndarray:
+    """Indirect differential [T, D]: chain rule through the ML mean/var
+    maps (see module docstring).  `ali` supplies the ML alignment whose
+    frozen responsibilities define the maps; Gaussians with ML occupancy
+    below min_count contribute nothing (their parameters are not
+    data-determined)."""
+    x = np.asarray(feats, np.float64)
+    deriv = np.zeros_like(x)
+    pd = stats.param_derivs(am)
+    tid2pdf = tm.tid_to_pdf_array()
+    for t, tid in enumerate(np.asarray(ali)):
+        if t >= len(x):
+            break
+        j = int(tid2pdf[int(tid)])
+        g = am.pdfs[j]
+        gamma = g.posteriors(x[t:t + 1])[0]  # [M]
+        occ = np.maximum(stats.ml_occ[j], min_count)
+        ok = stats.ml_occ[j] >= min_count
+        dmu, dvar = pd[j]
+        contrib = (dmu + 2.0 * (x[t] - g.means) * dvar) / occ[:, None]
+        deriv[t] += ((gamma * ok)[:, None] * contrib).sum(axis=0)
+    return deriv
 
 
 def model_deriv_direct(

@@ -242,6 +242,49 @@ def test_chain_e2e_yesno():
     assert stats.wer == 0.0, stats.report()
 
 
+def test_chain_ng_sgd_act_trains():
+    """Chain trainer with optimizer='ng-sgd-act' (NG-instrumented model,
+    activation Fisher factors through the LF-MMI objective): reaches 0%
+    held-out WER like the adam path."""
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.chain import (
+        ChainTrainOptions,
+        decode_chain,
+        make_chain_decode_graph,
+        train_chain,
+    )
+    from old_kaldi_git_tpu.recipes.decode import score_hyps
+    from old_kaldi_git_tpu.recipes.gmm_common import GmmTrainOptions
+    from old_kaldi_git_tpu.recipes.mono import train_mono
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats,
+        make_corpus,
+        make_lang,
+    )
+
+    train_waves, train_text, test_waves, test_text = make_corpus(24, 6)
+    train_feats = compute_feats(train_waves)
+    test_feats = compute_feats(test_waves)
+    lang = make_lang()
+    gmm, ali = train_mono(
+        train_feats, train_text, lang,
+        GmmTrainOptions(num_iters=8, totgauss=60,
+                        realign_iters=(1, 2, 3, 4, 6)),
+    )
+    chain = train_chain(
+        gmm, train_feats, ali, lang,
+        ChainTrainOptions(num_epochs=40, minibatch_size=8, hidden_dim=128,
+                          bottleneck_dim=32, num_layers=3,
+                          optimizer="ng-sgd-act",
+                          initial_lr=5e-3, final_lr=5e-4),
+    )
+    g = make_unigram_grammar_fst(list(train_text.values()), lang.words)
+    graph = make_chain_decode_graph(chain, lang, g)
+    hyps = decode_chain(chain, graph, lang, test_feats, beam=20.0)
+    stats = score_hyps(test_text, hyps)
+    assert stats.wer == 0.0, stats.report()
+
+
 def test_chain_biphone_e2e_yesno():
     """Chain LF-MMI with a left-biphone tree (context-dependent pdfs):
     den graph + supervision share the biphone pdf mapping; 0% WER held out."""

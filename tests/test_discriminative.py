@@ -18,6 +18,9 @@ class _FakeTm:
     def tid_to_pdf(self, t):
         return int(t) - 1
 
+    def tid_to_pdf_array(self, max_tid: int = 64):
+        return np.arange(-1, max_tid, dtype=np.int64)
+
 
 def _two_path_lattice(cost_a=0.0, cost_b=0.0, frames=2):
     """Two parallel linear paths: path A emits tid 1 every frame, path B
@@ -159,6 +162,97 @@ def test_fmpe_update_improves_objective():
     assert step > 0
     f1 = objf(x + fmpe.offsets(x))
     assert f1 > f0
+
+
+def test_fmpe_indirect_differential_matches_fd():
+    """The composite objective F(x, λ_ML(x)) — model ML-re-estimated from
+    the (fMPE) features each outer iteration — has gradient
+    direct + indirect.  With single-component pdfs the chain rule through
+    the ML mean/var maps is exact: check against central finite
+    differences of the full composite."""
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, DiagGmm
+    from old_kaldi_git_tpu.transform.fmpe import (
+        ModelDerivStats,
+        model_deriv_direct,
+        model_deriv_indirect,
+    )
+
+    rng = np.random.default_rng(7)
+    D, J, T = 2, 2, 24
+    tm = _FakeTm()
+    ali = np.asarray([1 + (t % J) for t in range(T)])  # tids 1..J
+    x0 = rng.normal(size=(T, D)) * 1.5
+    signed_post = [[(1 + rng.integers(0, J), float(rng.normal()))]
+                   for _ in range(T)]
+
+    def ml_model(x):
+        pdfs = []
+        for j in range(J):
+            sel = x[ali == j + 1]
+            mu = sel.mean(axis=0)
+            var = (sel ** 2).mean(axis=0) - mu ** 2
+            pdfs.append(DiagGmm(np.ones(1), mu[None], var[None]))
+        return AmDiagGmm(pdfs)
+
+    def F(x):
+        am = ml_model(x)
+        ll = am.loglikes_numpy(x)
+        return float(sum(w * ll[t, tm.tid_to_pdf(tid)]
+                         for t in range(T)
+                         for tid, w in signed_post[t]))
+
+    am0 = ml_model(x0)
+    stats = ModelDerivStats(am0)
+    stats.accumulate(am0, tm, x0, signed_post, ali)
+    total = (model_deriv_direct(am0, tm, x0, signed_post)
+             + model_deriv_indirect(am0, tm, x0, ali, stats))
+
+    eps = 1e-5
+    for t, d in [(0, 0), (3, 1), (11, 0), (17, 1), (23, 0)]:
+        xp = x0.copy(); xp[t, d] += eps
+        xm = x0.copy(); xm[t, d] -= eps
+        fd = (F(xp) - F(xm)) / (2 * eps)
+        assert total[t, d] == pytest.approx(fd, rel=2e-4, abs=1e-6), (
+            t, d, fd, total[t, d])
+    # and the direct term ALONE must not match (the indirect part is a
+    # real contribution on this problem)
+    direct = model_deriv_direct(am0, tm, x0, signed_post)
+    t, d = 3, 1
+    xp = x0.copy(); xp[t, d] += eps
+    xm = x0.copy(); xm[t, d] -= eps
+    fd = (F(xp) - F(xm)) / (2 * eps)
+    assert abs(direct[t, d] - fd) > 100 * abs(total[t, d] - fd)
+
+
+def test_fmpe_indirect_stats_sum(tmp_path):
+    """ModelDerivStats: two half accumulations sum to the whole; save/load
+    round-trips."""
+    from old_kaldi_git_tpu.transform.fmpe import ModelDerivStats
+
+    rng = np.random.default_rng(8)
+    am, _ = _toy_setup(rng)
+    tm = _FakeTm()
+    T = 20
+    x = rng.normal(size=(T, am.dim))
+    post = [[(1 + rng.integers(0, 3), float(rng.normal()))]
+            for _ in range(T)]
+    ali = np.asarray([1 + (t % 3) for t in range(T)])
+    whole = ModelDerivStats(am)
+    whole.accumulate(am, tm, x, post, ali)
+    a = ModelDerivStats(am)
+    a.accumulate(am, tm, x[:12], post[:12], ali[:12])
+    b = ModelDerivStats(am)
+    b.accumulate(am, tm, x[12:], post[12:], ali[12:])
+    a.add(b)
+    for j in range(3):
+        np.testing.assert_allclose(a.s1_s[j], whole.s1_s[j], rtol=1e-10)
+        np.testing.assert_allclose(a.ml_occ[j], whole.ml_occ[j], rtol=1e-10)
+    p = str(tmp_path / "dstats")
+    whole.save(p)
+    back = ModelDerivStats.load(p, am)
+    for j in range(3):
+        np.testing.assert_allclose(back.s2_s[j], whole.s2_s[j], rtol=1e-10)
+        np.testing.assert_allclose(back.occ_s[j], whole.occ_s[j], rtol=1e-10)
 
 
 def test_fmpe_serialization_roundtrip(tmp_path):

@@ -563,6 +563,23 @@ def test_mpe_post_and_fmpe_cli_chain(corpus):
         moved += float(np.abs(a - b).mean())
     assert moved > 0  # the update actually produced nonzero offsets
 
+    # indirect differential leg: gmm-get-stats-deriv + --model-derivs
+    run(["gmm-get-stats-deriv", "final.mdl", "1.fmpe", "ark:train.ark",
+         "ark:mpe_post.ark", "ark:ali.1.ark", "fmpe.dstats"], d)
+    run(["gmm-fmpe-acc-stats", "--model-derivs=fmpe.dstats",
+         "--ali=ark:ali.1.ark", "final.mdl", "1.fmpe", "ark:train.ark",
+         "ark:mpe_post.ark", "fmpe.accs2"], d)
+    r = run(["fmpe-est", "--learning-rate=0.05", "1.fmpe", "fmpe.accs2",
+             "2.fmpe"], d)
+    assert "mean |step|" in r.stderr
+    from old_kaldi_git_tpu.transform.fmpe import FmpeAccs
+
+    direct_only = FmpeAccs.load(str(d / "fmpe.accs"))
+    both = FmpeAccs.load(str(d / "fmpe.accs2"))
+    # the indirect term changes the accumulated gradient
+    assert float(np.abs((both.pos - both.neg)
+                        - (direct_only.pos - direct_only.neg)).sum()) > 0
+
 
 def test_sgmm2_cli_chain(corpus):
     """sgmm2-init → (acc-stats-ali → est, alternating flags, with a split
