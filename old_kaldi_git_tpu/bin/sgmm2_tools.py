@@ -42,10 +42,12 @@ def sgmm2_init_tool(argv: List[str]) -> int:
     class Opts:
         phn_space_dim = 0
         spk_space_dim = 0
+        symmetric = False
 
     o = Opts()
     po.register("phn-space-dim", o, "phn_space_dim")
     po.register("spk-space-dim", o, "spk_space_dim")
+    po.register("symmetric", o, "symmetric")
     args = po.parse(argv)
     if len(args) != 3:
         return _usage(po)
@@ -53,10 +55,13 @@ def sgmm2_init_tool(argv: List[str]) -> int:
     ubm = FullGmm.load(args[1])
     sgmm = AmSgmm2.init(ubm, base.am.num_pdfs, o.phn_space_dim or None)
     if o.spk_space_dim:
-        sgmm.init_speaker_subspace(o.spk_space_dim)
+        sgmm.init_speaker_subspace(o.spk_space_dim, symmetric=o.symmetric)
+    elif o.symmetric:
+        return _usage(po)  # --symmetric requires --spk-space-dim
     Sgmm2Model(base.tm, sgmm).save(args[2])
-    log.info("sgmm2-init: %d pdfs, %d Gaussians, phn-dim %d, spk-dim %d",
-             sgmm.num_pdfs, sgmm.num_gauss, sgmm.phn_dim, sgmm.spk_dim)
+    log.info("sgmm2-init: %d pdfs, %d Gaussians, phn-dim %d, spk-dim %d%s",
+             sgmm.num_pdfs, sgmm.num_gauss, sgmm.phn_dim, sgmm.spk_dim,
+             " (symmetric)" if sgmm.u is not None else "")
     return 0
 
 
@@ -85,6 +90,7 @@ def sgmm2_info_tool(argv: List[str]) -> int:
     print(f"phone-space dimension {m.sgmm.phn_dim}")
     print(f"number of substates {m.sgmm.num_substates}")
     print(f"speaker-space dimension {m.sgmm.spk_dim}")
+    print(f"symmetric {'true' if m.sgmm.u is not None else 'false'}")
     print(f"number of transition-ids {m.tm.num_tids}")
     return 0
 

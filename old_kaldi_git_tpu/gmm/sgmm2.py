@@ -31,11 +31,24 @@ factorization); v_s is estimated per speaker by a closed-form solve over
 the speaker's aligned frames (`estimate_spk_vector`, the
 sgmm2-est-spkvecs role) and N_i by the Y_N Q_N^{-1} system (flag 'N').
 
+Symmetric SGMM (reference estimate-am-sgmm2.cc UpdateU, the u_i
+speaker-dependent weight term of Povey et al. 2011 sec. "symmetric
+SGMM"): optional per-Gaussian weight projections u_i [T_spk] so the
+mixture weights themselves become speaker-dependent,
+
+  w_jmi(s) = exp(w_i . v_jm + u_i . v_s) / sum_i' exp(w_i' . v_jm + u_i' . v_s)
+
+The per-speaker log-weight bias b_i(s) = u_i . v_s shifts every
+substate's pre-softmax weight row identically, so scoring re-normalizes
+the cached [JM, I] weight logits once per speaker (exact, no per-frame
+cost).  u_i is estimated from per-speaker occupancy vs expected-weight
+stats (a_u gradient, Q_u quadratic with the reference's max(gamma, what)
+safeguard), flag 'u'; the v_s solve gains the matching weight-term
+gradient/curvature when u is present.
+
 Scope notes vs the reference (documented, deliberate):
 - SGMM fMLLR is omitted; feature-side adaptation in this build goes
   through the shared fMLLR/basis/regtree machinery instead.
-- speaker-dependent WEIGHTS (the symmetric-SGMM u_i term) are omitted;
-  only speaker mean offsets are modeled (the dominant adaptation term).
 - the v_jm update solves the means term exactly (sum_i gamma H_i) v = y_jm
   and then refreshes the weight projections; the reference folds a
   second-order weight term into the same solve.
@@ -74,7 +87,8 @@ class AmSgmm2:
     def __init__(self, M: np.ndarray, w: np.ndarray, sigma_inv: np.ndarray,
                  v: List[np.ndarray], c: List[np.ndarray],
                  ubm: Optional[FullGmm] = None,
-                 N: Optional[np.ndarray] = None):
+                 N: Optional[np.ndarray] = None,
+                 u: Optional[np.ndarray] = None):
         self.M = np.asarray(M, np.float64)              # [I, D, S]
         self.w = np.asarray(w, np.float64)              # [I, S]
         self.sigma_inv = np.asarray(sigma_inv, np.float64)  # [I, D, D]
@@ -83,6 +97,8 @@ class AmSgmm2:
         self.ubm = ubm
         # speaker subspace [I, D, Tspk] (None: no speaker adaptation)
         self.N = None if N is None else np.asarray(N, np.float64)
+        # symmetric-SGMM speaker weight projections [I, Tspk] (optional)
+        self.u = None if u is None else np.asarray(u, np.float64)
         self._shared = None
         self._stacked = None
 
@@ -137,15 +153,21 @@ class AmSgmm2:
         c = [np.ones(1) for _ in range(num_pdfs)]
         return AmSgmm2(M, np.zeros((I, S)), sigma_inv, v, c, ubm)
 
-    def init_speaker_subspace(self, spk_dim: int) -> None:
+    def init_speaker_subspace(self, spk_dim: int,
+                              symmetric: bool = False) -> None:
         """sgmm2-init --spk-space-dim: N_i = first `spk_dim` identity
         columns (so v_s directly offsets the leading feature dims at init;
-        EM rotates it into the real speaker directions)."""
+        EM rotates it into the real speaker directions).  With
+        `symmetric` (sgmm2-init --symmetric role) also allocates the
+        speaker weight projections u_i = 0 (no bias until flag 'u'
+        training moves them)."""
         I, D, _ = self.M.shape
         if spk_dim < 1 or spk_dim > D:
             raise KaldiError(f"spk_dim must be in [1, D], got {spk_dim}")
         self.N = np.broadcast_to(
             np.eye(D)[:, :spk_dim], (I, D, spk_dim)).copy()
+        if symmetric:
+            self.u = np.zeros((I, spk_dim))
         self.invalidate()
 
     def spk_offsets(self, spk_vec: Optional[np.ndarray]) -> Optional[np.ndarray]:
@@ -157,6 +179,28 @@ class AmSgmm2:
             raise KaldiError(
                 f"speaker vector dim {vs.shape} vs spk_dim {self.spk_dim}")
         return np.einsum("idt,t->id", self.N, vs)
+
+    def spk_weight_bias(self, spk_vec: Optional[np.ndarray]
+                        ) -> Optional[np.ndarray]:
+        """Symmetric-SGMM per-Gaussian log-weight bias b_i = u_i . v_s
+        [I] (None when the model is not symmetric or no speaker vec)."""
+        if self.u is None or spk_vec is None:
+            return None
+        vs = np.asarray(spk_vec, np.float64)
+        if vs.shape != (self.spk_dim,):
+            raise KaldiError(
+                f"speaker vector dim {vs.shape} vs spk_dim {self.spk_dim}")
+        return self.u @ vs
+
+    def spk_logweights(self, spk_bias: Optional[np.ndarray]) -> np.ndarray:
+        """[JM, I] normalized log mixture weights, re-normalized with the
+        speaker bias when given (exact: the bias shifts every substate's
+        logit row identically, only the softmax normalizer moves)."""
+        _, _, _, _, aw, logw = self._stacked_states()
+        if spk_bias is None:
+            return logw
+        a = aw + np.asarray(spk_bias, np.float64)[None, :]
+        return a - _logsumexp(a, axis=1, keepdims=True)
 
     # -- shared precomputations ---------------------------------------------------
     def shared(self):
@@ -173,10 +217,12 @@ class AmSgmm2:
         return self._shared
 
     def _stacked_states(self):
-        """(V [JM,S], logc [JM], owner [JM], bilin [JM,I], logw [JM,I]);
-        cached — these are feature-independent per-state constants rebuilt
-        only after invalidate() (the decode path calls loglikes per
-        utterance)."""
+        """(V [JM,S], logc [JM], owner [JM], bilin [JM,I], aw [JM,I] raw
+        weight logits, logw [JM,I] normalized); cached — these are
+        feature-independent per-state constants rebuilt only after
+        invalidate() (the decode path calls loglikes per utterance).  The
+        raw logits are kept so symmetric-SGMM speaker biases can
+        re-normalize without rebuilding (spk_logweights)."""
         if getattr(self, "_stacked", None) is not None:
             return self._stacked
         H, _, _ = self.shared()
@@ -188,9 +234,9 @@ class AmSgmm2:
             np.full(len(vj), j) for j, vj in enumerate(self.v)])
         # -1/2 v' H_i v  [JM, I]
         bilin = -0.5 * np.einsum("ms,ist,mt->mi", V, H, V)
-        a = V @ self.w.T  # [JM, I]
-        logw = a - _logsumexp(a, axis=1, keepdims=True)
-        self._stacked = (V, logc, owner.astype(np.int64), bilin, logw)
+        aw = V @ self.w.T  # [JM, I]
+        logw = aw - _logsumexp(aw, axis=1, keepdims=True)
+        self._stacked = (V, logc, owner.astype(np.int64), bilin, aw, logw)
         return self._stacked
 
     # -- evaluation -----------------------------------------------------------------
@@ -219,7 +265,8 @@ class AmSgmm2:
         speaker subspace (decode with sgmm2-est-spkvecs output)."""
         x = np.asarray(feats, np.float64)
         off = self.spk_offsets(spk_vec)
-        V, logc, owner, bilin, logw = self._stacked_states()
+        V, logc, owner, bilin, _, _ = self._stacked_states()
+        logw = self.spk_logweights(self.spk_weight_bias(spk_vec))
         J = self.num_pdfs
         out = np.empty((len(x), J))
         for lo in range(0, len(x), chunk):
@@ -247,9 +294,11 @@ class AmSgmm2:
         ])
 
     def component_posteriors(self, feats: np.ndarray, pdf: int,
-                             spk_offsets: Optional[np.ndarray] = None
+                             spk_offsets: Optional[np.ndarray] = None,
+                             spk_bias: Optional[np.ndarray] = None
                              ) -> np.ndarray:
-        """[T, Mj, I] responsibilities within one pdf."""
+        """[T, Mj, I] responsibilities within one pdf.  `spk_bias` [I] is
+        the symmetric-SGMM log-weight bias (spk_weight_bias)."""
         x = np.asarray(feats, np.float64)
         a, z = self.frame_terms(x, spk_offsets)
         H, _, _ = self.shared()
@@ -257,6 +306,8 @@ class AmSgmm2:
         cj = self.c[pdf] / max(self.c[pdf].sum(), 1e-20)
         bilin = -0.5 * np.einsum("ms,ist,mt->mi", V, H, V)
         aw = V @ self.w.T
+        if spk_bias is not None:
+            aw = aw + np.asarray(spk_bias, np.float64)[None, :]
         logw = aw - _logsumexp(aw, axis=1, keepdims=True)
         s = (a[:, None, :] + np.einsum("tis,ms->tmi", z, V)
              + (bilin + logw + np.log(np.maximum(cj, 1e-20))[:, None])[None])
@@ -283,6 +334,9 @@ class AmSgmm2:
         if self.N is not None:
             for i in range(self.num_gauss):
                 write_matrix(f, self.N[i].astype(np.float32))
+        write_int32(f, 1 if self.u is not None else 0)
+        if self.u is not None:
+            write_matrix(f, self.u.astype(np.float32))
         write_int32(f, 1 if self.ubm is not None else 0)
         if self.ubm is not None:
             self.ubm.write(f)
@@ -305,9 +359,11 @@ class AmSgmm2:
         spk_dim = read_int32(f)
         N = (np.stack([read_matrix(f) for _ in range(I)])
              if spk_dim > 0 else None)
+        u = (np.asarray(read_matrix(f), np.float64)
+             if read_int32(f) else None)
         ubm = FullGmm.read(f) if read_int32(f) else None
         expect_token(f, "</AmSgmm2>")
-        out = AmSgmm2(M, w, sigma_inv, v, c, ubm, N=N)
+        out = AmSgmm2(M, w, sigma_inv, v, c, ubm, N=N, u=u)
         if out.dim != D or out.phn_dim != S:
             raise KaldiError("inconsistent AmSgmm2 header")
         return out
@@ -340,6 +396,10 @@ class MleAmSgmm2Accs:
         T_spk = model.spk_dim
         self.Y_N = np.zeros((I, D, T_spk)) if T_spk else None
         self.Q_N = np.zeros((I, T_spk, T_spk)) if T_spk else None
+        # symmetric-SGMM stats (UpdateU): a_u gradient rows, Q_u quadratic
+        has_u = model.u is not None
+        self.a_u = np.zeros((I, T_spk)) if has_u and T_spk else None
+        self.Q_u = np.zeros((I, T_spk, T_spk)) if has_u and T_spk else None
         self.total_frames = 0.0
         self.total_like = 0.0
 
@@ -355,13 +415,19 @@ class MleAmSgmm2Accs:
         wts = (np.ones(len(x)) if weights is None
                else np.asarray(weights, np.float64))
         off = model.spk_offsets(spk_vec)  # [I, D] or None
+        bias = model.spk_weight_bias(spk_vec)  # [I] or None
         _, z = model.frame_terms(x, off)
         ll = model.loglikes_numpy(x, spk_vec=spk_vec)
         vs = None if spk_vec is None else np.asarray(spk_vec, np.float64)
+        # symmetric-SGMM per-call (≡ per-speaker) weight stats
+        collect_u = (self.a_u is not None and vs is not None)
+        gamma_i_s = np.zeros(model.num_gauss) if collect_u else None
+        what_i_s = np.zeros(model.num_gauss) if collect_u else None
         for j in np.unique(pdf_ids):
             sel = pdf_ids == j
             xs, zs, ws = x[sel], z[sel], wts[sel]
-            post = model.component_posteriors(xs, int(j), off)  # [t, Mj, I]
+            post = model.component_posteriors(
+                xs, int(j), off, spk_bias=bias)  # [t, Mj, I]
             post = post * ws[:, None, None]
             g = post.sum(axis=0)  # [Mj, I]
             self.gamma[j] += g
@@ -388,9 +454,22 @@ class MleAmSgmm2Accs:
                 r = xw - np.einsum("ids,is->id", model.M, gv)  # [I, D]
                 self.Y_N += np.einsum("id,t->idt", r, vs)
                 self.Q_N += gsum[:, None, None] * np.outer(vs, vs)[None]
+            if collect_u:
+                # observed per-Gaussian occupancy for this speaker, and
+                # the model-expected weight mass: sum_m gamma_jm. w_jmi(s)
+                gamma_i_s += g.sum(axis=0)
+                aw_j = model.v[int(j)] @ model.w.T + bias[None, :]
+                wjmi = np.exp(aw_j - _logsumexp(aw_j, axis=1, keepdims=True))
+                what_i_s += (g.sum(axis=1)[:, None] * wjmi).sum(axis=0)
             self.total_like += float(
                 (ll[sel, j] * ws).sum())
             self.total_frames += float(ws.sum())
+        if collect_u:
+            # dQ/du_i = sum_s (gamma_i(s) - what_i(s)) v_s ; curvature with
+            # the reference's max(gamma, what) safeguard (UpdateU)
+            self.a_u += np.outer(gamma_i_s - what_i_s, vs)
+            self.Q_u += (np.maximum(gamma_i_s, what_i_s)[:, None, None]
+                         * np.outer(vs, vs)[None])
 
     def add(self, other: "MleAmSgmm2Accs") -> None:
         for j in range(len(self.gamma)):
@@ -402,6 +481,9 @@ class MleAmSgmm2Accs:
         if self.Y_N is not None and other.Y_N is not None:
             self.Y_N += other.Y_N
             self.Q_N += other.Q_N
+        if self.a_u is not None and other.a_u is not None:
+            self.a_u += other.a_u
+            self.Q_u += other.Q_u
         self.total_frames += other.total_frames
         self.total_like += other.total_like
 
@@ -424,6 +506,13 @@ class MleAmSgmm2Accs:
                     write_token(f, f"<{name}>")
                     for i in range(len(arr)):
                         write_matrix(f, arr[i], np.float64)
+            write_int32(f, 0 if self.a_u is None else 1)
+            if self.a_u is not None:
+                write_token(f, "<AU>")
+                write_matrix(f, self.a_u, np.float64)
+                write_token(f, "<QU>")
+                for i in range(len(self.Q_u)):
+                    write_matrix(f, self.Q_u[i], np.float64)
             write_vector(f, np.asarray(
                 [self.total_frames, self.total_like]), np.float64)
             write_token(f, "</Sgmm2Accs>")
@@ -458,6 +547,15 @@ class MleAmSgmm2Accs:
                     expect_token(f, f"<{name}>")
                     for i in range(len(arr)):
                         arr[i] = read_matrix(f)
+            if read_int32(f):
+                if out.a_u is None:
+                    raise KaldiError("acc has symmetric-SGMM stats but "
+                                     "model has no u (not symmetric)")
+                expect_token(f, "<AU>")
+                out.a_u = np.asarray(read_matrix(f), np.float64)
+                expect_token(f, "<QU>")
+                for i in range(len(out.Q_u)):
+                    out.Q_u[i] = read_matrix(f)
             tots = read_vector(f)
             out.total_frames, out.total_like = float(tots[0]), float(tots[1])
             expect_token(f, "</Sgmm2Accs>")
@@ -542,6 +640,24 @@ def sgmm2_update(model: AmSgmm2, accs: MleAmSgmm2Accs,
             model.N[i] = accs.Y_N[i] @ np.linalg.inv(
                 accs.Q_N[i] + 1e-6 * np.eye(T_spk))
 
+    if "u" in flags and model.u is not None:
+        if accs.a_u is None:
+            raise KaldiError("flag 'u' needs symmetric-SGMM stats "
+                             "(accumulate with spk_vec on a symmetric "
+                             "model)")
+        T_spk = model.spk_dim
+        for i in range(I):
+            occ = float(np.trace(accs.Q_u[i]))  # Σ max(γ,ŵ) |v_s|²
+            if occ < 1e-8:
+                continue
+            # Newton-ish step on the weight auxiliary with the
+            # max(gamma, what) curvature safeguard (reference UpdateU);
+            # the smoothing term bounds the step for ill-conditioned
+            # speaker-vector scatter
+            model.u[i] += np.linalg.solve(
+                accs.Q_u[i] + (1e-6 + 1e-2 * occ / T_spk) * np.eye(T_spk),
+                accs.a_u[i])
+
     if "w" in flags:
         _update_weight_projections(model, accs, opts.w_newton_steps)
 
@@ -619,13 +735,17 @@ def estimate_spk_vector(model: AmSgmm2, feats: np.ndarray,
     vs = np.zeros(T_spk)
     for _ in range(max(1, num_iters)):
         off = model.spk_offsets(vs)
+        bias = model.spk_weight_bias(vs)
         lhs = np.zeros((T_spk, T_spk))
         rhs = np.zeros(T_spk)
         tot = 0.0
+        gamma_i = np.zeros(I)
+        what_i = np.zeros(I)
         for j in np.unique(pdf_ids):
             sel = pdf_ids == j
             xs, ws = x[sel], wts[sel]
-            post = model.component_posteriors(xs, int(j), off)
+            post = model.component_posteriors(xs, int(j), off,
+                                              spk_bias=bias)
             post = post * ws[:, None, None]
             g = post.sum(axis=0)                    # [Mj, I]
             gi = post.sum(axis=1)                   # [t, I]
@@ -636,8 +756,23 @@ def estimate_spk_vector(model: AmSgmm2, feats: np.ndarray,
             lhs += np.einsum("i,itu->tu", gsum, H_spk)
             rhs += np.einsum("ite,ie->t", NtSi, r)
             tot += float(gsum.sum())
+            if model.u is not None:
+                gamma_i += gsum
+                aw_j = model.v[j] @ model.w.T + bias[None, :]
+                wjmi = np.exp(aw_j - _logsumexp(aw_j, axis=1,
+                                                keepdims=True))
+                what_i += (g.sum(axis=1)[:, None] * wjmi).sum(axis=0)
         if tot < min_count:
             return np.zeros(T_spk)
+        if model.u is not None:
+            # symmetric term: the mean part is exactly quadratic in v_s,
+            # the weight part is linearized at the current vs (Newton):
+            #   (lhs + H_w) v = rhs + g_w + H_w vs
+            g_w = model.u.T @ (gamma_i - what_i)
+            H_w = np.einsum("i,it,iu->tu", np.maximum(gamma_i, what_i),
+                            model.u, model.u)
+            lhs += H_w
+            rhs += g_w + H_w @ vs
         vs = np.linalg.solve(lhs + 1e-6 * np.eye(T_spk), rhs)
     return vs
 

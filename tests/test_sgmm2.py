@@ -411,3 +411,171 @@ def test_sgmm2_recipe_runs(tmp_path):
     m2 = Sgmm2Model.load(p)
     np.testing.assert_allclose(
         m2.sgmm.loglikes_numpy(feats["u0"]), ll, atol=1e-3)
+
+
+def test_sgmm2_symmetric_loglikes_match_bruteforce():
+    """Symmetric SGMM: with u_i and a speaker vector, the mixture weights
+    become softmax_i(w_i.v_jm + u_i.v_s) and the means gain N_i v_s; the
+    einsum path must equal the direct per-(j,m,i) formula (reference
+    am-sgmm2.cc speaker-dependent weights)."""
+    rng = np.random.default_rng(20)
+    ubm = _ubm(rng)
+    m = AmSgmm2.init(ubm, num_pdfs=2)
+    m.v = [rng.normal(size=(2, m.phn_dim)), rng.normal(size=(1, m.phn_dim))]
+    m.c = [np.asarray([0.4, 0.6]), np.ones(1)]
+    m.w = rng.normal(size=m.w.shape) * 0.5
+    m.init_speaker_subspace(2, symmetric=True)
+    m.N = rng.normal(size=m.N.shape) * 0.5
+    m.u = rng.normal(size=m.u.shape) * 0.7
+    m.invalidate()
+    vs = rng.normal(size=2)
+    X = rng.normal(size=(5, m.dim))
+    got = m.loglikes_numpy(X, spk_vec=vs)
+
+    I, D, S = m.M.shape
+    sigma = np.linalg.inv(m.sigma_inv)
+    off = np.einsum("idt,t->id", m.N, vs)
+    bias = m.u @ vs
+    want = np.zeros_like(got)
+    for t in range(len(X)):
+        for j in range(m.num_pdfs):
+            total = 0.0
+            cj = m.c[j] / m.c[j].sum()
+            for mm in range(len(m.v[j])):
+                v = m.v[j][mm]
+                logits = m.w @ v + bias
+                wts = np.exp(logits - logits.max())
+                wts = wts / wts.sum()
+                for i in range(I):
+                    mu = m.M[i] @ v + off[i]
+                    diff = X[t] - mu
+                    e = -0.5 * diff @ m.sigma_inv[i] @ diff
+                    norm = np.sqrt(
+                        (2 * np.pi) ** D * np.linalg.det(sigma[i]))
+                    total += cj[mm] * wts[i] * np.exp(e) / norm
+            want[t, j] = np.log(total)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    # u = 0 or vs = 0 degrades to the plain speaker-subspace model
+    m0 = AmSgmm2(m.M, m.w, m.sigma_inv, m.v, m.c, N=m.N)
+    np.testing.assert_allclose(
+        m.loglikes_numpy(X, spk_vec=np.zeros(2)), m0.loglikes_numpy(X),
+        rtol=1e-12)
+
+
+def test_sgmm2_symmetric_u_update_improves_adapted_likelihood():
+    """Two speakers whose Gaussian usage is biased in opposite subspace
+    directions: accumulating with spk vectors and updating 'u' must raise
+    the total speaker-adapted likelihood (EM step on the weight term,
+    reference estimate-am-sgmm2.cc UpdateU)."""
+    rng = np.random.default_rng(21)
+    ubm = _ubm(rng, I=4, D=4)
+    J = 2
+    m = AmSgmm2.init(ubm, J)
+    m.init_speaker_subspace(2, symmetric=True)
+    spk_vecs = {"s0": np.asarray([1.2, -0.5]),
+                "s1": np.asarray([-0.8, 0.9])}
+    # speaker-dependent component usage: each speaker draws from a
+    # different dominant Gaussian of the pool for the same pdf
+    n = 150
+    data = {}
+    for k, (spk, _) in enumerate(spk_vecs.items()):
+        pdfs = np.repeat(np.arange(J), n)
+        X = []
+        for j in range(J):
+            i = (j + k) % m.num_gauss
+            mu = m.M[i] @ m.v[j][0]
+            X.append(mu + 0.4 * rng.normal(size=(n, 4)))
+        data[spk] = (np.concatenate(X), pdfs)
+
+    def adapted_ll():
+        tot = 0.0
+        for spk, (X, pdfs) in data.items():
+            ll = m.loglikes_numpy(X, spk_vec=spk_vecs[spk])
+            tot += float(ll[np.arange(len(X)), pdfs].sum())
+        return tot
+
+    ll0 = adapted_ll()
+    accs = MleAmSgmm2Accs(m)
+    assert accs.a_u is not None
+    for spk, (X, pdfs) in data.items():
+        accs.accumulate(m, X, pdfs, spk_vec=spk_vecs[spk])
+    sgmm2_update(m, accs, Sgmm2UpdateOptions(update_flags="u"))
+    assert np.abs(m.u).sum() > 0  # the update moved u
+    ll1 = adapted_ll()
+    assert ll1 > ll0, (ll0, ll1)
+    # a second EM iteration must not decrease it either
+    accs2 = MleAmSgmm2Accs(m)
+    for spk, (X, pdfs) in data.items():
+        accs2.accumulate(m, X, pdfs, spk_vec=spk_vecs[spk])
+    sgmm2_update(m, accs2, Sgmm2UpdateOptions(update_flags="u"))
+    assert adapted_ll() >= ll1 - 1e-6
+
+
+def test_sgmm2_symmetric_spk_vector_estimation():
+    """estimate_spk_vector on a symmetric model includes the weight term:
+    it still recovers a known mean offset, and adaptation helps."""
+    from old_kaldi_git_tpu.gmm.sgmm2 import estimate_spk_vector
+
+    rng = np.random.default_rng(22)
+    ubm = _ubm(rng, I=5, D=4)
+    J = 3
+    m = AmSgmm2.init(ubm, J)
+    m.init_speaker_subspace(2, symmetric=True)
+    m.u = 0.3 * rng.normal(size=m.u.shape)
+    m.invalidate()
+    v_true = np.asarray([1.0, -1.5])
+    n = 120
+    pdfs = np.repeat(np.arange(J), n)
+    X = []
+    for j in range(J):
+        i = j % m.num_gauss
+        mu = m.M[i] @ m.v[j][0]
+        X.append(mu + np.concatenate([v_true, np.zeros(2)])
+                 + 0.3 * rng.normal(size=(n, 4)))
+    X = np.concatenate(X)
+    vs = estimate_spk_vector(m, X, pdfs, num_iters=3)
+    assert np.all(np.isfinite(vs))
+    assert np.linalg.norm(vs - v_true) < 0.7, vs
+    ll_un = m.loglikes_numpy(X)[np.arange(len(X)), pdfs].mean()
+    ll_ad = m.loglikes_numpy(X, spk_vec=vs)[np.arange(len(X)), pdfs].mean()
+    assert ll_ad > ll_un, (ll_un, ll_ad)
+
+
+def test_sgmm2_symmetric_serialization_roundtrip(tmp_path):
+    """Model u and acc a_u/Q_u survive save/load; loglikes identical."""
+    from old_kaldi_git_tpu.gmm.sgmm2 import Sgmm2Model
+    from old_kaldi_git_tpu.hmm.topology import HmmTopology
+    from old_kaldi_git_tpu.hmm.transition_model import TransitionModel
+    from old_kaldi_git_tpu.tree.context_dep import (
+        monophone_context_dependency,
+    )
+
+    rng = np.random.default_rng(23)
+    ubm = _ubm(rng)
+    m = AmSgmm2.init(ubm, num_pdfs=3)
+    m.init_speaker_subspace(2, symmetric=True)
+    m.u = rng.normal(size=m.u.shape)
+    m.invalidate()
+    phones = [1, 2, 3]
+    topo = HmmTopology.standard(phones)
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones})
+    tm = TransitionModel(cd, topo)
+    p = str(tmp_path / "sym.mdl")
+    Sgmm2Model(tm, m).save(p)
+    m2 = Sgmm2Model.load(p).sgmm
+    assert m2.u is not None
+    np.testing.assert_allclose(m2.u, m.u, atol=1e-6)
+    X = rng.normal(size=(4, m.dim))
+    vs = rng.normal(size=2)
+    np.testing.assert_allclose(
+        m2.loglikes_numpy(X, spk_vec=vs), m.loglikes_numpy(X, spk_vec=vs),
+        atol=1e-4)
+
+    accs = MleAmSgmm2Accs(m)
+    accs.accumulate(m, X, np.zeros(4, np.int64), spk_vec=vs)
+    ap = str(tmp_path / "sym.acc")
+    accs.save(ap)
+    accs2 = MleAmSgmm2Accs.load(ap, m)
+    np.testing.assert_allclose(accs2.a_u, accs.a_u, rtol=1e-12)
+    np.testing.assert_allclose(accs2.Q_u, accs.Q_u, rtol=1e-12)

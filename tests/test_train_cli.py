@@ -676,6 +676,46 @@ def test_sgmm2_spkvecs_cli(corpus):
     assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
 
 
+def test_sgmm2_symmetric_cli(corpus):
+    """Symmetric-SGMM leg: sgmm2-init --symmetric → EM → est-spkvecs →
+    acc --spk-vecs → est --update-flags=Nu (speaker projections AND
+    speaker weight projections) → adapted decode keeps WER 0.00."""
+    d, tf, sf, st = corpus
+    if not (d / "sgmm.fubm").exists() or not (d / "graph").exists():
+        pytest.skip("sgmm2 chain test must run first")
+
+    run(["sgmm2-init", "--spk-space-dim=3", "--symmetric", "final.mdl",
+         "sgmm.fubm", "sym.0.mdl"], d)
+    r = run(["sgmm2-info", "sym.0.mdl"], d)
+    assert "symmetric true" in r.stdout
+    cur = "sym.0.mdl"
+    for it in range(2):
+        flags = "vwc" if it % 2 == 0 else "MS"
+        run(["sgmm2-acc-stats-ali", cur, "ark:train.ark", "ark:ali.1.ark",
+             f"sym.{it}.accs"], d)
+        run(["sgmm2-est", f"--update-flags={flags}", cur,
+             f"sym.{it}.accs", f"sym.{it + 1}.mdl"], d)
+        cur = f"sym.{it + 1}.mdl"
+    run(["sgmm2-est-spkvecs", cur, "ark:train.ark", "ark:ali.1.ark",
+         "ark:symvecs.ark"], d)
+    # accumulate WITH the vectors: updates both N (mean subspace) and u
+    # (weight projections) from the same stats pass
+    run(["sgmm2-acc-stats-ali", "--spk-vecs=ark:symvecs.ark", cur,
+         "ark:train.ark", "ark:ali.1.ark", "sym.Nu.accs"], d)
+    run(["sgmm2-est", "--update-flags=Nu", cur, "sym.Nu.accs",
+         "sym.final.mdl"], d)
+    from old_kaldi_git_tpu.gmm.sgmm2 import Sgmm2Model
+
+    sm = Sgmm2Model.load(str(d / "sym.final.mdl"))
+    assert sm.sgmm.u is not None and float(np.abs(sm.sgmm.u).sum()) > 0
+    run(["sgmm2-latgen-faster", "--beam=24", "--acoustic-scale=0.1",
+         "--word-symbol-table=graph/words.txt",
+         "--spk-vecs=ark:symvecs.ark", "sym.final.mdl", "graph/HCLG.fst",
+         "ark:train.ark", "ark:sym_lat.ark", "ark:sym_hyp.ark"], d)
+    out = run(["compute-wer", "ark:text.ark", "ark:sym_hyp.ark"], d)
+    assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
+
+
 def test_compile_questions(corpus):
     d, tf, sf, st = corpus
     if not (d / "questions.txt").exists():
