@@ -95,6 +95,75 @@ class LstmpLayer(nn.Module):
         return (y, carry) if return_carry else y
 
 
+class GruCell(nn.Module):
+    """One projected-GRU step (reference nnet-combined-component.{h,cc}
+    GruNonlinearityComponent / OutputGruComponent + the xconfig
+    pgru-layer wiring): carry (c, r), x_t → (c', r'), y.
+
+      z = σ(W_z [x; r])                 update gate
+      g = σ(W_r [x; r])                 reset gate
+      h = tanh(W_h [x; g ⊙ r])          candidate
+      c' = (1 − z) ⊙ h + z ⊙ c          cell (dim = cell_dim)
+      y = W_p c'  (no bias)             projection [rec + nonrec]
+      r' = y[:rec]
+
+    Same (c, r) carry structure and projection convention as LstmpCell, so
+    the streaming chunk seam is shared."""
+
+    cell_dim: int
+    recurrent_dim: int
+    nonrecurrent_dim: int = 0
+
+    @nn.compact
+    def __call__(self, carry, x_t):
+        c, r = carry
+        xr = jnp.concatenate([x_t, r], axis=-1)
+        z = jax.nn.sigmoid(nn.Dense(self.cell_dim, name="update")(xr))
+        # reset gate acts on the projected recurrence (dim rec, not cell)
+        gate_r = jax.nn.sigmoid(
+            nn.Dense(self.recurrent_dim, name="reset")(xr))
+        h = jnp.tanh(
+            nn.Dense(self.cell_dim, name="cand")(
+                jnp.concatenate([x_t, gate_r * r], axis=-1)))
+        c_new = (1.0 - z) * h + z * c
+        y = nn.Dense(
+            self.recurrent_dim + self.nonrecurrent_dim, use_bias=False,
+            name="proj",
+        )(c_new)
+        r_new = y[..., : self.recurrent_dim]
+        return (c_new, r_new), y
+
+
+class GruLayer(nn.Module):
+    """Projected GRU; [B, T, D] → [B, T, rec+nonrec].  Same carry seam as
+    LstmpLayer (initial_carry/return_carry for streaming chunks)."""
+
+    cell_dim: int
+    recurrent_dim: int
+    nonrecurrent_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, initial_carry=None,
+                 return_carry: bool = False):
+        B = x.shape[0]
+        scan = nn.scan(
+            GruCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        init = initial_carry if initial_carry is not None else (
+            jnp.zeros((B, self.cell_dim), x.dtype),
+            jnp.zeros((B, self.recurrent_dim), x.dtype),
+        )
+        carry, y = scan(
+            self.cell_dim, self.recurrent_dim, self.nonrecurrent_dim,
+            name="cell",
+        )(init, x)
+        return (y, carry) if return_carry else y
+
+
 class BlstmpLayer(nn.Module):
     """Bidirectional LSTMP: forward + backward scans, concatenated."""
 

@@ -180,6 +180,14 @@ class StreamingAmNnet:
                 rec = spec.recurrent_dim or max(1, spec.dim // 4)
                 mod = LstmpLayer(spec.dim, rec, spec.nonrecurrent_dim)
                 self.streams.append(_LstmpStream(mod, layer_vars(name)))
+            elif spec.kind == "pgru":
+                from old_kaldi_git_tpu.models.recurrent import GruLayer
+
+                name = f"pgru{i}"
+                rec = spec.recurrent_dim or max(1, spec.dim // 4)
+                mod = GruLayer(spec.dim, rec, spec.nonrecurrent_dim)
+                # same (c, r) carry structure and chunk seam as LSTMP
+                self.streams.append(_LstmpStream(mod, layer_vars(name)))
             elif spec.kind == "blstmp":
                 raise ValueError(
                     "blstmp cannot stream (backward scan needs the future); "

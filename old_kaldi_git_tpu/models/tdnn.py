@@ -34,8 +34,8 @@ def splice(x: jnp.ndarray, offsets: Sequence[int]) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class TdnnLayerSpec:
-    kind: str  # "tdnn" | "tdnnf" | "lstmp" | "blstmp" | "attention" | "conv"
-    dim: int  # output dim (tdnn/tdnnf), cell dim (lstmp/blstmp), filters (conv)
+    kind: str  # "tdnn" | "tdnnf" | "lstmp" | "blstmp" | "pgru" | "attention" | "conv"
+    dim: int  # output dim (tdnn/tdnnf), cell dim (lstmp/blstmp/pgru), filters (conv)
     offsets: Tuple[int, ...] = (0,)  # time offsets (tdnn splice / conv kernel)
     bottleneck_dim: int = 0  # tdnnf only
     time_stride: int = 1  # tdnnf: factor context; attention: window stride
@@ -77,7 +77,7 @@ class TdnnConfig:
                 -l.num_left_inputs * l.time_stride,
                 l.num_right_inputs * l.time_stride,
             )
-        if l.kind in ("lstmp", "blstmp"):
+        if l.kind in ("lstmp", "blstmp", "pgru"):
             return (0,)  # recurrent context is unbounded, not spliced
         return l.offsets  # tdnn splice / conv time taps
 
@@ -253,6 +253,13 @@ class TdnnModel(nn.Module):
                 cls = LstmpLayer if spec.kind == "lstmp" else BlstmpLayer
                 x = cls(
                     spec.dim, rec, spec.nonrecurrent_dim, name=f"{spec.kind}{i}"
+                )(x, train=train)
+            elif spec.kind == "pgru":
+                from old_kaldi_git_tpu.models.recurrent import GruLayer
+
+                rec = spec.recurrent_dim or max(1, spec.dim // 4)
+                x = GruLayer(
+                    spec.dim, rec, spec.nonrecurrent_dim, name=f"pgru{i}"
                 )(x, train=train)
             elif spec.kind == "attention":
                 from old_kaldi_git_tpu.models.recurrent import (

@@ -105,6 +105,14 @@ def parse_xconfig(text: str) -> TdnnConfig:
                     recurrent_dim=rec, nonrecurrent_dim=nonrec,
                 )
             )
+        elif kind in ("pgru-layer", "norm-pgru-layer", "gru-layer"):
+            cell = int(kv["cell-dim"])
+            rec = int(kv.get("recurrent-projection-dim", max(1, cell // 4)))
+            nonrec = int(kv.get("non-recurrent-projection-dim", 0))
+            layers.append(
+                TdnnLayerSpec("pgru", cell,
+                              recurrent_dim=rec, nonrecurrent_dim=nonrec)
+            )
         elif kind in ("attention-relu-renorm-layer", "attention-layer"):
             layers.append(
                 TdnnLayerSpec(

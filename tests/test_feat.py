@@ -305,3 +305,31 @@ def test_reverberate_and_noise():
     p_sig = np.mean(sig.astype(np.float64) ** 2)
     p_noise = np.mean((noisy - sig).astype(np.float64) ** 2)
     assert 10 * np.log10(p_sig / p_noise) == pytest.approx(10.0, abs=0.3)
+
+
+def test_arbitrary_resample():
+    """ArbitraryResample role (src/feat/resample.h): bandlimited evaluation
+    at non-uniform time points reconstructs a pure tone, and at a uniform
+    grid it matches linear_resample."""
+    from old_kaldi_git_tpu.feat.resample import arbitrary_resample
+
+    sr_in = 4000.0
+    t = np.arange(4000) / sr_in
+    wave = np.sin(2 * math.pi * 113.0 * t).astype(np.float32)
+    rng = np.random.default_rng(0)
+    pts = np.sort(rng.uniform(0.1, 0.9, size=200))  # interior, random
+    out = np.asarray(arbitrary_resample(jnp.asarray(wave), sr_in, pts))
+    expected = np.sin(2 * math.pi * 113.0 * pts)
+    np.testing.assert_allclose(out, expected, atol=2e-3)
+    # uniform grid == linear_resample (same cutoff convention)
+    sr_out = 2000.0
+    lin = np.asarray(linear_resample(jnp.asarray(wave), sr_in, sr_out))
+    grid = np.arange(lin.shape[0]) / sr_out
+    uni = np.asarray(arbitrary_resample(
+        jnp.asarray(wave), sr_in, grid,
+        filter_cutoff=0.99 * 0.5 * sr_out))
+    np.testing.assert_allclose(uni, lin, atol=1e-5)
+    # batched input broadcasts
+    two = np.stack([wave, 0.5 * wave])
+    outb = np.asarray(arbitrary_resample(jnp.asarray(two), sr_in, pts))
+    np.testing.assert_allclose(outb[1], 0.5 * outb[0], atol=1e-6)

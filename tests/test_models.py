@@ -701,3 +701,55 @@ output-layer name=output dim={P}
     out = np.asarray(am2.loglikes_batch(
         jnp.asarray(fdict["u0"][None])))[0]
     assert np.isfinite(out).all()
+
+
+def test_pgru_layer_and_streaming():
+    """Projected GRU (reference nnet-combined-component GRU pieces +
+    xconfig pgru-layer): memory across time, gates bounded, streaming ==
+    batch exactly through the shared (c, r) chunk seam, and the xconfig
+    line parses."""
+    import jax
+    import jax.numpy as jnp
+
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+    from old_kaldi_git_tpu.models.recurrent import GruLayer
+    from old_kaldi_git_tpu.models.streaming_am import StreamingAmNnet
+    from old_kaldi_git_tpu.models.xconfig import parse_xconfig
+
+    layer = GruLayer(cell_dim=16, recurrent_dim=8, nonrecurrent_dim=4)
+    x = np.zeros((2, 20, 6), np.float32)
+    x[0, 0] = 5.0
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = layer.apply(params, jnp.asarray(x))
+    assert y.shape == (2, 20, 12)
+    assert float(jnp.abs(y[0, -1] - y[1, -1]).max()) > 1e-5  # memory
+    # chunked evaluation with carried state == one shot
+    y1, carry = layer.apply(params, jnp.asarray(x[:, :9]), return_carry=True)
+    y2 = layer.apply(params, jnp.asarray(x[:, 9:]), initial_carry=carry)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1),
+        np.asarray(y), atol=1e-6)
+
+    D, P, T = 8, 10, 37
+    cfg = parse_xconfig(f"""
+input name=input dim={D}
+relu-batchnorm-layer name=tdnn1 dim=16 input=Append(-1,0,1)
+pgru-layer name=pgru1 cell-dim=16 recurrent-projection-dim=8
+output-layer name=output dim={P}
+""")
+    assert any(l.kind == "pgru" for l in cfg.layers)
+    am = AmNnet.init(cfg, seed=0)
+    am.log_priors = np.log(np.full(P, 1.0 / P, np.float32))
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((T, D)).astype(np.float32)
+    ref = np.asarray(am.loglikes_batch(jnp.asarray(feats[None])))[0]
+    assert np.isfinite(ref).all()
+    for chunks in ([T], [5, 11, 21], [2] * 18 + [1]):
+        sam = StreamingAmNnet(am)
+        outs, pos = [], 0
+        for i, c in enumerate(chunks):
+            outs.append(sam.accept(feats[pos:pos + c],
+                                   final=i == len(chunks) - 1))
+            pos += c
+        got = np.concatenate([o for o in outs if o.size], axis=0)
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
