@@ -95,6 +95,88 @@ def sgmm2_info_tool(argv: List[str]) -> int:
     return 0
 
 
+@tool("sgmm2-est-fmllr")
+def sgmm2_est_fmllr_tool(argv: List[str]) -> int:
+    """Estimate per-speaker fMLLR transforms for an SGMM2
+    (sgmm2bin/sgmm2-est-fmllr.cc role): pools every utterance of a
+    speaker, accumulates full-covariance fMLLR stats from the alignment
+    posteriors, maximizes the auxiliary by preconditioned gradient ascent
+    (gmm/sgmm2_fmllr.py), and writes [D, D+1] 'mat' transforms to apply
+    with transform-feats before decoding.  Speakers under --min-count get
+    the identity."""
+    from old_kaldi_git_tpu.gmm.sgmm2 import Sgmm2Model
+    from old_kaldi_git_tpu.gmm.sgmm2_fmllr import (
+        FmllrSgmm2Accs,
+        FmllrSgmm2Options,
+        estimate_sgmm2_fmllr,
+        sgmm2_fmllr_objf_improvement,
+    )
+    from old_kaldi_git_tpu.utils.table import (
+        SequentialTableReader,
+        TableWriter,
+    )
+
+    po = ParseOptions(
+        "sgmm2-est-fmllr [options] <sgmm2-mdl> <feats-rspecifier> "
+        "<ali-rspecifier> <mats-wspecifier>")
+
+    class Opts:
+        utt2spk = ""
+        spk_vecs = ""
+        num_iters = 10
+        min_count = 100.0
+
+    o = Opts()
+    po.register("utt2spk", o, "utt2spk")
+    po.register("spk-vecs", o, "spk_vecs")
+    po.register("num-iters", o, "num_iters")
+    po.register("min-count", o, "min_count")
+    args = po.parse(argv)
+    if len(args) != 4:
+        return _usage(po)
+    model = Sgmm2Model.load(args[0])
+    u2s = _read_utt2spk(o.utt2spk) if o.utt2spk else {}
+    vecs = (dict(SequentialTableReader(o.spk_vecs, "vec"))
+            if o.spk_vecs else {})
+    alis = dict(SequentialTableReader(args[2], "ivec"))
+    tid2pdf = model.tm.tid_to_pdf_array()
+    by_spk: dict = {}
+    for key, x in SequentialTableReader(args[1], "mat"):
+        if key not in alis:
+            continue
+        ali = np.asarray(alis[key])
+        x = np.asarray(x, np.float64)
+        t = min(len(x), len(ali))
+        spk = u2s.get(key, key)
+        fx, fp = by_spk.setdefault(spk, ([], []))
+        fx.append(x[:t])
+        fp.append(tid2pdf[ali[:t]])
+    D = model.sgmm.dim
+    ident = np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1)
+    opts = FmllrSgmm2Options(num_iters=o.num_iters, min_count=o.min_count)
+    n, tot_impr, tot_beta = 0, 0.0, 0.0
+    with TableWriter(args[3], "mat") as w:
+        for spk in sorted(by_spk):
+            fx, fp = by_spk[spk]
+            accs = FmllrSgmm2Accs(model.sgmm)
+            vs = vecs.get(spk)
+            accs.accumulate(
+                model.sgmm, np.concatenate(fx), np.concatenate(fp),
+                spk_vec=None if vs is None else np.asarray(vs, np.float64))
+            W = estimate_sgmm2_fmllr(model.sgmm, accs, opts)
+            if W is None:
+                w[spk] = ident.astype(np.float32)
+            else:
+                impr = sgmm2_fmllr_objf_improvement(model.sgmm, accs, W)
+                tot_impr += impr * accs.beta
+                tot_beta += accs.beta
+                w[spk] = W.astype(np.float32)
+            n += 1
+    log.info("sgmm2-est-fmllr: %d speakers, avg auxiliary improvement "
+             "%.4f/frame", n, tot_impr / max(tot_beta, 1.0))
+    return 0
+
+
 @tool("sgmm2-est-spkvecs")
 def sgmm2_est_spkvecs_tool(argv: List[str]) -> int:
     """Estimate per-speaker vectors from aligned frames

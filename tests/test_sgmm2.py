@@ -579,3 +579,97 @@ def test_sgmm2_symmetric_serialization_roundtrip(tmp_path):
     accs2 = MleAmSgmm2Accs.load(ap, m)
     np.testing.assert_allclose(accs2.a_u, accs.a_u, rtol=1e-12)
     np.testing.assert_allclose(accs2.Q_u, accs.Q_u, rtol=1e-12)
+
+
+def test_sgmm2_fmllr_recovers_affine_distortion():
+    """fMLLR for SGMM2 (reference fmllr-sgmm2.cc): data generated from the
+    model then pushed through a known affine distortion; the estimated W
+    must (a) raise the auxiliary, (b) approximately invert the distortion,
+    and (c) raise the per-frame likelihood of the transformed features."""
+    from old_kaldi_git_tpu.gmm.sgmm2_fmllr import (
+        FmllrSgmm2Accs,
+        FmllrSgmm2Options,
+        estimate_sgmm2_fmllr,
+        sgmm2_fmllr_objf_improvement,
+    )
+
+    rng = np.random.default_rng(30)
+    ubm = _ubm(rng, I=4, D=3)
+    J = 3
+    m = AmSgmm2.init(ubm, J)
+    # distinct per-pdf vectors: fMLLR given an alignment is only
+    # identifiable when the pdf means differ (at init all v are equal and
+    # the posteriors are not pinned by the alignment)
+    m.v = [2.0 * rng.normal(size=(1, m.phn_dim)) for _ in range(J)]
+    m.invalidate()
+    n = 300
+    pdfs = np.repeat(np.arange(J), n)
+    # sample from each pdf's dominant Gaussian WITH the model covariance —
+    # ML fMLLR rescales any data/model variance mismatch through log|det A|
+    # (that is correct behaviour, not a bug), so recovery of the inverse
+    # distortion needs model-matched scatter
+    sigma = np.linalg.inv(m.sigma_inv)
+    chol = np.linalg.cholesky(sigma)
+    X_model = []
+    for j in range(J):
+        i = int(np.argmax(m.w @ m.v[j][0]))  # dominant by weight
+        mu = m.M[i] @ m.v[j][0]
+        X_model.append(
+            mu + rng.normal(size=(n, 3)) @ chol[i].T)
+    X_model = np.concatenate(X_model)
+    # observed = distorted model-space features
+    A0 = np.eye(3) + 0.25 * rng.normal(size=(3, 3))
+    b0 = np.asarray([0.8, -0.5, 0.3])
+    X_obs = X_model @ A0.T + b0
+
+    accs = FmllrSgmm2Accs(m)
+    accs.accumulate(m, X_obs, pdfs)
+    W = estimate_sgmm2_fmllr(m, accs, FmllrSgmm2Options(num_iters=20))
+    assert W is not None
+    impr = sgmm2_fmllr_objf_improvement(m, accs, W)
+    assert impr > 0.1, impr
+    # W should approximately invert the distortion
+    comp = W[:, :3] @ A0  # ≈ I
+    off = W[:, :3] @ b0 + W[:, 3]  # ≈ 0
+    assert np.abs(comp - np.eye(3)).max() < 0.25, comp
+    assert np.abs(off).max() < 0.4, off
+    # likelihood of transformed features beats the untransformed ones
+    X_ad = X_obs @ W[:, :3].T + W[:, 3]
+    ll_un = m.loglikes_numpy(X_obs)[np.arange(len(X_obs)), pdfs].mean()
+    ll_ad = m.loglikes_numpy(X_ad)[np.arange(len(X_ad)), pdfs].mean()
+    assert ll_ad > ll_un + 0.2, (ll_un, ll_ad)
+    # low-count guard returns None
+    small = FmllrSgmm2Accs(m)
+    small.accumulate(m, X_obs[:5], pdfs[:5])
+    assert estimate_sgmm2_fmllr(m, small) is None
+
+
+def test_sgmm2_fmllr_accs_sum_and_speaker_terms():
+    """Acc addition is linear, and speaker offsets/symmetric bias thread
+    through accumulation without breaking the estimate."""
+    from old_kaldi_git_tpu.gmm.sgmm2_fmllr import (
+        FmllrSgmm2Accs,
+        estimate_sgmm2_fmllr,
+    )
+
+    rng = np.random.default_rng(31)
+    ubm = _ubm(rng, I=4, D=3)
+    m = AmSgmm2.init(ubm, 2)
+    m.init_speaker_subspace(2, symmetric=True)
+    m.u = 0.2 * rng.normal(size=m.u.shape)
+    m.invalidate()
+    X = rng.normal(size=(120, 3)) * 1.5
+    pdfs = np.repeat(np.arange(2), 60)
+    vs = rng.normal(size=2)
+    whole = FmllrSgmm2Accs(m)
+    whole.accumulate(m, X, pdfs, spk_vec=vs)
+    a = FmllrSgmm2Accs(m)
+    a.accumulate(m, X[:50], pdfs[:50], spk_vec=vs)
+    b = FmllrSgmm2Accs(m)
+    b.accumulate(m, X[50:], pdfs[50:], spk_vec=vs)
+    a.add(b)
+    np.testing.assert_allclose(a.L, whole.L, rtol=1e-10)
+    np.testing.assert_allclose(a.G, whole.G, rtol=1e-10)
+    assert a.beta == pytest.approx(whole.beta)
+    W = estimate_sgmm2_fmllr(m, whole)
+    assert W is not None and np.isfinite(W).all()

@@ -716,6 +716,31 @@ def test_sgmm2_symmetric_cli(corpus):
     assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
 
 
+def test_sgmm2_fmllr_cli(corpus):
+    """SGMM2 fMLLR leg (fmllr-sgmm2.cc role): sgmm2-est-fmllr estimates
+    per-utterance [D, D+1] transforms from alignments, transform-feats
+    applies them, and the adapted decode keeps WER 0.00."""
+    d, tf, sf, st = corpus
+    if not (d / "sgmm.4.mdl").exists() or not (d / "graph").exists():
+        pytest.skip("sgmm2 chain test must run first")
+
+    run(["sgmm2-est-fmllr", "--min-count=20", "sgmm.4.mdl", "ark:train.ark",
+         "ark:ali.1.ark", "ark:sgmm_fmllr.ark"], d)
+    from old_kaldi_git_tpu.utils.table import read_table
+
+    mats = read_table(f"ark:{d}/sgmm_fmllr.ark", "mat")
+    assert mats and all(np.asarray(m).shape[1] ==
+                        np.asarray(m).shape[0] + 1 for m in mats.values())
+    run(["transform-feats", "ark:sgmm_fmllr.ark", "ark:train.ark",
+         "ark:sgmm_fmllr_feats.ark"], d)
+    run(["sgmm2-latgen-faster", "--beam=24", "--acoustic-scale=0.1",
+         "--word-symbol-table=graph/words.txt", "sgmm.4.mdl",
+         "graph/HCLG.fst", "ark:sgmm_fmllr_feats.ark",
+         "ark:sgmm_fm_lat.ark", "ark:sgmm_fm_hyp.ark"], d)
+    out = run(["compute-wer", "ark:text.ark", "ark:sgmm_fm_hyp.ark"], d)
+    assert "%WER 0.00" in out.stdout, out.stdout + out.stderr
+
+
 def test_compile_questions(corpus):
     d, tf, sf, st = corpus
     if not (d / "questions.txt").exists():
