@@ -238,23 +238,33 @@ def chain_e2e_loss(
     g: NumeratorGraphBatch,
     num_frames: jnp.ndarray,
     opts: ChainLossOptions = None,
+    seq_weights: jnp.ndarray = None,  # [B] supervision weights (semisup)
 ) -> Tuple[jnp.ndarray, dict]:
     """Flat-start LF-MMI loss: generic numerator − dense denominator.
     train_chain_e2e always routes the numerator graphs through
     normalize_numerator_csr, so num ≤ den IS an identity (up to the −20
     unseen-n-gram floor) and the objective must stay ≤ 0 — treat a
     positive objf as a normalization regression, not as expected
-    flat-start behaviour."""
+    flat-start behaviour.
+
+    seq_weights scales each sequence's contribution (the semisup recipe's
+    per-egs weight: 1.0 for supervised, --unsup-egs-weight for lattice-
+    supervised utterances); the objective normalizer is the weighted frame
+    count so metrics stay per-frame comparable."""
     opts = opts or ChainLossOptions()
+    if seq_weights is None:
+        seq_weights = jnp.ones(logits.shape[0], logits.dtype)
     num = generic_numerator_logprob(logits, g, num_frames)
     den_lp = denominator_logprob(
         logits, num_frames, den, opts.leaky_hmm_coefficient)
-    tot = jnp.maximum(jnp.sum(num_frames), 1)
-    objf = jnp.sum(num - den_lp) / tot
+    tot = jnp.maximum(jnp.sum(seq_weights * num_frames), 1e-3)
+    objf = jnp.sum(seq_weights * (num - den_lp)) / tot
     frame_mask = (
         jnp.arange(logits.shape[1])[None, :] < num_frames[:, None]
     )[..., None]
-    l2 = jnp.sum(jnp.square(logits) * frame_mask) / tot
+    l2 = jnp.sum(
+        jnp.square(logits) * frame_mask
+        * seq_weights[:, None, None]) / tot
     loss = -objf + 0.5 * opts.l2_regularize * l2
-    return loss, {"objf": objf, "num": jnp.sum(num) / tot,
-                  "den": jnp.sum(den_lp) / tot, "l2": l2}
+    return loss, {"objf": objf, "num": jnp.sum(seq_weights * num) / tot,
+                  "den": jnp.sum(seq_weights * den_lp) / tot, "l2": l2}
