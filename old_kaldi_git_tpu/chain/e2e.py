@@ -257,7 +257,9 @@ def chain_e2e_loss(
     num = generic_numerator_logprob(logits, g, num_frames)
     den_lp = denominator_logprob(
         logits, num_frames, den, opts.leaky_hmm_coefficient)
-    tot = jnp.maximum(jnp.sum(seq_weights * num_frames), 1e-3)
+    # floor at one weighted frame: a degenerate batch (all weights or frame
+    # counts zero) clamps to per-frame scale instead of scaling up 1000x
+    tot = jnp.maximum(jnp.sum(seq_weights * num_frames), 1.0)
     objf = jnp.sum(seq_weights * (num - den_lp)) / tot
     frame_mask = (
         jnp.arange(logits.shape[1])[None, :] < num_frames[:, None]

@@ -64,6 +64,30 @@ def lattice_to_numerator(
             states[key] = len(states)
         return states[key]
 
+    def eps_closure(ls: int) -> List[Tuple[int, float, float]]:
+        """(state, graph_cost, acoustic_cost) reachable from ls by epsilon-
+        input arcs, including (ls, 0, 0).  lattice_from_decode's _emit
+        creates such arcs whenever a decode-graph arc carries a multi-word
+        olabel chain (eps-closure word forwarding); they consume no frame,
+        so their costs fold into the closure instead of becoming numerator
+        arcs.  Keeps the min-cost copy per state (the chains are linear in
+        practice; the guard also terminates on general eps cycles)."""
+        best = {ls: (0.0, 0.0)}
+        stack = [(ls, 0.0, 0.0)]
+        while stack:
+            s, g, a = stack.pop()
+            for arc in lat.arcs[s]:
+                if int(arc.ilabel) != 0:
+                    continue
+                ns = int(arc.nextstate)
+                g2 = g + float(arc.graph_cost)
+                a2 = a + float(arc.acoustic_cost)
+                old = best.get(ns)
+                if old is None or g2 + a2 < old[0] + old[1]:
+                    best[ns] = (g2, a2)
+                    stack.append((ns, g2, a2))
+        return [(s, g, a) for s, (g, a) in best.items()]
+
     start_key = (int(lat.start), -1)
     start = sid(*start_key)
     arcs: List[Tuple[int, int, int, float]] = []
@@ -73,42 +97,44 @@ def lattice_to_numerator(
     while q:
         ls, ds = q.popleft()
         me = sid(ls, ds)
-        fg, fa = lat.finals[ls]
-        if np.isfinite(fg) and ds >= 0:
-            finals[me] = (
-                float(den.final_log_probs[ds])
-                - lattice_lm_scale * fg
-                - acoustic_scale * fa
-            )
-        for arc in lat.arcs[ls]:
-            tid = int(arc.ilabel)
-            if tid == 0:
-                raise KaldiError(
-                    "lattice_to_numerator needs a raw (tid-level, eps-free) "
-                    "decode lattice; got an epsilon input arc"
+        closure = eps_closure(ls)
+        for ls2, eg, ea in closure:
+            fg, fa = lat.finals[ls2]
+            if np.isfinite(fg) and ds >= 0:
+                cand = (
+                    float(den.final_log_probs[ds])
+                    - lattice_lm_scale * (fg + eg)
+                    - acoustic_scale * (fa + ea)
                 )
-            pdf = int(tm.tid_to_pdf(tid))
-            if tm.is_self_loop(tid) and ds >= 0:
-                w, nds = loop_lp, ds
-            else:
-                phone = tm.tid_to_phone(tid)
-                lm = den.lm_start if ds < 0 else int(den.lm_next[ds])
-                ds2 = den.arc_lookup.get((lm, phone))
-                if ds2 is None:
-                    nds = ds if ds >= 0 else 0
-                    w = (loop_lp - 20.0) if ds >= 0 else -20.0
-                elif ds < 0:
-                    nds, w = ds2, float(den.initial_log_probs[ds2])
+                if me not in finals or cand > finals[me]:
+                    finals[me] = cand
+        for ls2, eg, ea in closure:
+            for arc in lat.arcs[ls2]:
+                tid = int(arc.ilabel)
+                if tid == 0:
+                    continue  # folded into the closure costs
+                pdf = int(tm.tid_to_pdf(tid))
+                if tm.is_self_loop(tid) and ds >= 0:
+                    w, nds = loop_lp, ds
                 else:
-                    nds = ds2
-                    w = loop_lp + float(den.advance_lm_log_prob[ds2])
-            w -= lattice_lm_scale * arc.graph_cost
-            w -= acoustic_scale * arc.acoustic_cost
-            to = sid(int(arc.nextstate), nds)
-            arcs.append((me, to, pdf, w))
-            if (int(arc.nextstate), nds) not in seen:
-                seen.add((int(arc.nextstate), nds))
-                q.append((int(arc.nextstate), nds))
+                    phone = tm.tid_to_phone(tid)
+                    lm = den.lm_start if ds < 0 else int(den.lm_next[ds])
+                    ds2 = den.arc_lookup.get((lm, phone))
+                    if ds2 is None:
+                        nds = ds if ds >= 0 else 0
+                        w = (loop_lp - 20.0) if ds >= 0 else -20.0
+                    elif ds < 0:
+                        nds, w = ds2, float(den.initial_log_probs[ds2])
+                    else:
+                        nds = ds2
+                        w = loop_lp + float(den.advance_lm_log_prob[ds2])
+                w -= lattice_lm_scale * (arc.graph_cost + eg)
+                w -= acoustic_scale * (arc.acoustic_cost + ea)
+                to = sid(int(arc.nextstate), nds)
+                arcs.append((me, to, pdf, w))
+                if (int(arc.nextstate), nds) not in seen:
+                    seen.add((int(arc.nextstate), nds))
+                    q.append((int(arc.nextstate), nds))
     if not arcs:
         raise KaldiError("empty lattice numerator")
     S = len(states)

@@ -193,19 +193,26 @@ def train_nnet1_frmshuff(
              len(Xtr), ncv, prev_cv)
     for epoch in range(opts.max_epochs):
         order = rng.permutation(len(Xtr)).reshape(nb, B)
-        params, mom, tr = run_epoch(
+        cand_params, cand_mom, tr = run_epoch(
             params, mom, jnp.asarray(Xtr[order]), jnp.asarray(Ytr[order]),
             lr)
-        cv = float(cv_loss(params))
+        cv = float(cv_loss(cand_params))
         rel = (prev_cv - cv) / max(abs(prev_cv), 1e-9)
-        log.info("nnet1 epoch %d: lr %.2e train %.4f CV %.4f (rel impr %.4f)",
-                 epoch, lr, float(tr), cv, rel)
+        accepted = cv < prev_cv
+        log.info(
+            "nnet1 epoch %d: lr %.2e train %.4f CV %.4f (rel impr %.4f) %s",
+            epoch, lr, float(tr), cv, rel,
+            "accepted" if accepted else "rejected")
+        if accepted:
+            params, mom = cand_params, cand_mom
+            prev_cv = cv
+        # else: keep the previous snapshot — the reference train_scheduler.sh
+        # reloads the last accepted nnet when an epoch degrades the CV loss
         if halving or rel < opts.start_halving_impr:
             halving = True
             lr *= opts.halving_factor
         if halving and rel < opts.end_halving_impr and epoch > 0:
             break
-        prev_cv = min(prev_cv, cv)
     out = AmNnet1(c, jax.tree.map(np.asarray, params),
                   feat_shift=feat_shift, feat_scale=feat_scale)
     if xent:

@@ -120,7 +120,9 @@ class Nnet2Model(nn.Module):
         x = splice(feats, tuple(range(-c.left_context, c.right_context + 1)))
         fa = c.fixed_affine_arrays()
         if fa is not None:
-            x = x @ jnp.asarray(fa[0]) + jnp.asarray(fa[1])
+            # y = W x + b row-wise, i.e. x @ W.T + b: correct for any
+            # (possibly non-symmetric, LDA-style) FixedAffineComponent
+            x = x @ jnp.asarray(fa[0]).T + jnp.asarray(fa[1])
         for i in range(c.num_hidden_layers):
             x = nn.Dense(c.pnorm_input_dim, name=f"affine{i}")(x)
             x = group_pnorm(x, c.pnorm_output_dim, c.p)

@@ -27,10 +27,41 @@ import optax
 
 from old_kaldi_git_tpu.models.am_nnet import AmNnet
 from old_kaldi_git_tpu.models.tdnn import TdnnModel, apply_orthonormal_constraints
-from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
 from old_kaldi_git_tpu.utils.parse_options import options_dataclass
 
 log = get_logger("nnet-train")
+
+
+def _check_divergence(state, snapshot, mean_loss, prev_loss, epoch, retries,
+                      lr_scale, max_retries, on_accept):
+    """Divergence recovery shared by the CE and chain epoch loops
+    (reference steps/libs/nnet3/train/common.py halved-LR re-run +
+    nnet3-train's fatal non-finite check).
+
+    Returns (state, prev_loss, epoch, retries, lr_scale): on divergence
+    (non-finite objective, or >10% relative + 0.1 absolute worse than the
+    previous epoch) rewinds to `snapshot`, halves the LR scale and retries
+    the same epoch up to `max_retries` times; on acceptance calls
+    `on_accept`, advances the epoch and restores full LR."""
+    diverged = (not np.isfinite(mean_loss)) or (
+        prev_loss is not None
+        and mean_loss > prev_loss + 0.1 * abs(prev_loss) + 0.1
+    )
+    if diverged and retries < max_retries:
+        log.warning(
+            "epoch %d diverged (objf %.4f, previous %s); rewinding and "
+            "retrying with LR scale %.3f",
+            epoch, mean_loss, prev_loss, lr_scale * 0.5,
+        )
+        return snapshot, prev_loss, epoch, retries + 1, lr_scale * 0.5
+    if not np.isfinite(mean_loss):
+        raise KaldiError(
+            f"non-finite objective {mean_loss} after {max_retries} "
+            "halved-LR retries; aborting (nnet3-train KALDI_ERR behavior)"
+        )
+    on_accept()
+    return state, mean_loss, epoch + 1, 0, 1.0
 
 
 @options_dataclass
@@ -46,6 +77,17 @@ class NnetTrainOptions:
     l2_regularize: float = 0.0
     optimizer: str = "adam"  # adam | sgd
     orthonormal_interval: int = 4  # steps between tdnnf re-constraints
+    # backstitch (nnet-training.cc backstitch-training-scale/-interval):
+    # every `interval` steps, first step AGAINST the update scaled by
+    # -alpha, recompute the gradient there, then step by (1 + alpha)
+    backstitch_scale: float = 0.0
+    backstitch_interval: int = 1
+    # divergence recovery (steps/libs/nnet3/train/common.py): if an epoch's
+    # objective diverges (non-finite, or worse than the previous epoch by
+    # >10% relative + 0.1 absolute), rewind it and retry with halved LR,
+    # up to this many times; a non-finite objective after the retries
+    # aborts like nnet3-train's KALDI_ERR
+    max_lr_retries: int = 2
     seed: int = 0
 
 
@@ -164,11 +206,20 @@ def make_optimizer(opts: NnetTrainOptions, num_steps: int, lr_factors=None):
 
 
 def make_ce_train_step(
-    model: TdnnModel, optimizer, ng_activation: bool = False
+    model: TdnnModel, optimizer, ng_activation: bool = False,
+    backstitch_scale: float = 0.0, backstitch_interval: int = 1,
 ) -> Callable:
-    """Jitted CE step: (state, feats [B,T,D], labels [B,T], mask [B,T]) →
-    (state, metrics).  Under a data-sharded batch XLA reduces grads with a
-    psum over the mesh automatically.
+    """Jitted CE step: (state, feats [B,T,D], labels [B,T], mask [B,T]
+    [, lr_scale]) → (state, metrics).  Under a data-sharded batch XLA
+    reduces grads with a psum over the mesh automatically.
+
+    lr_scale multiplies the final update — the divergence-recovery hook
+    (halved-LR retry, reference steps/libs/nnet3/train/common.py).
+
+    backstitch_scale > 0 enables backstitch training (nnet-training.cc):
+    on applicable steps the update is applied at scale -alpha, the
+    gradient is recomputed at that point, and a (1 + alpha)-scaled update
+    follows — a cheap bias correction for SGD noise.
 
     With ng_activation=True the model runs instrumented (ng_collect): the
     per-layer input rows and output-derivative rows (gradient wrt zero
@@ -190,23 +241,51 @@ def make_ce_train_step(
         acc = ((jnp.argmax(logits, -1) == labels) * mask).sum() / denom
         return loss, (mutated["batch_stats"], acc)
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def one_update(params, opt_state, batch_stats, feats, labels, mask,
+                   rng, scale):
+        (loss, (new_bs, acc)), grads = grad_fn(
+            params, batch_stats, feats, labels, mask, rng)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * scale, updates)
+        return optax.apply_updates(params, updates), new_opt, new_bs, loss, acc
+
     @jax.jit
-    def step(state: TrainState, feats, labels, mask):
+    def step(state: TrainState, feats, labels, mask, lr_scale):
         # per-step dropout key (deterministic in step index, like the
         # reference's srand+iteration convention)
         rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
-        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, feats, labels, mask, rng
-        )
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(new_params, new_bs, new_opt, state.step + 1),
-            {"loss": loss, "acc": acc},
-        )
+
+        def plain(state):
+            p, o, bs, loss, acc = one_update(
+                state.params, state.opt_state, state.batch_stats,
+                feats, labels, mask, rng, lr_scale)
+            return TrainState(p, bs, o, state.step + 1), loss, acc
+
+        if backstitch_scale <= 0:
+            new_state, loss, acc = plain(state)
+            return new_state, {"loss": loss, "acc": acc}
+
+        def backstitch(state):
+            a = backstitch_scale
+            p1, o1, _bs1, loss, acc = one_update(
+                state.params, state.opt_state, state.batch_stats,
+                feats, labels, mask, rng, -a * lr_scale)
+            p2, o2, bs2, _l2, _a2 = one_update(
+                p1, o1, state.batch_stats, feats, labels, mask, rng,
+                (1.0 + a) * lr_scale)
+            return TrainState(p2, bs2, o2, state.step + 1), loss, acc
+
+        new_state, loss, acc = jax.lax.cond(
+            state.step % backstitch_interval == 0, backstitch, plain, state)
+        return new_state, {"loss": loss, "acc": acc}
+
+    def step_wrapper(state, feats, labels, mask, lr_scale=1.0):
+        return step(state, feats, labels, mask, jnp.float32(lr_scale))
 
     if not ng_activation:
-        return step
+        return step_wrapper
 
     from old_kaldi_git_tpu.models.natural_gradient import (
         activation_fisher_stats,
@@ -231,7 +310,7 @@ def make_ce_train_step(
         return loss, (mutated["batch_stats"], acc, mutated["ng_in"])
 
     @jax.jit
-    def ng_step(state: TrainState, pert, feats, labels, mask):
+    def ng_step(state: TrainState, pert, feats, labels, mask, lr_scale):
         rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
         (loss, (new_bs, acc, ng_in)), (g_params, g_pert) = (
             jax.value_and_grad(ng_loss_fn, argnums=(0, 1), has_aux=True)(
@@ -242,6 +321,7 @@ def make_ce_train_step(
         stats = activation_fisher_stats(ng_in, g_pert)
         updates, new_opt = optimizer.update(
             g_params, state.opt_state, state.params, ng_stats=stats)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
         return (
             TrainState(new_params, new_bs, new_opt, state.step + 1),
@@ -250,7 +330,8 @@ def make_ce_train_step(
 
     pert_cache: Dict[Tuple[int, int], Any] = {}
 
-    def step_with_perturbations(state: TrainState, feats, labels, mask):
+    def step_with_perturbations(state: TrainState, feats, labels, mask,
+                                lr_scale=1.0):
         key = feats.shape[:2]
         if key not in pert_cache:
             shapes = jax.eval_shape(
@@ -261,7 +342,8 @@ def make_ce_train_step(
             pert_cache[key] = jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
                 shapes["perturbations"])
-        return ng_step(state, pert_cache[key], feats, labels, mask)
+        return ng_step(state, pert_cache[key], feats, labels, mask,
+                       jnp.float32(lr_scale))
 
     return step_with_perturbations
 
@@ -322,14 +404,21 @@ def train_ce(
     batch_stats = am.variables.get("batch_stats", {})
     state = TrainState(params, batch_stats, optimizer.init(params), 0)
     step_fn = make_ce_train_step(
-        model, optimizer, ng_activation=(opts.optimizer == "ng-sgd-act"))
+        model, optimizer, ng_activation=(opts.optimizer == "ng-sgd-act"),
+        backstitch_scale=opts.backstitch_scale,
+        backstitch_interval=opts.backstitch_interval)
 
-    for epoch in range(opts.num_epochs):
+    epoch = 0
+    retries = 0
+    lr_scale = 1.0
+    prev_loss = None
+    while epoch < opts.num_epochs:
+        snapshot = state
         losses, accs = [], []
         for bf, bl, bm in _chunk_batches(
             feats, pdf_labels, opts.chunk_width, opts.minibatch_size, rng
         ):
-            state, metrics = step_fn(state, bf, bl, bm)
+            state, metrics = step_fn(state, bf, bl, bm, lr_scale)
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
             if (
@@ -342,9 +431,13 @@ def train_ce(
                     state.opt_state,
                     state.step,
                 )
-        log.info(
-            "epoch %d: CE %.4f acc %.3f (%d steps)",
-            epoch, float(np.mean(losses)), float(np.mean(accs)), len(losses),
+        mean_loss = float(np.mean(losses))
+        state, prev_loss, epoch, retries, lr_scale = _check_divergence(
+            state, snapshot, mean_loss, prev_loss, epoch, retries, lr_scale,
+            opts.max_lr_retries,
+            lambda: log.info(
+                "epoch %d: CE %.4f acc %.3f (%d steps)",
+                epoch, mean_loss, float(np.mean(accs)), len(losses)),
         )
 
     new_vars = {

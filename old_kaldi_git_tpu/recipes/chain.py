@@ -40,6 +40,7 @@ from old_kaldi_git_tpu.models.tdnn import make_tdnnf
 from old_kaldi_git_tpu.models.train import (
     NnetTrainOptions,
     TrainState,
+    _check_divergence,
     make_optimizer,
 )
 from old_kaldi_git_tpu.models.tdnn import apply_orthonormal_constraints
@@ -70,6 +71,11 @@ class ChainTrainOptions:
     leaky_hmm_coefficient: float = 0.1
     l2_regularize: float = 5e-5
     xent_regularize: float = 0.1
+    # backstitch (nnet3-chain-train --backstitch-training-scale/-interval)
+    backstitch_scale: float = 0.0
+    backstitch_interval: int = 1
+    # halved-LR divergence retries per epoch (train/common.py behavior)
+    max_lr_retries: int = 2
     seed: int = 0
     # 1 = per-phone pdfs; 2 = left-biphone tree built from alignment stats
     # (the chain recipes' build_tree.sh --context-width=2 --central-position=1)
@@ -117,12 +123,16 @@ class ChainModel:
 
 
 def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
-                    fsf: int, ng_activation: bool = False):
+                    fsf: int, ng_activation: bool = False,
+                    backstitch_scale: float = 0.0,
+                    backstitch_interval: int = 1):
     """Jitted LF-MMI(+xent) train step over batched supervision arrays —
     shared by train_chain and the nnet3-chain-train CLI tool.  With
     ng_activation=True the model runs NG-instrumented and the per-layer
     activation/derivative Fisher factors feed the "ng-sgd-act" optimizer
-    (same seam as models/train.py make_ce_train_step)."""
+    (same seam as models/train.py make_ce_train_step).  backstitch_scale
+    and the trailing lr_scale step argument follow make_ce_train_step
+    (nnet-training.cc backstitch; halved-LR divergence retry hook)."""
 
     def loss_fn(params, batch_stats, bf, b_pdf, b_allowed, b_nf, b_sl,
                 b_adv, b_xent, dropout_rng, pert=None):
@@ -151,18 +161,47 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
                mutated.get("ng_in") if pert is not None else None)
         return loss, aux
 
-    @jax.jit
-    def step_fn(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
-        (loss, (new_bs, metrics, _)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, bf, b_pdf, b_allowed, b_nf,
-          b_sl, b_adv, b_xent, rng)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (TrainState(new_params, new_bs, new_opt, state.step + 1),
+    grad_all = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def one_update(params, opt_state, batch_stats, args, rng, scale):
+        (loss, (new_bs, metrics, _)), grads = grad_all(
+            params, batch_stats, *args, rng)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * scale, updates)
+        return (optax.apply_updates(params, updates), new_opt, new_bs,
                 loss, metrics)
+
+    @jax.jit
+    def step_fn_jit(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent,
+                    lr_scale):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        args = (bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent)
+
+        def plain(state):
+            p, o, bs, loss, metrics = one_update(
+                state.params, state.opt_state, state.batch_stats, args,
+                rng, lr_scale)
+            return TrainState(p, bs, o, state.step + 1), loss, metrics
+
+        if backstitch_scale <= 0:
+            return plain(state)
+
+        def backstitch(state):
+            a = backstitch_scale
+            p1, o1, _b1, loss, metrics = one_update(
+                state.params, state.opt_state, state.batch_stats, args,
+                rng, -a * lr_scale)
+            p2, o2, b2, _l, _m = one_update(
+                p1, o1, state.batch_stats, args, rng, (1.0 + a) * lr_scale)
+            return TrainState(p2, b2, o2, state.step + 1), loss, metrics
+
+        return jax.lax.cond(
+            state.step % backstitch_interval == 0, backstitch, plain, state)
+
+    def step_fn(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv, b_xent,
+                lr_scale=1.0):
+        return step_fn_jit(state, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv,
+                           b_xent, jnp.float32(lr_scale))
 
     if not ng_activation:
         return step_fn
@@ -173,7 +212,7 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
 
     @jax.jit
     def ng_step_fn(state, pert, bf, b_pdf, b_allowed, b_nf, b_sl, b_adv,
-                   b_xent):
+                   b_xent, lr_scale):
         rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
 
         def wrapped(params, pert):
@@ -186,13 +225,15 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
         stats = activation_fisher_stats(ng_in, g_pert)
         updates, new_opt = optimizer.update(
             g_params, state.opt_state, state.params, ng_stats=stats)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
         return (TrainState(new_params, new_bs, new_opt, state.step + 1),
                 loss, metrics)
 
     pert_cache = {}
 
-    def step_with_perturbations(state, bf, *rest):
+    def step_with_perturbations(state, bf, b_pdf, b_allowed, b_nf, b_sl,
+                                b_adv, b_xent, lr_scale=1.0):
         key = bf.shape[:2]
         if key not in pert_cache:
             shapes = jax.eval_shape(
@@ -203,7 +244,8 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
             pert_cache[key] = jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
                 shapes["perturbations"])
-        return ng_step_fn(state, pert_cache[key], bf, *rest)
+        return ng_step_fn(state, pert_cache[key], bf, b_pdf, b_allowed,
+                          b_nf, b_sl, b_adv, b_xent, jnp.float32(lr_scale))
 
     return step_with_perturbations
 
@@ -414,12 +456,16 @@ def train_chain(
 
     step_fn = make_chain_step(
         model, den, optimizer, loss_opts, fsf,
-        ng_activation=(nnet_opts.optimizer == "ng-sgd-act"))
+        ng_activation=(nnet_opts.optimizer == "ng-sgd-act"),
+        backstitch_scale=opts.backstitch_scale,
+        backstitch_interval=opts.backstitch_interval)
 
     rng = np.random.default_rng(opts.seed)
     order = np.arange(len(sup_keys))
     B = opts.minibatch_size
-    for epoch in range(opts.num_epochs):
+    epoch, retries, lr_scale, prev_loss = 0, 0, 1.0, None
+    while epoch < opts.num_epochs:
+        snapshot = state
         rng.shuffle(order)
         objs, xents = [], []
         # full batches; if the dataset is smaller than one minibatch, train
@@ -431,7 +477,8 @@ def train_chain(
         for idx in batches:
             state, loss, metrics = step_fn(
                 state, feats_padded[idx], pdf_seq[idx], allowed[idx],
-                sup_frames[idx], seq_len[idx], advance_lp[idx], xent_labels[idx],
+                sup_frames[idx], seq_len[idx], advance_lp[idx],
+                xent_labels[idx], lr_scale,
             )
             objs.append(float(metrics["objf"]))
             xents.append(float(metrics.get("xent", 0.0)))
@@ -440,10 +487,16 @@ def train_chain(
                     apply_orthonormal_constraints(state.params),
                     state.batch_stats, state.opt_state, state.step,
                 )
-        log.info(
-            "chain epoch %d: objf %.4f xent %.4f (%d steps)",
-            epoch, float(np.mean(objs)) if objs else float("nan"),
-            float(np.mean(xents)) if xents else 0.0, len(objs),
+        # the chain objective is maximized: divergence check runs on -objf
+        mean_loss = -float(np.mean(objs)) if objs else float("nan")
+        e, objf_snapshot, xent_mean = epoch, -mean_loss, (
+            float(np.mean(xents)) if xents else 0.0)
+        state, prev_loss, epoch, retries, lr_scale = _check_divergence(
+            state, snapshot, mean_loss, prev_loss, epoch, retries, lr_scale,
+            opts.max_lr_retries,
+            lambda: log.info(
+                "chain epoch %d: objf %.4f xent %.4f (%d steps)",
+                e, objf_snapshot, xent_mean, len(objs)),
         )
 
     out_am = AmNnet(
@@ -612,8 +665,8 @@ def train_chain_e2e(
         return loss, (mutated["batch_stats"], metrics)
 
     @jax.jit
-    def step_fn(state, bf, b_nf, b_src, b_dst, b_pdf, b_w, b_m, b_init,
-                b_final):
+    def step_fn_jit(state, bf, b_nf, b_src, b_dst, b_pdf, b_w, b_m, b_init,
+                    b_final, lr_scale):
         from old_kaldi_git_tpu.chain.e2e import NumeratorGraphBatch as NGB
 
         bg = NGB(b_src, b_dst, b_pdf, b_w, b_m, b_init, b_final)
@@ -623,14 +676,20 @@ def train_chain_e2e(
         )(state.params, state.batch_stats, bf, b_nf, bg, rng)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
         return (TrainState(new_params, new_bs, new_opt, state.step + 1),
                 loss, metrics)
 
+    def step_fn(state, *args, lr_scale=1.0):
+        return step_fn_jit(state, *args, jnp.float32(lr_scale))
+
     rng = np.random.default_rng(opts.seed)
     order = np.arange(len(keys))
     B = opts.minibatch_size
-    for epoch in range(opts.num_epochs):
+    epoch, retries, lr_scale, prev_loss = 0, 0, 1.0, None
+    while epoch < opts.num_epochs:
+        snapshot = state
         rng.shuffle(order)
         objs = []
         batches = [order[i: i + B] for i in range(0, len(order) - B + 1, B)]
@@ -641,6 +700,7 @@ def train_chain_e2e(
                 state, feats_padded[idx], nf_sub[idx], gbatch.src[idx],
                 gbatch.dst[idx], gbatch.pdf[idx], gbatch.weight[idx],
                 gbatch.mask[idx], gbatch.init_lp[idx], gbatch.final_lp[idx],
+                lr_scale=lr_scale,
             )
             objs.append(float(metrics["objf"]))
             if state.step % 4 == 0:
@@ -648,9 +708,14 @@ def train_chain_e2e(
                     apply_orthonormal_constraints(state.params),
                     state.batch_stats, state.opt_state, state.step,
                 )
-        log.info("chain-e2e epoch %d: objf %.4f (%d steps)",
-                 epoch, float(np.mean(objs)) if objs else float("nan"),
-                 len(objs))
+        mean_loss = -float(np.mean(objs)) if objs else float("nan")
+        e, objf_log, nsteps = epoch, -mean_loss, len(objs)
+        state, prev_loss, epoch, retries, lr_scale = _check_divergence(
+            state, snapshot, mean_loss, prev_loss, epoch, retries, lr_scale,
+            opts.max_lr_retries,
+            lambda: log.info("chain-e2e epoch %d: objf %.4f (%d steps)",
+                             e, objf_log, nsteps),
+        )
     out_am = AmNnet(
         config,
         {"params": jax.tree.map(np.asarray, state.params),

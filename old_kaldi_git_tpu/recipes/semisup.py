@@ -51,7 +51,7 @@ from old_kaldi_git_tpu.models.train import (
 )
 from old_kaldi_git_tpu.models.tdnn import apply_orthonormal_constraints
 from old_kaldi_git_tpu.recipes.chain import ChainModel
-from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
 from old_kaldi_git_tpu.utils.parse_options import options_dataclass
 
 log = get_logger("semisup")
@@ -151,11 +151,18 @@ def train_chain_semisup(
                          lm_scale=1.0, ac_scale=1.0)
         for k in unsup_keys
     }
-    unsup_graphs = [
-        lattice_to_numerator(pruned[k], tm, den,
-                             lattice_lm_scale=opts.lattice_lm_scale)
-        for k in unsup_keys
-    ]
+    unsup_graphs = []
+    kept_keys = []
+    for k in unsup_keys:
+        try:
+            unsup_graphs.append(
+                lattice_to_numerator(pruned[k], tm, den,
+                                     lattice_lm_scale=opts.lattice_lm_scale))
+            kept_keys.append(k)
+        except KaldiError as e:
+            # one bad lattice must not abort the whole semisup run
+            log.warning("skipping unsupervised utterance %s: %s", k, e)
+    unsup_keys = kept_keys
 
     # 2. transcript supervision for the labeled data (same numerator format)
     compiler = GraphCompiler(lang, seed_model.ctx_dep, tm)

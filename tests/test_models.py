@@ -100,6 +100,73 @@ def test_ce_training_learns():
     assert trained.log_priors is not None
 
 
+def _separable_data(rng, num_pdfs=6, D=8, n_utts=6):
+    means = rng.normal(size=(num_pdfs, D)) * 3
+    feats, labels = {}, {}
+    for u in range(n_utts):
+        lab = np.repeat(rng.integers(0, num_pdfs, size=12), 5).astype(np.int32)
+        feats[f"u{u}"] = (
+            means[lab] + 0.3 * rng.normal(size=(60, D))).astype(np.float32)
+        labels[f"u{u}"] = lab
+    return feats, labels
+
+
+def test_backstitch_training_learns():
+    """Backstitch (nnet-training.cc backstitch-training-scale): training
+    with alpha=0.3 still converges on separable data."""
+    rng = np.random.default_rng(1)
+    feats, labels = _separable_data(rng)
+    config = make_tdnn(8, 6, hidden_dim=32, num_layers=2)
+    am = AmNnet.init(config)
+    opts = NnetTrainOptions(num_epochs=20, minibatch_size=4, chunk_width=30,
+                            initial_lr=3e-3, final_lr=1e-3,
+                            backstitch_scale=0.3, backstitch_interval=1)
+    trained = train_ce(am, feats, labels, opts)
+    x = feats["u0"][None]
+    pred = np.argmax(np.asarray(trained.logits(jnp.asarray(x)))[0], axis=-1)
+    acc = (pred == labels["u0"]).mean()
+    assert acc > 0.9, f"frame accuracy {acc}"
+
+
+def test_divergence_recovery_halves_lr():
+    """LR explosion (steps/libs/nnet3/train/common.py behavior): an insane
+    initial LR diverges the objective; the epoch loop must rewind and
+    retry with halved LR and still produce a finite, working model."""
+    rng = np.random.default_rng(2)
+    feats, labels = _separable_data(rng)
+    config = make_tdnn(8, 6, hidden_dim=32, num_layers=2)
+    am = AmNnet.init(config)
+    # lr 3e3 blows up CE within an epoch on this data; sgd has no
+    # adaptive rescue, so recovery must come from the rewind+halving
+    opts = NnetTrainOptions(num_epochs=4, minibatch_size=4, chunk_width=30,
+                            initial_lr=3e3, final_lr=3e3, optimizer="sgd",
+                            max_param_change=1e6,
+                            max_change_per_component=1e6,
+                            max_lr_retries=20)
+    trained = train_ce(am, feats, labels, opts)
+    logits = np.asarray(trained.logits(jnp.asarray(feats["u0"][None])))
+    assert np.all(np.isfinite(logits)), "diverged despite LR-halving retries"
+
+
+def test_nonfinite_objective_aborts():
+    """A NaN objective that halved-LR retries cannot fix aborts the run
+    (nnet3-train KALDI_ERR behavior) instead of silently continuing."""
+    import pytest
+
+    from old_kaldi_git_tpu.utils.log import KaldiError
+
+    rng = np.random.default_rng(3)
+    feats, labels = _separable_data(rng, n_utts=2)
+    # poison the input: NaN features make the loss NaN at ANY learning rate
+    feats["u0"][:] = np.nan
+    config = make_tdnn(8, 6, hidden_dim=16, num_layers=1)
+    am = AmNnet.init(config)
+    opts = NnetTrainOptions(num_epochs=2, minibatch_size=2, chunk_width=30,
+                            max_lr_retries=1)
+    with pytest.raises(KaldiError, match="non-finite"):
+        train_ce(am, feats, labels, opts)
+
+
 def test_amnnet_save_load(tmp_path):
     config = make_tdnnf(13, 20, hidden_dim=32, bottleneck_dim=8, num_layers=2)
     am = AmNnet.init(config)

@@ -158,16 +158,31 @@ def test_nnet1_frmshuff_newbob_e2e():
 
 
 def test_nnet1_mse_loss_trains():
-    """Mse loss branch (nnet-loss.h Mse): regression targets decrease."""
+    """Mse loss branch (nnet-loss.h Mse): regression error decreases."""
+    from old_kaldi_git_tpu.models.nnet1 import Nnet1Model
+
     rng = np.random.default_rng(3)
     feats = {"u0": rng.normal(size=(60, 5)).astype(np.float32)}
     targets = {"u0": (feats["u0"] @ rng.normal(size=(5, 4))
                       ).astype(np.float32)}
     cfg = Nnet1Config(input_dim=5, output_dim=4, hidden_dim=32,
                       num_hidden_layers=1, left_context=0, right_context=0)
+    init = AmNnet1.init(cfg)
     am = train_nnet1_frmshuff(
-        AmNnet1.init(cfg), feats, targets,
+        init, feats, targets,
         Nnet1TrainOptions(max_epochs=10, minibatch_size=16,
                           learn_rate=2e-2, loss="mse", cv_fraction=0.2),
     )
     assert am.log_priors is None  # mse path sets no priors
+
+    def mse(m):
+        out = Nnet1Model(cfg).apply(
+            {"params": m.params}, m._splice(feats["u0"][None]))[0]
+        return float(np.mean(np.sum((np.asarray(out) - targets["u0"]) ** 2,
+                                    -1)))
+
+    # evaluate both through the TRAINED model's feature transform so the
+    # only difference is the weights
+    before = AmNnet1(cfg, init.params, feat_shift=am.feat_shift,
+                     feat_scale=am.feat_scale)
+    assert mse(am) < 0.9 * mse(before), (mse(am), mse(before))

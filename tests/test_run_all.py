@@ -24,10 +24,13 @@ def test_run_all_pipeline_and_resume(tmp_path):
             wers[ln.split("[")[1].rstrip("]")] = float(ln.split()[1])
         elif ln.startswith("RTF"):
             rtf = float(ln.split()[1])
+    # gates within ~1 point of measured (fixed seeds → deterministic):
+    # every config scores 0.00 except nnet3-tdnn at 4.35 (1 of 23 words)
     for name in ("tri2b", "tri2b+fmllr", "nnet3-tdnn", "chain",
                  "tri2b-lattice-1best", "tri2b+bigram-rescore"):
         assert name in wers, results
-        assert wers[name] <= 10.0, (name, wers[name])
+        gate = 5.0 if name == "nnet3-tdnn" else 2.0
+        assert wers[name] <= gate, (name, wers[name])
     assert rtf is not None and rtf > 0
     # per-stage logs written (exp/*/log convention)
     logs = os.listdir(os.path.join(work, "log"))

@@ -84,6 +84,47 @@ def test_lattice_numerator_bounded_by_denominator():
     assert np.all(np.asarray(num_lm) <= np.asarray(num) + 1e-3)
 
 
+def test_lattice_numerator_folds_epsilon_arcs():
+    """Epsilon-input arcs (multi-word olabel chains from lattice_from_decode's
+    _emit) must NOT abort numerator construction: their graph cost folds
+    into the adjacent emitting arc via epsilon closure, and num ≤ den still
+    holds on random logits."""
+    from old_kaldi_git_tpu.chain.e2e import (
+        NumeratorGraphBatch,
+        generic_numerator_logprob,
+    )
+    from old_kaldi_git_tpu.chain.loss import denominator_logprob
+    from old_kaldi_git_tpu.chain.semisup import lattice_to_numerator
+    from old_kaldi_git_tpu.lat.lattice import Lattice, LatticeArc
+
+    (seed, lang, graph, _sf, _st, unsup_feats, _tf, _tt) = _seed_system(
+        n_sup=8, n_unsup=2, n_test=2, epochs=4)
+    lats = decode_chain_lattices(seed, graph, unsup_feats, beam=14.0,
+                                 lattice_beam=6.0)
+    assert lats
+    key = sorted(lats)[0]
+    lat = lats[key]
+    # splice an epsilon arc into the middle of the best chain, exactly the
+    # shape _emit produces for a 2-word olabel: emitting arc retargeted to a
+    # fresh state, then (ilabel=0, graph_cost) to the original destination
+    src = next(s for s in range(lat.num_states) if lat.arcs[s])
+    arc = lat.arcs[src][0]
+    mid = lat.add_state(time=lat.state_time[src])
+    orig_dst = arc.nextstate
+    arc.nextstate = mid
+    lat.arcs[mid].append(LatticeArc(0, 0, 1.25, 0.0, orig_dst))
+    g1 = lattice_to_numerator(lat, seed.tm, seed.den, lattice_lm_scale=0.7)
+    g = NumeratorGraphBatch.from_csr_graphs([g1])
+    nf = np.array([max(t for t in lat.state_time if t >= 0) + 1], np.int32)
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(
+        size=(1, int(nf[0]), seed.ctx_dep.num_pdfs)).astype(np.float32))
+    num = generic_numerator_logprob(logits, g, jnp.asarray(nf))
+    den = denominator_logprob(logits, jnp.asarray(nf), seed.den, 0.0)
+    assert np.all(np.isfinite(np.asarray(num)))
+    assert np.all(np.asarray(num) <= np.asarray(den) + 1e-3)
+
+
 @pytest.mark.slow
 def test_semisup_improves_or_holds_wer():
     """End-to-end semisup: seed on half the data, lattice supervision on
