@@ -443,6 +443,43 @@ def shortest_path(fst: VectorFst) -> Tuple[float, List[int], List[int]]:
     return best_w, ilabels[::-1], olabels[::-1]
 
 
+def fst_sentence_cost(
+    g: VectorFst, word_ids: Sequence[int], backoff_ilabel: int
+) -> float:
+    """Cost of a word sequence through a backoff G acceptor — the
+    reference's BackoffDeterministicOnDemandFst query semantics
+    (src/fstext/deterministic-fst.h): at each state take the arc matching
+    the next word if present, else follow the #0 backoff arc and retry;
+    finishes by backing off until a final state is reachable."""
+    s = g.start
+    total = 0.0
+    for w in word_ids:
+        while True:
+            hit = None
+            bo = None
+            for a in g.arcs[s]:
+                if a.ilabel == w:
+                    hit = a
+                    break
+                if a.ilabel == backoff_ilabel:
+                    bo = a
+            if hit is not None:
+                total += hit.weight
+                s = hit.nextstate
+                break
+            if bo is None:
+                return INF
+            total += bo.weight
+            s = bo.nextstate
+    while g.finals[s] == INF:
+        bo = next((a for a in g.arcs[s] if a.ilabel == backoff_ilabel), None)
+        if bo is None:
+            return INF
+        total += bo.weight
+        s = bo.nextstate
+    return total + g.finals[s]
+
+
 def _string_weights(
     fst: VectorFst, max_len: int, use_log: bool, max_strings: int = 20000
 ) -> Dict[Tuple[Tuple[int, ...], Tuple[int, ...]], float]:
