@@ -55,6 +55,54 @@ class CsrGraph:
 
 
 
+class FlatOlabels:
+    """Per-arc (or per-state) output-label runs stored as flat (offsets,
+    values) arrays — tuple-list protocol without millions of Python tuples
+    (the native CSR export path for large graphs)."""
+
+    __slots__ = ("offsets", "values")
+
+    def __init__(self, offsets: np.ndarray, values: np.ndarray):
+        self.offsets = offsets
+        self.values = values
+
+    def __len__(self):
+        return len(self.offsets) - 1
+
+    def __getitem__(self, i):
+        return tuple(self.values[self.offsets[i]:self.offsets[i + 1]].tolist())
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def fst_to_csr_native(nfst, tid_to_pdf: np.ndarray) -> CsrGraph:
+    """CSR conversion on a native handle (fst/native.py NativeFst) — same
+    semantics as fst_to_csr but never materializes Python arc objects."""
+    (start, row_ptr, tid, weight, nextstate, final_weight, olab_off,
+     olab_val, folab_off, folab_val) = nfst.to_csr_arrays()
+    csr = CsrGraph(
+        start=start,
+        row_ptr=row_ptr,
+        tid=tid,
+        pdf=tid_to_pdf[tid].astype(np.int32) if len(tid) else tid.copy(),
+        weight=weight,
+        nextstate=nextstate,
+        final_weight=np.where(
+            np.isfinite(final_weight), final_weight, np.inf
+        ).astype(np.float32),
+        arc_olabels=FlatOlabels(olab_off, olab_val),
+        final_olabels=FlatOlabels(folab_off, folab_val),
+    )
+    csr._olabel_mask = (olab_off[1:] > olab_off[:-1])
+    log.info(
+        "csr(native): %d states, %d arcs (max out-degree %d)",
+        csr.num_states, csr.num_arcs, csr.max_out_degree,
+    )
+    return csr
+
+
 def _eps_closure(
     fst: VectorFst, s: int
 ) -> List[Tuple[int, float, Tuple[int, ...]]]:

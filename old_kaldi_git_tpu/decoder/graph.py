@@ -113,6 +113,57 @@ def mkgraph(
     return hclg
 
 
+def mkgraph_csr(
+    lang: Lang,
+    g: VectorFst,
+    ctx_dep: ContextDependency,
+    tm: TransitionModel,
+    transition_scale: float = 1.0,
+    self_loop_scale: float = 0.1,
+):
+    """mkgraph straight to decoder CSR form, entirely on native handles
+    when the C++ library is built (the only path that scales to 20k-word
+    trigram HCLGs with millions of states — Python VectorFst objects per
+    arc would need tens of GB).  Falls back to the Python pipeline.
+
+    Equivalence with mkgraph + fst_to_csr is tested on small systems
+    (tests/test_fst.py)."""
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr, fst_to_csr_native
+    from old_kaldi_git_tpu.fst.native import NativeFst
+
+    if not native.available():
+        return fst_to_csr(
+            mkgraph(lang, g, ctx_dep, tm, transition_scale, self_loop_scale),
+            tm.tid_to_pdf_array(),
+        )
+    lg = NativeFst.from_vector_fst(lang.L_disambig).compose(
+        NativeFst.from_vector_fst(g))
+    lg = lg.determinize_star(use_log=True)
+    lg = lg.minimize_encoded()
+    lg.push_special()
+    log.info("mkgraph: LG has %d states / %d arcs", lg.num_states, lg.num_arcs)
+    subseq = max(lang.phones.ids()) + 1
+    clg, ilabel_info = lg.compose_context(
+        ctx_dep.N, ctx_dep.P, lang.disambig_phone_ids, subseq)
+    del lg
+    log.info("mkgraph: CLG has %d states / %d arcs (%d ilabels)",
+             clg.num_states, clg.num_arcs, len(ilabel_info))
+    ha, disambig_tids = make_h_transducer(
+        ilabel_info, ctx_dep, tm, transition_scale)
+    hclga = NativeFst.from_vector_fst(ha).compose(clg)
+    del clg
+    hclga = hclga.determinize_star()
+    hclga.rm_symbols(disambig_tids, side="input")
+    hclga.remove_eps_local()
+    hclga = hclga.minimize_encoded()
+    hclg = hclga.add_self_loops(tm, self_loop_scale)
+    del hclga
+    hclg.connect()
+    log.info("mkgraph: HCLG has %d states / %d arcs",
+             hclg.num_states, hclg.num_arcs)
+    return fst_to_csr_native(hclg, tm.tid_to_pdf_array())
+
+
 class GraphCompiler:
     """Per-utterance training graphs (reference TrainingGraphCompiler)."""
 

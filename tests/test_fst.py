@@ -328,3 +328,165 @@ def test_replace_fst_nested_and_recursive():
     assert [o for o in olabs if o] == [W, W, W]
     with pytest.raises(KaldiError):
         replace_fst(top, {X: sub_x, Y: linear_fst([X])})
+
+
+# ---------------------------------------------------------------------------
+# native graph-plane pipeline ops (round-2 additions for large graphs)
+# ---------------------------------------------------------------------------
+
+def _require_native():
+    from old_kaldi_git_tpu.fst import native
+
+    if not native.available():
+        pytest.skip("native wfst library not built (make -C cpp)")
+    return native
+
+
+def test_native_push_special_matches_python():
+    native = _require_native()
+    rng = random.Random(7)
+    for trial in range(6):
+        a = rand_fst(rng, num_states=8, num_arcs=16, acyclic=False,
+                     eps_prob=0.1)
+        if a.start < 0 or a.num_states == 0:
+            continue
+        a.connect()
+        if a.num_states == 0:
+            continue
+        py = a.copy()
+        push_special(py)
+        nat = native.NativeFst.from_vector_fst(a)
+        nat.push_special()
+        back = nat.to_vector_fst()
+        assert back.num_states == py.num_states
+        for s in range(py.num_states):
+            wa = sorted((x.ilabel, x.olabel, x.nextstate, round(x.weight, 4))
+                        for x in py.arcs[s])
+            wb = sorted((x.ilabel, x.olabel, x.nextstate, round(x.weight, 4))
+                        for x in back.arcs[s])
+            assert wa == wb, f"trial {trial} state {s}"
+
+
+def test_native_csr_matches_python():
+    import numpy as np
+
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr, fst_to_csr_native
+
+    native = _require_native()
+    rng = random.Random(11)
+    checked = 0
+    for trial in range(10):
+        a = rand_fst(rng, num_states=10, num_arcs=25, acyclic=True,
+                     eps_prob=0.35)
+        if a.start < 0 or a.num_states == 0:
+            continue
+        max_label = max(
+            (arc.ilabel for s in a.states() for arc in a.arcs[s]), default=0
+        )
+        tid2pdf = np.arange(max_label + 1, dtype=np.int32)
+        py = fst_to_csr(a, tid2pdf)
+        nat = fst_to_csr_native(native.NativeFst.from_vector_fst(a), tid2pdf)
+        assert py.num_states == nat.num_states
+        assert py.num_arcs == nat.num_arcs
+        assert (py.row_ptr == nat.row_ptr).all()
+        assert (py.tid == nat.tid).all()
+        assert (py.nextstate == nat.nextstate).all()
+        assert abs(py.weight - nat.weight).max() < 1e-4 if py.num_arcs else True
+        assert (
+            np.where(np.isfinite(py.final_weight), py.final_weight, -1)
+            - np.where(np.isfinite(nat.final_weight), nat.final_weight, -1)
+        ).max() < 1e-4
+        for i in range(py.num_arcs):
+            assert tuple(py.arc_olabels[i]) == tuple(nat.arc_olabels[i])
+        for s in range(py.num_states):
+            assert tuple(py.final_olabels[s]) == tuple(nat.final_olabels[s])
+        checked += 1
+    assert checked >= 5
+
+
+def test_native_compose_context_matches_python():
+    """Same window/path language as the Python compose_context (ilabel ids
+    may be assigned in a different order; compare via canonical relabeling)."""
+    from old_kaldi_git_tpu.fst.context import compose_context
+
+    native = _require_native()
+    rng = random.Random(23)
+
+    def canonicalize(fst, ilabel_info):
+        # relabel each arc's ilabel to a canonical id: index of its window
+        # in the sorted set of all windows
+        entries = sorted(
+            (tuple(w), i) for i, w in enumerate(ilabel_info) if i > 0 and w
+        )
+        canon = {i: k + 1 for k, (_w, i) in enumerate(entries)}
+        out = fst.copy()
+        for s in out.states():
+            for a in out.arcs[s]:
+                if a.ilabel:
+                    a.ilabel = canon[a.ilabel]
+        return out
+
+    checked = 0
+    for trial in range(8):
+        # phone-level acceptor: labels 1..5 phones, 6 = disambig
+        a = rand_fst(rng, num_states=7, num_arcs=14, acyclic=True,
+                     eps_prob=0.15, num_ilabels=6)
+        if a.start < 0 or a.num_states == 0:
+            continue
+        for N, P in ((1, 0), (2, 1), (3, 1)):
+            clg_py, info_py = compose_context(a, N, P, [6], subseq_symbol=99)
+            nat_lg = native.NativeFst.from_vector_fst(a)
+            nat_clg, info_nat = nat_lg.compose_context(N, P, [6], 99)
+            clg_nat = nat_clg.to_vector_fst()
+            assert sorted(map(tuple, info_py)) == sorted(map(tuple, info_nat)), \
+                f"trial {trial} N={N}"
+            assert fst_equivalent(
+                canonicalize(clg_py, info_py),
+                canonicalize(clg_nat, info_nat),
+                max_len=6,
+            ), f"trial {trial} N={N}"
+        checked += 1
+    assert checked >= 4
+
+
+def test_native_mkgraph_csr_matches_python_triphone():
+    """Full native mkgraph pipeline (compose/determinize/push-special/
+    context/H/self-loops/CSR) == Python pipeline on a trained triphone
+    system: identical graph sizes and identical decodes."""
+    import numpy as np
+
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.graph import mkgraph, mkgraph_csr
+    from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+    from old_kaldi_git_tpu.recipes.decode import (
+        DecodeOptions, decode_dataset, score_hyps,
+    )
+    from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+    from old_kaldi_git_tpu.recipes.triphone import GmmTrainOptions, train_deltas
+    from old_kaldi_git_tpu.recipes.yesno import (
+        compute_feats, make_corpus, make_lang,
+    )
+
+    _require_native()
+    tw, tt, sw, st = make_corpus(12, 4)
+    tf, sf = compute_feats(tw), compute_feats(sw)
+    lang = make_lang()
+    mono, ali = train_mono(
+        tf, tt, lang, MonoTrainOptions(num_iters=6, totgauss=60)
+    )
+    tri, ctx_dep, _ = train_deltas(
+        tf, tt, lang, mono, ali, num_leaves=40,
+        opts=GmmTrainOptions(num_iters=4, totgauss=80),
+    )
+    assert ctx_dep.N == 3
+    g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+    csr_py = fst_to_csr(
+        mkgraph(lang, g, ctx_dep, tri.tm), tri.tm.tid_to_pdf_array()
+    )
+    csr_nat = mkgraph_csr(lang, g, ctx_dep, tri.tm)
+    assert csr_py.num_states == csr_nat.num_states
+    assert csr_py.num_arcs == csr_nat.num_arcs
+    h_py = decode_dataset(tri, csr_py, lang, sf, DecodeOptions(beam=20.0))
+    h_nat = decode_dataset(tri, csr_nat, lang, sf, DecodeOptions(beam=20.0))
+    assert h_py == h_nat
+    assert score_hyps(st, h_nat).wer <= score_hyps(st, h_py).wer
