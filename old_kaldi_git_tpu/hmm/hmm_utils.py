@@ -83,8 +83,12 @@ def make_h_transducer(
     for i, info in enumerate(ilabel_info):
         if i == 0 or not info:
             continue  # epsilon
-        if len(info) == 1 and info[0] < 0:
-            # disambiguation symbol: pass through with a fresh input id
+        if len(info) == 1 and info[0] <= 0:
+            # disambiguation symbol (negative id), or the #-1 begin-of-
+            # sequence symbol stored as [0] (context composition emits it
+            # for epsilon arcs in LG, e.g. LM backoff — reference
+            # GetHTransducer's `size()==1 && [0] <= 0` case): pass through
+            # with a fresh input id
             fst.add_arc(loop, Arc(next_disambig, i, 0.0, loop))
             disambig_tids.append(next_disambig)
             next_disambig += 1

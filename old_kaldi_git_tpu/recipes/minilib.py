@@ -1,0 +1,510 @@
+"""Mini-librispeech-class synthetic system at realistic decode-graph scale.
+
+The reference's mini_librispeech recipe (BASELINE configs 2-3; reference
+egs/mini_librispeech/s5/run.sh) decodes with a ~20k-word lexicon and a
+pruned trigram LM over a triphone tree — an HCLG in the million-state
+range, three orders of magnitude beyond the unigram toy systems the small
+recipes here use.  The corpus itself is not downloadable in this
+environment (zero egress), so this module synthesizes an equivalent task:
+
+  * 40 formant-distinct phones, 20k-word lexicon of random pronunciations,
+  * sentences from a sparse Zipfian Markov "grammar" (so a trigram LM has
+    real predictive structure over held-out text),
+  * interpolated absolute-discounting trigram LM with entropy pruning
+    (lm/ngram.py — the in-tree kaldi_lm/SRILM role),
+  * flat-start mono GMM → triphone tree (real acc-tree-stats from mono
+    alignments) → short triphone-GMM refinement → TDNN-F trained with CE,
+  * HCLG built entirely on native graph handles (decoder/graph.mkgraph_csr),
+    at default sizes ≥ 1M states,
+  * batched token-sparse decode of held-out utterances with measured WER.
+
+Every stage is deterministic from the option seeds and gated by on-disk
+artifacts (utils/pipeline.py --stage UX), so bench.py can rebuild any
+missing piece and a warm run loads everything.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import math
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.parse_options import options_dataclass
+
+log = get_logger("minilib")
+
+SAMP_FREQ = 8000.0
+
+
+@options_dataclass
+class MinilibOptions:
+    num_phones: int = 40
+    num_words: int = 20_000
+    lm_sentences: int = 250_000
+    num_train: int = 600
+    num_test: int = 256
+    seed: int = 42
+    # LM shape
+    lm_order: int = 3
+    prune_threshold: float = 4e-8
+    # tree / models
+    tree_leaves: int = 2000
+    tri_iters: int = 8
+    mono_iters: int = 25
+    mono_totgauss: int = 500
+    tri_totgauss: int = 4000
+    # TDNN-F acoustic model
+    hidden_dim: int = 512
+    bottleneck_dim: int = 64
+    num_layers: int = 6
+    num_epochs: int = 4
+
+
+# ---------------------------------------------------------------------------
+# phone inventory & audio synthesis (formant tones, as recipes/yesno.py but
+# over a generated 40-phone grid)
+# ---------------------------------------------------------------------------
+
+def phone_inventory(num_phones: int) -> Dict[str, List[Tuple[float, float]]]:
+    """Deterministic formant grid: f1 x f2 combinations below the 4 kHz
+    Nyquist, each phone acoustically distinct in the mel filterbank."""
+    f1s = [300.0, 450.0, 600.0, 750.0, 900.0]
+    f2s = [1050.0, 1350.0, 1650.0, 1950.0, 2250.0, 2550.0, 2850.0, 3150.0]
+    specs: Dict[str, List[Tuple[float, float]]] = {}
+    for i in range(num_phones):
+        f1 = f1s[i % len(f1s)]
+        f2 = f2s[(i // len(f1s)) % len(f2s)]
+        specs[f"p{i:02d}"] = [(f1, 1.0), (f2, 0.7)]
+    return specs
+
+
+def phone_durations(num_phones: int) -> Dict[str, float]:
+    return {f"p{i:02d}": 0.05 + 0.005 * (i % 6) for i in range(num_phones)}
+
+
+def _tone(spec, dur, rng, noise):
+    n = int(dur * SAMP_FREQ)
+    t = np.arange(n) / SAMP_FREQ
+    sig = np.zeros(n)
+    for freq, amp in spec:
+        f = freq * (1.0 + 0.015 * rng.standard_normal())
+        sig += amp * np.sin(2 * math.pi * f * t + rng.random() * 2 * math.pi)
+    ramp = min(60, max(1, n // 4))
+    env = np.ones(n)
+    env[:ramp] = np.linspace(0, 1, ramp)
+    env[-ramp:] = np.linspace(1, 0, ramp)
+    return (2500.0 * sig * env + noise * rng.standard_normal(n)).astype(np.float32)
+
+
+def _silence(dur, rng, noise):
+    n = int(dur * SAMP_FREQ)
+    return (noise * rng.standard_normal(n)).astype(np.float32)
+
+
+def synth_utterance(
+    words: Sequence[str],
+    lexicon: Dict[str, str],
+    specs: Dict[str, List[Tuple[float, float]]],
+    durs: Dict[str, float],
+    rng: np.random.Generator,
+    noise: float = 40.0,
+    sil_between: float = 0.3,
+) -> np.ndarray:
+    pieces = [_silence(0.1, rng, noise)]
+    for w in words:
+        for ph in lexicon[w].split():
+            d = durs[ph] * (0.85 + 0.3 * rng.random())
+            pieces.append(_tone(specs[ph], d, rng, noise))
+        if rng.random() < sil_between:
+            pieces.append(_silence(0.05 + 0.1 * rng.random(), rng, noise))
+    pieces.append(_silence(0.1, rng, noise))
+    return np.concatenate(pieces)
+
+
+# ---------------------------------------------------------------------------
+# lexicon & text
+# ---------------------------------------------------------------------------
+
+def make_lexicon(opts: MinilibOptions) -> Dict[str, str]:
+    rng = np.random.default_rng(opts.seed)
+    names = list(phone_inventory(opts.num_phones))
+    lex: Dict[str, str] = {}
+    seen = set()
+    w = 0
+    while w < opts.num_words:
+        pron = tuple(rng.choice(names, size=int(rng.integers(3, 8))))
+        if pron in seen:
+            continue
+        seen.add(pron)
+        lex[f"w{w:05d}"] = " ".join(pron)
+        w += 1
+    return lex
+
+
+def make_text(
+    opts: MinilibOptions, num_sentences: int, seed: int,
+    min_len: int = 5, max_len: int = 18,
+) -> List[np.ndarray]:
+    """Sentences as word-id arrays from a sparse Zipfian Markov grammar.
+    The successor structure depends only on opts.seed, so LM text and
+    held-out train/test sentences come from the SAME language."""
+    grammar_rng = np.random.default_rng(opts.seed + 1)
+    V = opts.num_words
+    zipf = 1.0 / (np.arange(1, V + 1) ** 0.9)
+    zipf /= zipf.sum()
+    NSUCC = 30
+    succ = grammar_rng.choice(V, size=(V, NSUCC), p=zipf)
+    rng = np.random.default_rng(seed)
+    starts = rng.choice(V, size=num_sentences, p=zipf)
+    lens = rng.integers(min_len, max_len, size=num_sentences)
+    pick = rng.integers(0, NSUCC, size=(num_sentences, max_len))
+    out = []
+    for i in range(num_sentences):
+        cur = int(starts[i])
+        s = [cur]
+        for j in range(int(lens[i]) - 1):
+            cur = int(succ[cur, pick[i, j]])
+            s.append(cur)
+        out.append(np.asarray(s, np.int32))
+    return out
+
+
+def _to_words(sent_ids: np.ndarray) -> List[str]:
+    return [f"w{int(i):05d}" for i in sent_ids]
+
+
+# ---------------------------------------------------------------------------
+# features (shared front-end: 13 MFCC + per-utt CMVN + deltas = 39)
+# ---------------------------------------------------------------------------
+
+def compute_feats(waves: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    import jax.numpy as jnp
+
+    from old_kaldi_git_tpu.feat import Mfcc, MfccOptions, compute_deltas
+
+    opts = MfccOptions()
+    opts.frame_opts.samp_freq = SAMP_FREQ
+    opts.frame_opts.dither = 0.0
+    mfcc = Mfcc(opts)
+    keys = sorted(waves)
+    max_len = max(waves[k].shape[0] for k in keys)
+    out: Dict[str, np.ndarray] = {}
+    # chunk the batch so [B, T] padding stays modest
+    CHUNK = 128
+    for c0 in range(0, len(keys), CHUNK):
+        chunk = keys[c0 : c0 + CHUNK]
+        mlen = max(waves[k].shape[0] for k in chunk)
+        batch = np.zeros((len(chunk), mlen), np.float32)
+        for i, k in enumerate(chunk):
+            batch[i, : waves[k].shape[0]] = waves[k]
+        feats = np.asarray(mfcc(jnp.asarray(batch)))
+        nf = np.asarray([mfcc.num_frames(waves[k].shape[0]) for k in chunk])
+        T = feats.shape[1]
+        idx = np.minimum(np.arange(T)[None, :], (nf - 1)[:, None])
+        feats = np.take_along_axis(feats, idx[:, :, None], axis=1)
+        mask = (np.arange(T)[None, :] < nf[:, None]).astype(np.float32)
+        mean = (feats * mask[:, :, None]).sum(1) / nf[:, None]
+        feats = feats - mean[:, None, :]
+        deltas = np.asarray(compute_deltas(jnp.asarray(feats.astype(np.float32))))
+        for i, k in enumerate(chunk):
+            out[k] = deltas[i, : nf[i]].astype(np.float32)
+    return out
+
+
+def synth_set(
+    opts: MinilibOptions, sents: List[np.ndarray], prefix: str, seed: int
+) -> Tuple[Dict[str, np.ndarray], Dict[str, List[str]]]:
+    lex = make_lexicon(opts)
+    specs = phone_inventory(opts.num_phones)
+    durs = phone_durations(opts.num_phones)
+    rng = np.random.default_rng(seed)
+    waves, text = {}, {}
+    for i, s in enumerate(sents):
+        words = _to_words(s)
+        utt = f"{prefix}_{i:04d}"
+        waves[utt] = synth_utterance(words, lex, specs, durs, rng)
+        text[utt] = words
+    return waves, text
+
+
+# ---------------------------------------------------------------------------
+# system build (stage-gated)
+# ---------------------------------------------------------------------------
+
+def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
+                 stage: int = 0) -> None:
+    """Build all artifacts under workdir.  Stages:
+      1 lang   2 lm(arpa)   3 mono   4 tri(tree+gmm)   5 am   6 hclg
+    """
+    from old_kaldi_git_tpu.utils.pipeline import Pipeline
+
+    opts = opts or MinilibOptions()
+    pipe = Pipeline(workdir, stage=stage, log_to_files=False)
+    ctx = pipe.ctx
+
+    @pipe.stage(1, "lang", produces="lang.pkl")
+    def _lang(ctx):
+        from old_kaldi_git_tpu.fst.lang import Lang, Lexicon
+
+        lex = make_lexicon(opts)
+        lang = Lang(Lexicon.from_dict(lex), silence_phone="SIL", sil_prob=0.5)
+        with open(ctx.path("lang.pkl"), "wb") as f:
+            pickle.dump(lang, f, protocol=4)
+        log.info("lang: %d words, %d phones", len(lex), opts.num_phones)
+
+    @pipe.stage(2, "lm", produces="arpa.txt.gz")
+    def _lm(ctx):
+        from old_kaldi_git_tpu.lm.ngram import (
+            estimate_ngram_lm,
+            perplexity,
+            prune_ngram_lm,
+            write_arpa,
+        )
+
+        sents = [
+            _to_words(s)
+            for s in make_text(opts, opts.lm_sentences, opts.seed + 2)
+        ]
+        lm = estimate_ngram_lm(sents, order=opts.lm_order, cutoffs=(0, 0, 1))
+        lm = prune_ngram_lm(lm, threshold=opts.prune_threshold)
+        heldout = [
+            _to_words(s) for s in make_text(opts, 200, opts.seed + 3)
+        ]
+        log.info("lm: held-out perplexity %.1f", perplexity(lm, heldout))
+        tmp = ctx.path("arpa.txt")
+        write_arpa(lm, tmp)
+        with open(tmp, "rb") as f:
+            data = f.read()
+        with gzip.open(ctx.path("arpa.txt.gz"), "wb") as f:
+            f.write(data)
+        os.remove(tmp)
+
+    @pipe.stage(3, "mono", produces=("mono.mdl", "mono_ali.pkl"))
+    def _mono(ctx):
+        from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
+
+        lang = _load_lang(workdir)
+        sents = make_text(opts, opts.num_train, opts.seed + 4,
+                          min_len=4, max_len=11)
+        waves, text = synth_set(opts, sents, "train", opts.seed + 5)
+        feats = compute_feats(waves)
+        model, ali = train_mono(
+            feats, text, lang,
+            MonoTrainOptions(num_iters=opts.mono_iters,
+                             totgauss=opts.mono_totgauss),
+        )
+        model.save(ctx.path("mono.mdl"))
+        with open(ctx.path("mono_ali.pkl"), "wb") as f:
+            pickle.dump(ali, f, protocol=4)
+
+    @pipe.stage(4, "tri", produces=("tri.mdl", "tri_ali.pkl", "tree.pkl"))
+    def _tri(ctx):
+        from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+        from old_kaldi_git_tpu.recipes.gmm_common import GmmTrainOptions
+        from old_kaldi_git_tpu.recipes.triphone import train_deltas
+
+        lang = _load_lang(workdir)
+        mono = AmGmmModel.load(ctx.path("mono.mdl"))
+        with open(ctx.path("mono_ali.pkl"), "rb") as f:
+            mono_ali = pickle.load(f)
+        sents = make_text(opts, opts.num_train, opts.seed + 4,
+                          min_len=4, max_len=11)
+        waves, text = synth_set(opts, sents, "train", opts.seed + 5)
+        feats = compute_feats(waves)
+        model, _ctx_dep, ali = train_deltas(
+            feats, text, lang, mono, mono_ali,
+            num_leaves=opts.tree_leaves,
+            opts=GmmTrainOptions(
+                num_iters=opts.tri_iters, totgauss=opts.tri_totgauss,
+                realign_iters=tuple(range(1, opts.tri_iters, 2)),
+            ),
+        )
+        model.save(ctx.path("tri.mdl"))
+        with open(ctx.path("tri_ali.pkl"), "wb") as f:
+            pickle.dump(ali, f, protocol=4)
+        with open(ctx.path("tree.pkl"), "wb") as f:
+            pickle.dump((_ctx_dep, model.tm), f, protocol=4)
+
+    @pipe.stage(5, "am", produces="final.am")
+    def _am(ctx):
+        from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+        from old_kaldi_git_tpu.models.train import NnetTrainOptions
+        from old_kaldi_git_tpu.recipes.nnet3 import train_tdnn
+
+        tri = AmGmmModel.load(ctx.path("tri.mdl"))
+        with open(ctx.path("tri_ali.pkl"), "rb") as f:
+            ali = pickle.load(f)
+        sents = make_text(opts, opts.num_train, opts.seed + 4,
+                          min_len=4, max_len=11)
+        waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
+        feats = compute_feats(waves)
+        from old_kaldi_git_tpu.models.tdnn import make_tdnnf
+
+        config = make_tdnnf(
+            39, tri.am.num_pdfs, opts.hidden_dim, opts.bottleneck_dim,
+            opts.num_layers,
+        )
+        am = train_tdnn(
+            tri, feats, ali,
+            opts=NnetTrainOptions(num_epochs=opts.num_epochs),
+            config=config,
+        )
+        am.save(ctx.path("final.am"))
+
+    @pipe.stage(6, "hclg", produces="hclg.npz")
+    def _hclg(ctx):
+        csr = _build_hclg(workdir, opts)
+        save_csr(ctx.path("hclg.npz"), csr)
+
+    pipe.run()
+
+
+def _load_lang(workdir: str):
+    with open(os.path.join(workdir, "lang.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def _build_hclg(workdir: str, opts: MinilibOptions):
+    from old_kaldi_git_tpu.decoder.graph import mkgraph_csr
+    from old_kaldi_git_tpu.lm.arpa import arpa_to_fst, parse_arpa
+
+    lang = _load_lang(workdir)
+    with gzip.open(os.path.join(workdir, "arpa.txt.gz"), "rt") as f:
+        lm = parse_arpa(f.read())
+    g = arpa_to_fst(lm, lang.words)
+    g.arcsort("ilabel")
+    with open(os.path.join(workdir, "tree.pkl"), "rb") as f:
+        ctx_dep, tm = pickle.load(f)
+    return mkgraph_csr(lang, g, ctx_dep, tm)
+
+
+def save_csr(path: str, csr) -> None:
+    from old_kaldi_git_tpu.decoder.csr import FlatOlabels
+
+    ol = csr.arc_olabels
+    fol = csr.final_olabels
+    if not isinstance(ol, FlatOlabels):
+        off = np.zeros(len(ol) + 1, np.int32)
+        vals: List[int] = []
+        for i, t in enumerate(ol):
+            vals.extend(t)
+            off[i + 1] = len(vals)
+        ol = FlatOlabels(off, np.asarray(vals, np.int32))
+    if not isinstance(fol, FlatOlabels):
+        off = np.zeros(len(fol) + 1, np.int32)
+        vals = []
+        for i, t in enumerate(fol):
+            vals.extend(t)
+            off[i + 1] = len(vals)
+        fol = FlatOlabels(off, np.asarray(vals, np.int32))
+    np.savez(
+        path,
+        start=np.int32(csr.start), row_ptr=csr.row_ptr, tid=csr.tid,
+        pdf=csr.pdf, weight=csr.weight, nextstate=csr.nextstate,
+        final_weight=csr.final_weight,
+        olab_off=ol.offsets, olab_val=ol.values,
+        folab_off=fol.offsets, folab_val=fol.values,
+    )
+
+
+def load_csr(path: str):
+    from old_kaldi_git_tpu.decoder.csr import CsrGraph, FlatOlabels
+
+    z = np.load(path)
+    csr = CsrGraph(
+        start=int(z["start"]),
+        row_ptr=z["row_ptr"], tid=z["tid"], pdf=z["pdf"],
+        weight=z["weight"], nextstate=z["nextstate"],
+        final_weight=z["final_weight"],
+        arc_olabels=FlatOlabels(z["olab_off"], z["olab_val"]),
+        final_olabels=FlatOlabels(z["folab_off"], z["folab_val"]),
+    )
+    csr._olabel_mask = csr.arc_olabels.offsets[1:] > csr.arc_olabels.offsets[:-1]
+    return csr
+
+
+@dataclasses.dataclass
+class MinilibSystem:
+    lang: object
+    tm: object
+    csr: object
+    am: object
+    test_waves: Dict[str, np.ndarray]
+    test_text: Dict[str, List[str]]
+
+
+def load_system(workdir: str, opts: Optional[MinilibOptions] = None,
+                build_missing: bool = True) -> MinilibSystem:
+    """Load (building any missing stage) the full system + held-out test set."""
+    from old_kaldi_git_tpu.models.am_nnet import AmNnet
+
+    opts = opts or MinilibOptions()
+    if build_missing:
+        build_system(workdir, opts)
+    lang = _load_lang(workdir)
+    with open(os.path.join(workdir, "tree.pkl"), "rb") as f:
+        _ctx_dep, tm = pickle.load(f)
+    csr = load_csr(os.path.join(workdir, "hclg.npz"))
+    am = AmNnet.load(os.path.join(workdir, "final.am"))
+    test_sents = make_text(opts, opts.num_test, opts.seed + 6)
+    test_waves, test_text = synth_set(opts, test_sents, "test", opts.seed + 7)
+    return MinilibSystem(lang, tm, csr, am, test_waves, test_text)
+
+
+def decode_and_score(
+    system: MinilibSystem,
+    beam: float = 14.0,
+    max_active: int = 2048,
+    acoustic_scale: float = 1.0,
+) -> Tuple[float, float]:
+    """Token-sparse decode of the test set; returns (WER %, audio seconds)."""
+    from old_kaldi_git_tpu.decoder.viterbi import (
+        ViterbiOptions,
+        decode_batch_tokens,
+    )
+    from old_kaldi_git_tpu.utils.batching import pad_feature_batch
+    from old_kaldi_git_tpu.utils.edit_distance import compute_wer
+
+    feats = compute_feats(system.test_waves)
+    keys, padded, nf = pad_feature_batch(feats)
+    loglikes = system.am.loglikes_batch(padded)
+    results = decode_batch_tokens(
+        system.csr, loglikes, nf,
+        ViterbiOptions(beam=beam, max_active=max_active,
+                       acoustic_scale=acoustic_scale),
+    )
+    hyps = {}
+    for k, res in zip(keys, results):
+        hyps[k] = [system.lang.words[w] for w in res.words] if res else []
+    stats = compute_wer(
+        {k: list(v) for k, v in system.test_text.items()}, hyps
+    )
+    audio_s = sum(w.shape[0] for w in system.test_waves.values()) / SAMP_FREQ
+    log.info("minilib decode: %s over %.0f audio-s", stats.report(), audio_s)
+    return stats.wer, audio_s
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("workdir")
+    ap.add_argument("--stage", type=int, default=0)
+    ap.add_argument("--decode", action="store_true")
+    args = ap.parse_args()
+    opts = MinilibOptions()
+    build_system(args.workdir, opts, stage=args.stage)
+    if args.decode:
+        system = load_system(args.workdir, opts, build_missing=False)
+        wer, audio_s = decode_and_score(system)
+        print(f"WER {wer:.2f}% over {audio_s:.0f} audio-seconds")
+
+
+if __name__ == "__main__":
+    main()
