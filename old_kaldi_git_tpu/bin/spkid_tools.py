@@ -47,7 +47,7 @@ def _load_gmm(path: str):
         if not iof.init_kaldi_input_stream(f):
             raise KaldiError(f"{path}: expected binary model")
         token = iof.peek_token(f)
-        if token == "<DiagGmm>":
+        if token == "<DiagGMM>":
             return DiagGmm.read(f)
         if token == "<FullGMM>":
             return FullGmm.read(f)

@@ -85,21 +85,40 @@ class DiagGmm:
         p = np.exp(comp)
         return p / p.sum(axis=1, keepdims=True)
 
-    # -- single-GMM files (gmm-global-* tools: one <DiagGmm> per file) -------
+    # -- serialization (reference diag-gmm.cc Write/Read byte layout) --------
     def write(self, f) -> None:
-        iof.write_token(f, "<DiagGmm>")
+        """<DiagGMM> <GCONSTS> FV <WEIGHTS> FV <MEANS_INVVARS> FM
+        <INV_VARS> FM </DiagGMM> — the exact reference field order and
+        natural-parameter storage (gconsts_, means_invvars_, inv_vars_),
+        so reference-trained final.mdl files and ours are interchangeable."""
+        iof.write_token(f, "<DiagGMM>")
+        iof.write_token(f, "<GCONSTS>")
+        iof.write_vector(f, self.gconsts.astype(np.float32))
+        iof.write_token(f, "<WEIGHTS>")
         iof.write_vector(f, self.weights.astype(np.float32))
-        iof.write_matrix(f, self.means.astype(np.float32))
-        iof.write_matrix(f, self.vars.astype(np.float32))
-        iof.write_token(f, "</DiagGmm>")
+        iof.write_token(f, "<MEANS_INVVARS>")
+        iof.write_matrix(f, self.means_invvars.astype(np.float32))
+        iof.write_token(f, "<INV_VARS>")
+        iof.write_matrix(f, self.inv_vars.astype(np.float32))
+        iof.write_token(f, "</DiagGMM>")
 
     @staticmethod
     def read(f) -> "DiagGmm":
-        iof.expect_token(f, "<DiagGmm>")
-        w = iof.read_vector(f)
-        means = iof.read_matrix(f)
-        variances = iof.read_matrix(f)
-        iof.expect_token(f, "</DiagGmm>")
+        iof.expect_token(f, "<DiagGMM>")
+        tok = iof.read_token(f)
+        if tok == "<GCONSTS>":
+            iof.read_vector(f)  # recomputed from the moments below
+            tok = iof.read_token(f)
+        if tok != "<WEIGHTS>":  # (reference also accepts gconst-less files)
+            raise KaldiError(f"DiagGmm.read: expected <WEIGHTS>, got {tok!r}")
+        w = iof.read_vector(f).astype(np.float64)
+        iof.expect_token(f, "<MEANS_INVVARS>")
+        means_invvars = iof.read_matrix(f).astype(np.float64)
+        iof.expect_token(f, "<INV_VARS>")
+        inv_vars = iof.read_matrix(f).astype(np.float64)
+        iof.expect_token(f, "</DiagGMM>")
+        variances = 1.0 / inv_vars
+        means = means_invvars * variances
         return DiagGmm(w, means, variances)
 
     def save(self, path: str) -> None:
@@ -196,31 +215,29 @@ class AmDiagGmm:
         """CPU oracle for tests: [T, D] → [T, num_pdfs]."""
         return np.stack([p.loglikes(feats) for p in self.pdfs], axis=1)
 
-    # -- serialization -----------------------------------------------------------
+    # -- serialization (reference am-diag-gmm.cc: no outer wrapper token) ----
     def write(self, f) -> None:
-        iof.write_token(f, "<AmDiagGmm>")
+        iof.write_token(f, "<DIMENSION>")
+        iof.write_int32(f, self.dim)
+        iof.write_token(f, "<NUMPDFS>")
         iof.write_int32(f, self.num_pdfs)
         for pdf in self.pdfs:
-            iof.write_token(f, "<DiagGmm>")
-            iof.write_vector(f, pdf.weights.astype(np.float32))
-            iof.write_matrix(f, pdf.means.astype(np.float32))
-            iof.write_matrix(f, pdf.vars.astype(np.float32))
-            iof.write_token(f, "</DiagGmm>")
-        iof.write_token(f, "</AmDiagGmm>")
+            pdf.write(f)
 
     @staticmethod
     def read(f) -> "AmDiagGmm":
-        iof.expect_token(f, "<AmDiagGmm>")
+        iof.expect_token(f, "<DIMENSION>")
+        dim = iof.read_int32(f)
+        iof.expect_token(f, "<NUMPDFS>")
         n = iof.read_int32(f)
         pdfs = []
         for _ in range(n):
-            iof.expect_token(f, "<DiagGmm>")
-            w = iof.read_vector(f)
-            means = iof.read_matrix(f)
-            variances = iof.read_matrix(f)
-            iof.expect_token(f, "</DiagGmm>")
-            pdfs.append(DiagGmm(w, means, variances))
-        iof.expect_token(f, "</AmDiagGmm>")
+            g = DiagGmm.read(f)
+            if g.dim != dim:
+                raise KaldiError(
+                    f"AmDiagGmm.read: pdf dim {g.dim} != header dim {dim}"
+                )
+            pdfs.append(g)
         return AmDiagGmm(pdfs)
 
 
@@ -232,6 +249,8 @@ class AmGmmModel:
         self.am = am
 
     def write(self, f) -> None:
+        """final.mdl byte layout: TransitionModel then AmDiagGmm, no extra
+        wrapper (reference gmm-init-* / gmm-est output files)."""
         self.tm.write(f)
         self.am.write(f)
 
@@ -245,9 +264,12 @@ class AmGmmModel:
 
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
+            iof.init_kaldi_output_stream(f, True)
             self.write(f)
 
     @staticmethod
     def load(path: str) -> "AmGmmModel":
         with open(path, "rb") as f:
+            if not iof.init_kaldi_input_stream(f):
+                raise KaldiError("AmGmmModel.load: expected binary stream")
             return AmGmmModel.read(f)

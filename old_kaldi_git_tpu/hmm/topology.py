@@ -89,6 +89,82 @@ class HmmTopology:
             s.pdf_class for s in self.topology_for_phone(phone) if s.pdf_class != NO_PDF
         )
 
+    # -- binary I/O (reference hmm-topology.cc Write/Read, binary branch) -----
+    def _grouped_entries(self):
+        """(entries, phone2idx): dedup identical per-phone entries, as the
+        reference stores them (phones_, phone2idx_, entries_)."""
+        entry_list: List[List[HmmState]] = []
+        phone2idx: Dict[int, int] = {}
+        for phone in self.phones:
+            entry = self._entries[phone]
+            for i, e in enumerate(entry_list):
+                if e is entry or _entries_equal(e, entry):
+                    phone2idx[phone] = i
+                    break
+            else:
+                entry_list.append(entry)
+                phone2idx[phone] = len(entry_list) - 1
+        return entry_list, phone2idx
+
+    def write(self, f) -> None:
+        """Byte layout of reference HmmTopology::Write (binary):
+        <Topology> phones_(WriteIntegerVector) phone2idx_(WriteIntegerVector)
+        num-entries, then per entry: num-states, per state: pdf-class,
+        num-transitions, (next-state, prob-float)...; </Topology>.
+        (Old-Kaldi vintage: one pdf-class per state, matching this fork;
+        the post-2017 format adds a separate self-loop pdf-class.)"""
+        from old_kaldi_git_tpu.utils import io_funcs as iof
+
+        iof.write_token(f, "<Topology>")
+        phones = self.phones
+        entries, phone2idx = self._grouped_entries()
+        idx_vec = [-1] * (max(phones) + 1)
+        for p in phones:
+            idx_vec[p] = phone2idx[p]
+        iof.write_integer_vector(f, phones)
+        iof.write_integer_vector(f, idx_vec)
+        iof.write_int32(f, len(entries))
+        for entry in entries:
+            iof.write_int32(f, len(entry))
+            for st in entry:
+                iof.write_int32(f, st.pdf_class)
+                iof.write_int32(f, len(st.transitions))
+                for ns, prob in st.transitions:
+                    iof.write_int32(f, ns)
+                    iof.write_float(f, prob)
+        iof.write_token(f, "</Topology>")
+
+    @staticmethod
+    def read(f) -> "HmmTopology":
+        from old_kaldi_git_tpu.utils import io_funcs as iof
+
+        iof.expect_token(f, "<Topology>")
+        phones = iof.read_integer_vector(f)
+        idx_vec = iof.read_integer_vector(f)
+        num_entries = iof.read_int32(f)
+        entries: List[List[HmmState]] = []
+        for _ in range(num_entries):
+            num_states = iof.read_int32(f)
+            states: List[HmmState] = []
+            for _ in range(num_states):
+                pdf_class = iof.read_int32(f)
+                ntrans = iof.read_int32(f)
+                trans = []
+                for _ in range(ntrans):
+                    ns = iof.read_int32(f)
+                    prob = iof.read_float(f)
+                    trans.append((ns, float(prob)))
+                states.append(HmmState(pdf_class, trans))
+            entries.append(states)
+        iof.expect_token(f, "</Topology>")
+        topo = HmmTopology()
+        for p in phones:
+            idx = idx_vec[p]
+            if idx < 0 or idx >= num_entries:
+                raise KaldiError(f"topology: bad entry index for phone {p}")
+            topo._entries[int(p)] = entries[idx]
+        return topo
+
     # -- text I/O (Kaldi `topo` format) ---------------------------------------
     def write_text(self) -> str:
         # group phones with identical entries

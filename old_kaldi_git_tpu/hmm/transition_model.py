@@ -161,19 +161,24 @@ class TransitionModel:
 
     # -- serialization ---------------------------------------------------------
     def write(self, f) -> None:
+        """Byte layout of reference TransitionModel::Write (binary):
+        <TransitionModel> <Topology>…</Topology> <Triples> n
+        (phone hmm-state pdf)×n </Triples> <LogProbs> FV[num_tids+1]
+        </LogProbs> </TransitionModel>.  num_pdfs is NOT serialized
+        (derived on read, as upstream ComputeDerived does).  The modern
+        upstream <Tuples> form (separate forward/self-loop pdf) is accepted
+        by read(); this fork's topologies always have one pdf per state, so
+        writing uses <Triples> — byte-identical to what modern upstream
+        emits for such models (its IsHmm() back-compat branch)."""
         iof.write_token(f, "<TransitionModel>")
-        # topology as embedded text
-        topo_text = self.topo.write_text()
-        iof.write_int32(f, len(topo_text))
-        f.write(topo_text.encode())
-        iof.write_token(f, "<Tuples>")
+        self.topo.write(f)
+        iof.write_token(f, "<Triples>")
         iof.write_int32(f, len(self.tuples))
         for phone, hmm_state, pdf in self.tuples:
             iof.write_int32(f, phone)
             iof.write_int32(f, hmm_state)
             iof.write_int32(f, pdf)
-        iof.write_token(f, "</Tuples>")
-        iof.write_int32(f, self.num_pdfs)
+        iof.write_token(f, "</Triples>")
         iof.write_token(f, "<LogProbs>")
         iof.write_vector(f, self.log_probs.astype(np.float32))
         iof.write_token(f, "</LogProbs>")
@@ -182,18 +187,27 @@ class TransitionModel:
     @staticmethod
     def read(f) -> "TransitionModel":
         iof.expect_token(f, "<TransitionModel>")
-        n = iof.read_int32(f)
-        topo = HmmTopology.read_text(f.read(n).decode())
-        iof.expect_token(f, "<Tuples>")
+        topo = HmmTopology.read(f)
+        open_tok = iof.read_token(f)
+        if open_tok not in ("<Triples>", "<Tuples>"):
+            raise KaldiError(f"TransitionModel.read: got {open_tok!r}")
+        four_ints = open_tok == "<Tuples>"
         count = iof.read_int32(f)
         tuples = []
         for _ in range(count):
             phone = iof.read_int32(f)
             hmm_state = iof.read_int32(f)
             pdf = iof.read_int32(f)
+            if four_ints:
+                self_loop_pdf = iof.read_int32(f)
+                if self_loop_pdf != pdf:
+                    raise KaldiError(
+                        "TransitionModel.read: separate self-loop pdfs "
+                        "(post-2017 chain topologies) are not supported"
+                    )
             tuples.append((phone, hmm_state, pdf))
-        iof.expect_token(f, "</Tuples>")
-        num_pdfs = iof.read_int32(f)
+        iof.expect_token(f, "</Triples>" if not four_ints else "</Tuples>")
+        num_pdfs = 1 + max((t[2] for t in tuples), default=-1)
         iof.expect_token(f, "<LogProbs>")
         log_probs = iof.read_vector(f).astype(np.float64)
         iof.expect_token(f, "</LogProbs>")

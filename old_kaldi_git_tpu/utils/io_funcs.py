@@ -143,6 +143,31 @@ def write_int_vector(f: BinaryIO, values) -> None:
         f.write(bytes(out))
 
 
+def write_integer_vector(f: BinaryIO, values) -> None:
+    """Reference WriteIntegerVector (io-funcs-inl.h), used INSIDE model
+    objects (e.g. HmmTopology): one element-size byte, a RAW int32 count
+    (no size marker), then raw elements.  Distinct from write_int_vector,
+    which is the BasicVectorHolder table-value format (size-marked count +
+    size-marked elements)."""
+    values = np.asarray(values, dtype=np.int32)
+    f.write(b"\x04" + struct.pack("<i", int(values.size)))
+    if values.size:
+        f.write(values.astype("<i4").tobytes())
+
+
+def read_integer_vector(f: BinaryIO) -> np.ndarray:
+    marker = f.read(1)
+    if marker != b"\x04":
+        raise KaldiError(f"expected elem-size marker 4, got {marker!r}")
+    n = struct.unpack("<i", f.read(4))[0]
+    if n < 0:
+        raise KaldiError(f"bad integer-vector size {n}")
+    raw = f.read(4 * n)
+    if len(raw) != 4 * n:
+        raise KaldiError("truncated integer-vector")
+    return np.frombuffer(raw, dtype="<i4").astype(np.int32)
+
+
 def read_int_vector(f: BinaryIO) -> np.ndarray:
     n = read_int32(f)
     if n < 0:
