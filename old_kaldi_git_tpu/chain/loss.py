@@ -34,13 +34,50 @@ class ChainLossOptions:
     xent_regularize: float = 0.1
 
 
+# Above this many den-graph states the dense [S, S] transition matrix is
+# not worth its memory (S=8192 -> 256 MB f32 + a [B, T, S] emission array)
+# and the arc-list path takes over; mirrors the reference's O(arcs)
+# recursion in chain-denominator.cu, which never materializes [S, S].
+DENSE_STATE_LIMIT = 4096
+
+
 def denominator_logprob(
     logits: jnp.ndarray,
     num_frames: jnp.ndarray,
     den: DenominatorGraph,
     leaky_hmm_coefficient: float = 0.1,
+    dense_state_limit: int = None,
 ) -> jnp.ndarray:
     """[B, T, P] logits (chain outputs, unnormalized) → [B] log Z_den.
+
+    Auto-selects between two numerically-equivalent formulations of the
+    reference's chain-denominator.cu alpha recursion (linear-space f32
+    probabilities with per-frame renormalization rescue):
+
+      * dense (S ≤ dense_state_limit): one [S, S] matmul per frame — the
+        MXU-shaped path, backward is also a matmul;
+      * sparse (large S): gather/segment-sum over the arc list, O(A) per
+        frame like the reference kernel, with a rematerialized scan body
+        so the [B, A] per-frame intermediates never hit HBM as residuals.
+        This is what makes realistic biphone den graphs (S ~ 30k,
+        A ~ 300k) trainable at all: the dense path would need a 3.6 GB
+        transition matrix and ~1 TFLOP per frame.
+    """
+    limit = DENSE_STATE_LIMIT if dense_state_limit is None else dense_state_limit
+    if den.num_states > limit:
+        return _denominator_sparse(
+            logits, num_frames, den, leaky_hmm_coefficient
+        )
+    return _denominator_dense(logits, num_frames, den, leaky_hmm_coefficient)
+
+
+def _denominator_dense(
+    logits: jnp.ndarray,
+    num_frames: jnp.ndarray,
+    den: DenominatorGraph,
+    leaky_hmm_coefficient: float = 0.1,
+) -> jnp.ndarray:
+    """Dense-matmul alpha recursion (small S).
 
     MXU formulation: every arc into state j emits pdf(j) (den-graph
     property), so one alpha step is a LINEAR-space matmul with the dense
@@ -99,6 +136,89 @@ def denominator_logprob(
         (alpha0, logz0),
         (
             jnp.swapaxes(e_lin[:, 1:], 0, 1),
+            jnp.swapaxes(e_shift[:, 1:], 0, 1),
+            jnp.arange(1, T),
+        ),
+    )
+    final = jax.nn.logsumexp(
+        jnp.log(jnp.maximum(alpha, 1e-30))
+        + jnp.asarray(den.final_log_probs)[None, :],
+        axis=1,
+    )
+    return logz + final
+
+
+def _denominator_sparse(
+    logits: jnp.ndarray,
+    num_frames: jnp.ndarray,
+    den: DenominatorGraph,
+    leaky_hmm_coefficient: float = 0.1,
+) -> jnp.ndarray:
+    """Arc-list alpha recursion (large S), O(A) work per frame.
+
+    Per frame: gather alpha at arc sources, scale by arc probability,
+    segment-sum into destinations (arcs pre-sorted by destination so the
+    segment-sum is a sorted reduction), multiply by the destination-state
+    emission (gathered from the logits — never a [B, T, S] array).  The
+    per-frame shift uses max over all pdfs, an upper bound of the dense
+    path's max over used states, so exp() stays in (0, 1].  jax.checkpoint
+    on the scan body keeps the [B, A] intermediates out of the residuals;
+    the backward pass recomputes them and autodiffs the segment-sum to a
+    gather and the alpha-gather to a scatter-add, matching the reference's
+    hand-written beta/gamma kernels in cost shape
+    (src/chain/chain-kernels.cu)."""
+    S = den.num_states
+    B, T, P = logits.shape
+    leaky = float(leaky_hmm_coefficient)
+
+    order = np.argsort(den.to_state, kind="stable")
+    frm = jnp.asarray(den.from_state[order])
+    to = jnp.asarray(den.to_state[order])
+    w_lin = jnp.asarray(np.exp(den.log_prob[order]).astype(np.float32))
+    state_pdf = np.zeros(S, np.int32)
+    self_loops = den.from_state == den.to_state
+    state_pdf[den.from_state[self_loops]] = den.pdf[self_loops]
+    spdf = jnp.asarray(state_pdf)
+    init_lin = jnp.exp(jnp.asarray(den.initial_log_probs))
+
+    e_shift = jnp.max(logits, axis=2)  # [B, T]
+
+    def emit(logits_t, sh_t):
+        return jnp.exp(jnp.take(logits_t, spdf, axis=1) - sh_t[:, None])
+
+    alpha0 = init_lin[None, :] * emit(logits[:, 0], e_shift[:, 0])
+    z0 = jnp.sum(alpha0, axis=1, keepdims=True)
+    alpha0 = alpha0 / jnp.maximum(z0, 1e-30)
+    logz0 = jnp.log(jnp.maximum(z0[:, 0], 1e-30)) + e_shift[:, 0]
+
+    @jax.checkpoint
+    def step(carry, inputs):
+        alpha, logz = carry
+        logits_t, sh_t, t = inputs  # [B, P], [B]
+        e_t = emit(logits_t, sh_t)
+        contrib = jnp.take(alpha, frm, axis=1) * w_lin[None, :]  # [B, A]
+        ax = (
+            jax.ops.segment_sum(
+                contrib.T, to, num_segments=S, indices_are_sorted=True
+            ).T
+            * e_t
+        )
+        if leaky > 0:
+            ax = ax + leaky * jnp.sum(ax, axis=1, keepdims=True) * init_lin[None, :]
+        z = jnp.sum(ax, axis=1, keepdims=True)
+        new_alpha = ax / jnp.maximum(z, 1e-30)
+        active = (t < num_frames)[:, None]
+        alpha_out = jnp.where(active, new_alpha, alpha)
+        logz_out = logz + jnp.where(
+            active[:, 0], jnp.log(jnp.maximum(z[:, 0], 1e-30)) + sh_t, 0.0
+        )
+        return (alpha_out, logz_out), None
+
+    (alpha, logz), _ = jax.lax.scan(
+        step,
+        (alpha0, logz0),
+        (
+            jnp.swapaxes(logits[:, 1:], 0, 1),
             jnp.swapaxes(e_shift[:, 1:], 0, 1),
             jnp.arange(1, T),
         ),
