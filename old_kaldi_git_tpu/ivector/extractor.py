@@ -281,3 +281,79 @@ def append_ivectors(
         iv = extract_online_ivectors(ext, x, period)
         out[k] = np.concatenate([x, iv], axis=1).astype(np.float32)
     return out
+
+
+class OnlineIvectorExtractor:
+    """Streaming counterpart of extract_online_ivectors
+    (~ online2/online-ivector-feature.cc OnlineIvectorFeature).
+
+    Feed feature frames incrementally with accept(); frames come back with
+    their online i-vector appended once the period they fall in is
+    complete (a bounded ≤ period−1 frame hold-back — the batch function
+    gives frames [p, p+period) the i-vector estimated from cumulative
+    stats THROUGH that period, so the period must be full before its
+    frames are final).  input_finished() flushes the trailing partial
+    period.  For any chunking of the input the concatenated outputs equal
+    extract_online_ivectors on the whole utterance exactly."""
+
+    def __init__(
+        self,
+        ext: IvectorExtractor,
+        period: int = 10,
+        stats_scale: float = 1.0,
+        max_count: float = 0.0,
+    ):
+        self.ext = ext
+        self.period = int(period)
+        self.stats_scale = float(stats_scale)
+        self.max_count = float(max_count)
+        self._buf: Optional[np.ndarray] = None  # pending (< period) frames
+        self._gamma = None
+        self._f = None
+
+    @property
+    def ivector_dim(self) -> int:
+        return self.ext.ivector_dim
+
+    def _estimate(self) -> np.ndarray:
+        g, f = self._gamma, self._f
+        if self.stats_scale != 1.0:
+            g, f = g * self.stats_scale, f * self.stats_scale
+        count = float(g.sum())
+        if self.max_count > 0 and count > self.max_count:
+            scale = self.max_count / count
+            g, f = g * scale, f * scale
+        mean, _ = _posterior(self.ext, g, f)
+        return mean.astype(np.float32)
+
+    def _consume(self, chunk: np.ndarray) -> np.ndarray:
+        g1, f1 = _utt_stats(self.ext.ubm, chunk)
+        self._gamma = g1 if self._gamma is None else self._gamma + g1
+        self._f = f1 if self._f is None else self._f + f1
+        iv = self._estimate()
+        return np.broadcast_to(iv, (chunk.shape[0], iv.shape[0])).copy()
+
+    def accept(self, frames: np.ndarray) -> np.ndarray:
+        """[n, D] new frames → [m, ivec_dim] i-vectors for the m ≤ n+pending
+        frames whose period completed (in input order)."""
+        frames = np.asarray(frames, np.float32)
+        if self._buf is not None and self._buf.size:
+            frames = np.concatenate([self._buf, frames])
+            self._buf = None
+        n_full = (frames.shape[0] // self.period) * self.period
+        self._buf = frames[n_full:]
+        out = [
+            self._consume(frames[s : s + self.period])
+            for s in range(0, n_full, self.period)
+        ]
+        if not out:
+            return np.zeros((0, self.ivector_dim), np.float32)
+        return np.concatenate(out)
+
+    def input_finished(self) -> np.ndarray:
+        """Flush the trailing partial period (if any)."""
+        if self._buf is None or not self._buf.size:
+            return np.zeros((0, self.ivector_dim), np.float32)
+        tail = self._buf
+        self._buf = None
+        return self._consume(tail)

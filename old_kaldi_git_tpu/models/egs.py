@@ -42,11 +42,16 @@ log = get_logger("egs")
 
 @dataclasses.dataclass
 class NnetEg:
-    """Cross-entropy example: feats [T, D], pdf labels [T], weight mask [T]."""
+    """Cross-entropy example: feats [T, D], pdf labels [T], weight mask [T].
+
+    ivector: optional [R] per-chunk online i-vector (reference NnetIo
+    "ivector" input with a single t=0 index, broadcast over the chunk via
+    ReplaceIndex); batch_ce_egs appends it to every frame's features."""
 
     feats: np.ndarray
     labels: np.ndarray
     mask: np.ndarray = None
+    ivector: np.ndarray = None
 
     def __post_init__(self):
         if self.mask is None:
@@ -56,11 +61,14 @@ class NnetEg:
 @dataclasses.dataclass
 class ChainEg:
     """LF-MMI example: full-rate feats + subsampled-rate supervision
-    (+ hard xent labels for the cross-entropy regularizer head)."""
+    (+ hard xent labels for the cross-entropy regularizer head).
+
+    ivector: optional [R] per-chunk online i-vector (see NnetEg)."""
 
     feats: np.ndarray  # [Tfull, D]
     sup: ChainSupervision
     xent: np.ndarray  # [T'] int32
+    ivector: np.ndarray = None
 
 
 def _write_ivec(f: BinaryIO, v: np.ndarray) -> None:
@@ -77,6 +85,25 @@ def _read_ivec(f: BinaryIO) -> np.ndarray:
     return np.frombuffer(raw, "<i4").astype(np.int32)
 
 
+def _write_opt_ivector(f: BinaryIO, iv) -> None:
+    """Optional trailing <IVec> section (older readers never see it because
+    it sits right before the close token they expect_token on)."""
+    if iv is not None:
+        write_token(f, "<IVec>")
+        write_vector(f, np.asarray(iv, np.float32))
+
+
+def _read_opt_ivector(f: BinaryIO, close_token: str):
+    tok = read_token(f)
+    if tok == "<IVec>":
+        iv = read_vector(f).astype(np.float32)
+        expect_token(f, close_token)
+        return iv
+    if tok != close_token:
+        raise KaldiError(f"expected {close_token} or <IVec>, got {tok}")
+    return None
+
+
 class NnetEgHolder(Holder):
     def write(self, f: BinaryIO, eg: NnetEg, binary: bool) -> None:
         if not binary:
@@ -85,6 +112,7 @@ class NnetEgHolder(Holder):
         write_matrix(f, eg.feats)
         _write_ivec(f, eg.labels)
         write_vector(f, eg.mask)
+        _write_opt_ivector(f, eg.ivector)
         write_token(f, "</Eg>")
 
     def read(self, f: BinaryIO) -> NnetEg:
@@ -92,8 +120,8 @@ class NnetEgHolder(Holder):
         feats = read_matrix(f)
         labels = _read_ivec(f)
         mask = read_vector(f)
-        expect_token(f, "</Eg>")
-        return NnetEg(feats, labels, mask)
+        ivector = _read_opt_ivector(f, "</Eg>")
+        return NnetEg(feats, labels, mask, ivector)
 
 
 class ChainEgHolder(Holder):
@@ -107,6 +135,7 @@ class ChainEgHolder(Holder):
         write_int32(f, eg.sup.num_frames)
         write_vector(f, eg.sup.advance_lp)
         _write_ivec(f, eg.xent)
+        _write_opt_ivector(f, eg.ivector)
         write_token(f, "</ChainEg>")
 
     def read(self, f: BinaryIO) -> ChainEg:
@@ -117,11 +146,12 @@ class ChainEgHolder(Holder):
         num_frames = read_int32(f)
         advance_lp = read_vector(f).astype(np.float32)
         xent = _read_ivec(f)
-        expect_token(f, "</ChainEg>")
+        ivector = _read_opt_ivector(f, "</ChainEg>")
         return ChainEg(
             feats,
             ChainSupervision(pdf_seq, allowed, num_frames, advance_lp),
             xent,
+            ivector,
         )
 
 
@@ -133,13 +163,31 @@ register_holder("cegs", ChainEgHolder)
 # extraction (nnet3-get-egs role)
 # ---------------------------------------------------------------------------
 
+def _chunk_ivector(ivectors, s: int, e: int):
+    """Per-chunk i-vector: the online-ivector row at the chunk midpoint
+    (reference nnet3-get-egs --online-ivectors takes the row at the chunk's
+    central t over --online-ivector-period); a single [R] vector is used
+    as-is (per-utterance i-vector)."""
+    if ivectors is None:
+        return None
+    iv = np.asarray(ivectors, np.float32)
+    if iv.ndim == 1:
+        return iv
+    mid = min((s + e) // 2, iv.shape[0] - 1)
+    return iv[mid]
+
+
 def get_ce_egs(
     feats: np.ndarray,
     pdf_labels: np.ndarray,
     frames_per_eg: int = 64,
+    ivectors: np.ndarray = None,
 ) -> List[NnetEg]:
     """Cut one utterance into fixed-width CE egs (short tails re-windowed
-    backward like the in-process trainer's _chunk_batches)."""
+    backward like the in-process trainer's _chunk_batches).
+
+    ivectors: [T, R] online i-vectors (or [R] per-utterance) — each eg
+    carries the row at its chunk midpoint."""
     t = min(len(pdf_labels), feats.shape[0])
     out: List[NnetEg] = []
     for s in range(0, t, frames_per_eg):
@@ -147,7 +195,8 @@ def get_ce_egs(
         if e - s < frames_per_eg // 2 and s > 0:
             s = max(0, e - frames_per_eg)
         out.append(NnetEg(np.asarray(feats[s:e], np.float32),
-                          np.asarray(pdf_labels[s:e], np.int32)))
+                          np.asarray(pdf_labels[s:e], np.int32),
+                          ivector=_chunk_ivector(ivectors, s, e)))
     return out
 
 
