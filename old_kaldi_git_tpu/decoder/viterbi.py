@@ -380,9 +380,10 @@ def _decode_and_backtrace(frm, pdf, w, ns, start, loglikes,
     return end_states, has_final, costs, arcs
 
 
-@partial(jax.jit, static_argnames=("K", "E", "S"))
+@partial(jax.jit, static_argnames=("K", "E", "S", "L"))
 def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
-                        num_frames, acoustic_scale, beam, K, E, S):
+                        num_frames, acoustic_scale, beam, K, E, S,
+                        L=0, lattice_beam=0.0):
     """TOKEN-SPARSE beam decode: per-frame work O(B·(E + E·log E)),
     independent of graph size — for graphs whose dense [B, S] alpha (or
     [T, B, S] winning-arc store) cannot fit HBM.  This is the TPU shape of
@@ -412,6 +413,16 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
 
     Returns (tok_state [B,K], tok_cost [B,K], bp_state [T,B,K],
     bp_arc [T,B,K], bp_cost [T,B,K]) — same contract as _decode_scan.
+
+    L > 0 additionally emits per-frame LATTICE-ARC RECORDS into a bounded
+    device buffer (SURVEY.md §7.1 "emit lattice arcs to a bounded buffer"):
+    every expanded candidate whose via-cost is within `lattice_beam` of its
+    destination's frame-winner AND whose destination survived the top-K
+    prune is a raw-lattice arc (reference GetRawLattice keeps exactly the
+    ForwardLinks between surviving tokens).  The L best (by via-cost) per
+    (batch, frame) are kept as (src_slot, dst_slot, arc_id, acoustic_cost)
+    — [T, B, L] each — so the host rebuilds lattices WITHOUT the loglikes
+    ever leaving the device and with a transfer bounded by L, not by K·S.
     """
     B, T, P = loglikes.shape
     A = frm.shape[0]
@@ -471,14 +482,14 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         w_arc = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
         pdf_arc = rows[..., 1]
         ns_arc = rows[..., 2]
-        ac = acoustic_scale * jnp.take_along_axis(
+        ll_arc = jnp.take_along_axis(
             ll_t, jnp.minimum(pdf_arc, P - 1), axis=1
         )
-        cost = base_cost + w_arc - ac
+        cost = base_cost + w_arc - acoustic_scale * ll_arc
         dest = jnp.where(valid, ns_arc, S)  # sentinel sorts last
         cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)
-        dest_s, cost_s, arc_s = jax.lax.sort(
-            (dest, cost, arc), dimension=1, num_keys=2
+        dest_s, cost_s, arc_s, kof_s, ll_s = jax.lax.sort(
+            (dest, cost, arc, k_of, ll_arc), dimension=1, num_keys=2
         )
         first = jnp.concatenate(
             [jnp.ones((B, 1), bool), dest_s[:, 1:] != dest_s[:, :-1]], axis=1
@@ -503,21 +514,46 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         bp_state = jnp.where(active, new_state, -1)
         bp_arc = jnp.where(active, new_arc, -1)
         bp_cost = jnp.where(active, new_cost, BIG)
-        return out_state, out_cost, bp_state, bp_arc, bp_cost
+        if not L:
+            return out_state, out_cost, (bp_state, bp_arc, bp_cost)
+        # ---- bounded lattice-arc emission (GetRawLattice on device) ----
+        # winner of each sorted dest run sits at the run's first slot
+        run_start = jax.lax.cummax(
+            jnp.where(first, j[None, :], 0), axis=1)  # [B, E]
+        winner = jnp.take_along_axis(cost_s, run_start, 1)
+        # surviving-token slot of each dest: scatter the kept slot index
+        # at its winner's sorted position (top_k positions are distinct)
+        slot_ids = jnp.where(
+            keep, jnp.arange(K, dtype=jnp.int32)[None, :], -1)
+        slot_of = jnp.full((B, E), -1, jnp.int32).at[
+            jnp.arange(B)[:, None], sel].max(slot_ids)
+        dst_slot = jnp.take_along_axis(slot_of, run_start, 1)
+        flag = (
+            (dest_s < S) & (cost_s < BIG) & (dst_slot >= 0)
+            & (cost_s <= winner + lattice_beam) & active
+        )
+        score = jnp.where(flag, cost_s, BIG)
+        neg_l, pick = jax.lax.top_k(-score, L)  # L best lattice arcs
+        ok = -neg_l < BIG
+        lat = (
+            jnp.where(ok, jnp.take_along_axis(kof_s, pick, 1), -1),
+            jnp.where(ok, jnp.take_along_axis(dst_slot, pick, 1), -1),
+            jnp.where(ok, jnp.take_along_axis(arc_s, pick, 1), -1),
+            jnp.where(ok, -jnp.take_along_axis(ll_s, pick, 1), 0.0),
+        )
+        return out_state, out_cost, (bp_state, bp_arc, bp_cost) + lat
 
     def step(carry, inputs):
         tok_state, tok_cost = carry
         ll_t, t = inputs
-        out_state, out_cost, bp_state, bp_arc, bp_cost = frame_update(
-            tok_state, tok_cost, ll_t, t
-        )
-        return (out_state, out_cost), (bp_state, bp_arc, bp_cost)
+        out_state, out_cost, ys = frame_update(tok_state, tok_cost, ll_t, t)
+        return (out_state, out_cost), ys
 
-    (tok_state, tok_cost), (bp_state, bp_arc, bp_cost) = jax.lax.scan(
+    (tok_state, tok_cost), ys = jax.lax.scan(
         step, (tok_state0, tok_cost0),
         (jnp.swapaxes(loglikes, 0, 1), jnp.arange(T)),
     )
-    return tok_state, tok_cost, bp_state, bp_arc, bp_cost
+    return (tok_state, tok_cost) + tuple(ys)
 
 
 def _token_budget(graph: CsrGraph, K: int) -> int:
@@ -539,13 +575,24 @@ def decode_batch_tokens(
     num_frames: Sequence[int],
     opts: Optional[ViterbiOptions] = None,
     want_lattice: bool = False,
+    lattice_beam: float = 10.0,
+    lattice_budget: int = 0,
 ) -> List[Optional[DecodeResult]]:
     """Token-sparse analog of decode_batch (for graphs too large for the
-    dense kernels; also selectable for testing)."""
+    dense kernels; also selectable for testing).
+
+    want_lattice=True emits bounded per-frame lattice-arc records on
+    device (no host loglikes, transfer O(T·L) per utterance) — see
+    TokenLattice / lat.lattice.lattice_from_token_records.
+    lattice_budget: arcs kept per (utterance, frame); 0 → auto."""
     opts = opts or ViterbiOptions()
     B, T, P = loglikes.shape
     K = max(4, min(opts.max_active, graph.num_states))
     E = _token_budget(graph, K)
+    L = 0
+    if want_lattice:
+        L = lattice_budget or min(E, max(512, 2 * K))
+        L = min(E, (L + 127) // 128 * 128)
     num_frames = np.asarray(num_frames, np.int32)
     frm = np.repeat(
         np.arange(graph.num_states, dtype=np.int32), graph.out_degree()
@@ -553,13 +600,14 @@ def decode_batch_tokens(
     fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
     nf_dev = jnp.asarray(num_frames)
     frm_dev = jnp.asarray(frm)
-    tok_state, tok_cost, bp_state, bp_arc, bp_cost = _decode_scan_tokens(
+    out = _decode_scan_tokens(
         jnp.asarray(graph.row_ptr), frm_dev, jnp.asarray(graph.pdf),
         jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
         graph.start, jnp.asarray(loglikes, jnp.float32), nf_dev,
         float(opts.acoustic_scale), float(opts.beam), K, E,
-        graph.num_states,
+        graph.num_states, L, float(lattice_beam),
     )
+    tok_state, tok_cost, bp_state, bp_arc, bp_cost = out[:5]
     tok_state_h = np.asarray(tok_state)
     tok_cost_h = np.asarray(tok_cost)
     end_states = np.zeros(B, np.int32)
@@ -580,11 +628,37 @@ def decode_batch_tokens(
         _backtrace_scan(bp_state, bp_arc, frm_dev,
                         jnp.asarray(np.maximum(end_states, 0)), nf_dev)
     )
-    return results_from_arcs(
+    # record-based lattices need NO [T, B, K] frame tensors on the host —
+    # only the bounded [T, B, L] records plus the [B, K] final token set
+    results = results_from_arcs(
         graph, arcs, end_states, use_final, costs, num_frames,
-        frame_states=np.asarray(bp_state) if want_lattice else None,
-        frame_costs=np.asarray(bp_cost) if want_lattice else None,
     )
+    if want_lattice:
+        lat_src, lat_dst, lat_arc, lat_ac = (np.asarray(a) for a in out[5:])
+        for b, res in enumerate(results):
+            if res is None:
+                continue
+            nf_b = int(num_frames[b])
+            res.token_lattice = TokenLattice(
+                lat_src[:nf_b, b], lat_dst[:nf_b, b], lat_arc[:nf_b, b],
+                lat_ac[:nf_b, b], tok_state_h[b], tok_cost_h[b],
+            )
+    return results
+
+
+@dataclasses.dataclass
+class TokenLattice:
+    """Bounded per-utterance lattice-arc records from the token-sparse
+    decoder (device-emitted; see _decode_scan_tokens L > 0).  Slot ids
+    refer to each frame's top-K token set; src slots at t=0 refer to the
+    initial token set (slot 0 = start state)."""
+
+    src_slot: np.ndarray  # [T, L] int32, -1 = empty record
+    dst_slot: np.ndarray  # [T, L] int32
+    arc: np.ndarray       # [T, L] int32 graph arc ids
+    ac: np.ndarray        # [T, L] float32 unscaled acoustic costs
+    final_states: np.ndarray  # [K] last-frame token state ids (-1 dead)
+    final_costs: np.ndarray   # [K] their forward costs
 
 
 @dataclasses.dataclass
@@ -596,6 +670,8 @@ class DecodeResult:
     # (-1 = dead) and their forward costs
     frame_states: Optional[np.ndarray] = None
     frame_costs: Optional[np.ndarray] = None
+    # bounded device-emitted lattice arcs (token-sparse path)
+    token_lattice: Optional[TokenLattice] = None
 
 
 def decode_batch(

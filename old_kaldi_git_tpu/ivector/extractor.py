@@ -335,8 +335,11 @@ class OnlineIvectorExtractor:
 
     def accept(self, frames: np.ndarray) -> np.ndarray:
         """[n, D] new frames → [m, ivec_dim] i-vectors for the m ≤ n+pending
-        frames whose period completed (in input order)."""
-        frames = np.asarray(frames, np.float32)
+        frames whose period completed (in input order).
+
+        Frames keep their dtype (the stats math promotes to float64 inside
+        _utt_stats), so the batch-equality claim holds for any input dtype."""
+        frames = np.asarray(frames)
         if self._buf is not None and self._buf.size:
             frames = np.concatenate([self._buf, frames])
             self._buf = None

@@ -169,6 +169,60 @@ def lattice_from_decode(
     return lat
 
 
+def lattice_from_token_records(graph: CsrGraph, rec) -> Optional[Lattice]:
+    """Raw lattice from the token-sparse decoder's bounded device-emitted
+    arc records (decoder.viterbi.TokenLattice).
+
+    TPU re-design of GetRawLattice (reference
+    src/decoder/lattice-faster-decoder.cc): the lattice-beam pruning and
+    ForwardLink discovery already happened ON DEVICE inside the decode
+    scan; the host only materializes (t, slot) states and copies the
+    (graph_cost, acoustic_cost) pairs — no loglikes matrix ever reaches
+    the host and the transfer is O(T·L), not O(T·K·S)."""
+    T = rec.src_slot.shape[0]
+    if T == 0:
+        return None
+    lat = Lattice()
+    start = lat.add_state(time=-1)
+    lat.start = start
+    slot_state: List[Dict[int, int]] = [dict() for _ in range(T)]
+
+    def get(t: int, slot: int) -> int:
+        if t < 0:
+            return start
+        d = slot_state[t]
+        st = d.get(slot)
+        if st is None:
+            st = d[slot] = lat.add_state(time=t)
+        return st
+
+    for t in range(T):
+        arcs_t = rec.arc[t]
+        live = np.nonzero(arcs_t >= 0)[0]
+        srcs, dsts, acs = rec.src_slot[t], rec.dst_slot[t], rec.ac[t]
+        for i in live:
+            _emit(lat, graph, get(t - 1, int(srcs[i])),
+                  get(t, int(dsts[i])), int(arcs_t[i]), float(acs[i]))
+
+    any_final = False
+    last = slot_state[T - 1]
+    for k, s in enumerate(rec.final_states):
+        st = last.get(k)
+        if st is None or s < 0:
+            continue
+        fw = graph.final_weight[int(s)]
+        if np.isfinite(fw):
+            lat.finals[st] = (float(fw), 0.0)
+            any_final = True
+    if not any_final:
+        for k in last:
+            lat.finals[last[k]] = (0.0, 0.0)
+    _connect(lat)
+    if lat.num_arcs == 0:
+        return None
+    return lat
+
+
 def _emit(lat: Lattice, graph: CsrGraph, src: int, dst: int, arc_id: int, ac: float):
     """Add a lattice arc for closed-graph arc arc_id, expanding multi-word
     output label chains."""

@@ -32,6 +32,12 @@ class AmNnet:
     # set via nnet3-copy --edits "set-learning-rate-factor ..." (reference
     # nnet-utils.cc ReadEditConfig); applied by the trainer's optimizer
     lr_factors: Optional[Dict[str, float]] = None
+    # trailing i-vector width of the input features: config.input_dim =
+    # acoustic dim + ivector_dim, and every eval path expects features with
+    # the online i-vector already appended per frame (reference
+    # AmNnetSimple models trained with --online-ivector-dir; the decode
+    # tools must be fed matching i-vectors or the input dim won't line up)
+    ivector_dim: int = 0
 
     def model(self) -> TdnnModel:
         return TdnnModel(self.config)
@@ -138,6 +144,7 @@ class AmNnet:
                     "variables": jax.tree.map(np.asarray, self.variables),
                     "log_priors": self.log_priors,
                     "lr_factors": self.lr_factors,
+                    "ivector_dim": self.ivector_dim,
                 },
                 f,
             )
@@ -147,7 +154,7 @@ class AmNnet:
         with open(path, "rb") as f:
             d = pickle.load(f)
         return AmNnet(d["config"], d["variables"], d["log_priors"],
-                      d.get("lr_factors"))
+                      d.get("lr_factors"), d.get("ivector_dim", 0))
 
 
 @dataclasses.dataclass
@@ -168,6 +175,7 @@ class AmNnetModel:
                     "config": self.am.config,
                     "variables": jax.tree.map(np.asarray, self.am.variables),
                     "log_priors": self.am.log_priors,
+                    "ivector_dim": self.am.ivector_dim,
                     "tm": self.tm,
                 },
                 f,
@@ -180,5 +188,7 @@ class AmNnetModel:
         if d.get("kind") != "am-nnet-model":
             raise ValueError(f"{path}: not an AmNnetModel bundle")
         return AmNnetModel(
-            AmNnet(d["config"], d["variables"], d["log_priors"]), d["tm"]
+            AmNnet(d["config"], d["variables"], d["log_priors"],
+                   ivector_dim=d.get("ivector_dim", 0)),
+            d["tm"],
         )

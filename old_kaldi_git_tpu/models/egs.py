@@ -209,10 +209,16 @@ def get_chain_egs(
     frame_subsampling_factor: int = 3,
     left_tolerance: int = 5,
     right_tolerance: int = 5,
+    ivectors: np.ndarray = None,
 ) -> List[ChainEg]:
     """One utterance → one chain eg (whole-utterance supervision; the
     batched loss pads/masks, so fixed 140/150-frame chunking is a data-
-    pipeline choice, not a correctness requirement)."""
+    pipeline choice, not a correctness requirement).
+
+    ivectors: [T, R] online i-vectors (or [R] per-utterance); the eg
+    carries the chunk-midpoint row like get_ce_egs and batch_chain_egs
+    appends it to every frame (reference nnet3-chain-get-egs
+    --online-ivectors)."""
     from old_kaldi_git_tpu.chain.supervision import (
         alignment_to_supervision,
         chain_xent_labels,
@@ -227,27 +233,51 @@ def get_chain_egs(
     Tfull = ((feats.shape[0] + fsf - 1) // fsf) * fsf
     padded = np.zeros((Tfull, feats.shape[1]), np.float32)
     padded[: feats.shape[0]] = feats
-    return [ChainEg(padded, sup, xent)]
+    return [ChainEg(padded, sup, xent,
+                    ivector=_chunk_ivector(ivectors, 0, Tfull))]
 
 
 # ---------------------------------------------------------------------------
 # merging (ExampleMerger role): group same-shape egs into batches
 # ---------------------------------------------------------------------------
 
+def _batch_ivector_dim(egs: Sequence) -> int:
+    """Common i-vector width of a minibatch (0 if the egs carry none).
+    Mixed batches are an extraction bug — refuse rather than silently train
+    a subset without its adaptation input."""
+    dims = {0 if e.ivector is None else int(np.asarray(e.ivector).shape[-1])
+            for e in egs}
+    if len(dims) > 1:
+        raise KaldiError(
+            f"minibatch mixes i-vector dims {sorted(dims)}; merge egs from "
+            "one extraction config only (reference ExampleMerger groups by "
+            "matching structure)")
+    return dims.pop()
+
+
 def batch_ce_egs(
     egs: Sequence[NnetEg],
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Stack CE egs (padding to the longest) → feats [B,T,D], labels [B,T],
-    mask [B,T]."""
+    mask [B,T].
+
+    When the egs carry i-vectors, each eg's [R] i-vector is appended to
+    every frame of its feats (→ [B,T,D+R]) — the reference wires
+    Append(input, ReplaceIndex(ivector, t, 0)) into the first layer's
+    Descriptor (nnet-descriptor.h); with same-length egs that broadcast
+    collapses into the feature matrix itself."""
     B = len(egs)
     T = max(e.feats.shape[0] for e in egs)
     D = egs[0].feats.shape[1]
-    bf = np.zeros((B, T, D), np.float32)
+    R = _batch_ivector_dim(egs)
+    bf = np.zeros((B, T, D + R), np.float32)
     bl = np.zeros((B, T), np.int32)
     bm = np.zeros((B, T), np.float32)
     for j, e in enumerate(egs):
         n = e.feats.shape[0]
-        bf[j, :n] = e.feats
+        bf[j, :n, :D] = e.feats
+        if R:
+            bf[j, :n, D:] = np.asarray(e.ivector, np.float32)[None, :]
         bl[j, : len(e.labels)] = e.labels
         bm[j, : len(e.mask)] = e.mask
     return bf, bl, bm
@@ -265,10 +295,14 @@ def batch_chain_egs(egs: Sequence[ChainEg]):
     Tfull = max(e.feats.shape[0] for e in egs)
     Tsub = allowed.shape[1]
     D = egs[0].feats.shape[1]
-    bf = np.zeros((B, Tfull, D), np.float32)
+    R = _batch_ivector_dim(egs)
+    bf = np.zeros((B, Tfull, D + R), np.float32)
     xent = np.zeros((B, Tsub), np.int32)
     for j, e in enumerate(egs):
-        bf[j, : e.feats.shape[0]] = e.feats
+        bf[j, : e.feats.shape[0], :D] = e.feats
+        if R:
+            bf[j, : e.feats.shape[0], D:] = np.asarray(
+                e.ivector, np.float32)[None, :]
         xent[j, : len(e.xent)] = e.xent
     return bf, pdf_seq, allowed, num_frames, seq_len, advance_lp, xent
 

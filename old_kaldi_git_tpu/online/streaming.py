@@ -69,14 +69,25 @@ class OnlineFeaturePipeline:
         cmn_window: int = 600,
         global_cmvn_stats: Optional[np.ndarray] = None,
         cmn_min_frames: int = 100,
+        ivector_extractor=None,
     ):
         """global_cmvn_stats [2, D+1] (feat.cmvn layout) primes the causal
         mean while fewer than cmn_min_frames have been seen (reference
-        OnlineCmvn global-stats smoothing)."""
+        OnlineCmvn global-stats smoothing).
+
+        ivector_extractor: an ivector.extractor.OnlineIvectorExtractor fed
+        the pipeline's own output frames; each emitted frame comes back
+        with its online i-vector appended (reference
+        OnlineNnet2FeaturePipeline's ivector_feature_ branch).  Frames are
+        additionally held back until their i-vector period completes
+        (≤ period−1 frames), so for any chunking the appended i-vectors
+        equal extract_online_ivectors over the whole stream exactly."""
         self.mfcc = Mfcc(mfcc_opts or MfccOptions())
         self.add_deltas = add_deltas
         self.cmn_window = cmn_window
         self.cmn_min_frames = cmn_min_frames
+        self._iv = ivector_extractor
+        self._iv_pending: Optional[np.ndarray] = None  # frames awaiting ivecs
         if global_cmvn_stats is not None:
             st = np.asarray(global_cmvn_stats, np.float64)
             self.global_mean = st[0, :-1] / max(st[0, -1], 1e-10)
@@ -108,14 +119,41 @@ class OnlineFeaturePipeline:
         # a frame is final once its delta lookahead exists (or input ended)
         final_until = total if self.finished else max(0, total - self.delta_ctx)
         if final_until <= self._emitted:
+            out = np.zeros((0, self.base_dim), np.float32)
+        else:
+            out = self._process(self._raw_frames, self._emitted, final_until)
+            self._emitted = final_until
+        if self._iv is None:
+            return out
+        return self._append_ivectors(out)
+
+    def _append_ivectors(self, out_new: np.ndarray) -> np.ndarray:
+        """Feed the newly-final base frames to the online extractor (each
+        frame exactly once; the extractor buffers partial periods), queue
+        frames whose i-vector isn't final yet, and emit
+        [n, base_dim + ivec_dim] for those whose period completed."""
+        ivs = self._iv.accept(out_new)
+        if self.finished:
+            tail = self._iv.input_finished()
+            ivs = np.concatenate([ivs, tail]) if ivs.size else tail
+        queue = out_new
+        if self._iv_pending is not None and self._iv_pending.size:
+            queue = (np.concatenate([self._iv_pending, out_new])
+                     if out_new.size else self._iv_pending)
+        self._iv_pending = None
+        n = len(ivs)  # always ≤ len(queue): ivectors come back in order
+        ready, self._iv_pending = queue[:n], queue[n:]
+        if n == 0:
             return np.zeros((0, self.output_dim), np.float32)
-        out = self._process(self._raw_frames, self._emitted, final_until)
-        self._emitted = final_until
-        return out
+        return np.concatenate([ready, ivs], axis=1).astype(np.float32)
+
+    @property
+    def base_dim(self) -> int:
+        return self.mfcc.dim * (3 if self.add_deltas else 1)
 
     @property
     def output_dim(self) -> int:
-        return self.mfcc.dim * (3 if self.add_deltas else 1)
+        return self.base_dim + (self._iv.ivector_dim if self._iv else 0)
 
     def _causal_mean(self, raw: np.ndarray, t: int) -> np.ndarray:
         """Mean over up to cmn_window frames ending at t, padded with the

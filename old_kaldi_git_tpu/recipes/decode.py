@@ -80,30 +80,31 @@ def decode_dataset_with_lattices(
 ):
     """Batched decode keeping lattices (reference gmm-latgen-faster):
     returns {utt: Lattice}, or {utt: CompactLattice} when determinize=True
-    (the reference's --determinize-lattice=true default)."""
-    from old_kaldi_git_tpu.decoder.viterbi import decode_batch
+    (the reference's --determinize-lattice=true default).
+
+    The AM loglikes stay ON DEVICE: the token-sparse decoder emits
+    lattice arcs into a bounded device buffer (decoder.viterbi
+    TokenLattice) and the host only materializes the pruned raw lattice
+    (reference GetRawLattice re-shaped per SURVEY.md §7.1)."""
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch_tokens
     from old_kaldi_git_tpu.lat.determinize import determinize_lattice_pruned
-    from old_kaldi_git_tpu.lat.lattice import lattice_from_decode
+    from old_kaldi_git_tpu.lat.lattice import lattice_from_token_records
 
     opts = opts or DecodeOptions()
     keys, padded, nf = pad_feature_batch(feats)
-    loglikes = np.asarray(model.am.loglikes_batch(padded))  # host: lattice
-    # reconstruction below needs per-frame scores anyway
-    results = decode_batch(
+    loglikes = model.am.loglikes_batch(padded)  # device-resident
+    results = decode_batch_tokens(
         graph, loglikes, nf,
         ViterbiOptions(beam=opts.beam, max_active=opts.max_active,
                        acoustic_scale=opts.acoustic_scale),
-        want_lattice=True,
+        want_lattice=True, lattice_beam=lattice_beam,
     )
     lats = {}
-    for i, (k, res) in enumerate(zip(keys, results)):
-        if res is None or res.frame_states is None:
+    for k, res in zip(keys, results):
+        if res is None or res.token_lattice is None:
             log.warning("no lattice for %s", k)
             continue
-        lat = lattice_from_decode(
-            graph, loglikes[i, : nf[i]], res.frame_states, res.frame_costs,
-            opts.acoustic_scale, lattice_beam,
-        )
+        lat = lattice_from_token_records(graph, res.token_lattice)
         if lat is not None:
             if determinize:
                 lats[k] = determinize_lattice_pruned(

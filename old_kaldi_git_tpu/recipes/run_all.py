@@ -250,6 +250,75 @@ def build_pipeline(workdir: str, stage: int = 0) -> Pipeline:
         _result(ctx, "nnet3-tdnn", score_hyps(st, hyps).wer)
         open(ctx.path("nnet3/DONE_decode"), "w").write("done\n")
 
+    @pipe.stage(52, "train nnet3 tdnn + online ivectors",
+                produces=("nnet3_iv/am.mdl", "nnet3_iv/final.ie"))
+    def _tdnn_ivector(ctx):
+        from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+        from old_kaldi_git_tpu.ivector.extractor import (
+            IvectorExtractor,
+            extract_online_ivectors,
+            train_ivector_extractor,
+            train_ubm,
+        )
+        from old_kaldi_git_tpu.models.am_nnet import AmNnetModel
+        from old_kaldi_git_tpu.models.train import NnetTrainOptions
+        from old_kaldi_git_tpu.recipes.nnet3 import train_tdnn
+        from old_kaldi_git_tpu.recipes.yesno import compute_feats
+
+        tw, _tt, _sw, _st, _lang = _corpus()
+        feats = compute_feats(tw)
+        # UBM + T-matrix on the training features (reference
+        # steps/online/nnet2/{train_diag_ubm,train_ivector_extractor}.sh)
+        pooled = np.concatenate(list(feats.values()))[::2]
+        ubm = train_ubm(pooled, num_gauss=16, num_iters=6)
+        ext = train_ivector_extractor(
+            ubm, list(feats.values()), ivector_dim=8, num_iters=4)
+        ext.save(ctx.path("nnet3_iv/final.ie"))
+        ivecs = {k: extract_online_ivectors(ext, v, period=10)
+                 for k, v in feats.items()}
+        tri = AmGmmModel.load(ctx.path("tri1/final.mdl"))
+        ali = _read_ali(ctx.path("tri1/ali.ark"))
+        am = train_tdnn(
+            tri, feats, ali, hidden_dim=64, num_layers=3,
+            opts=NnetTrainOptions(num_epochs=30, minibatch_size=8,
+                                  chunk_width=64),
+            ivectors=ivecs,
+        )
+        assert am.ivector_dim == 8
+        AmNnetModel(am, tri.tm).save(ctx.path("nnet3_iv/am.mdl"))
+
+    @pipe.stage(53, "decode nnet3 + online ivectors",
+                produces=("nnet3_iv/DONE_decode",))
+    def _tdnn_ivector_decode(ctx):
+        from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+        from old_kaldi_git_tpu.decoder.graph import mkgraph
+        from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst
+        from old_kaldi_git_tpu.ivector.extractor import (
+            IvectorExtractor,
+            extract_online_ivectors,
+        )
+        from old_kaldi_git_tpu.models.am_nnet import AmNnetModel
+        from old_kaldi_git_tpu.recipes.decode import score_hyps
+        from old_kaldi_git_tpu.recipes.nnet3 import decode_tdnn
+        from old_kaldi_git_tpu.recipes.yesno import compute_feats
+        from old_kaldi_git_tpu.tree.context_dep import ContextDependency
+
+        _tw, tt, sw, st, lang = _corpus()
+        bundle = AmNnetModel.load(ctx.path("nnet3_iv/am.mdl"))
+        ext = IvectorExtractor.load(ctx.path("nnet3_iv/final.ie"))
+        with open(ctx.path("tri1/tree"), "rb") as f:
+            tree = ContextDependency.read(f)
+        g = make_unigram_grammar_fst(list(tt.values()), lang.words)
+        csr = fst_to_csr(mkgraph(lang, g, tree, bundle.tm),
+                         bundle.tm.tid_to_pdf_array())
+        test_feats = compute_feats(sw)
+        ivecs = {k: extract_online_ivectors(ext, v, period=10)
+                 for k, v in test_feats.items()}
+        hyps = decode_tdnn(bundle.am, csr, lang, test_feats, beam=20.0,
+                           ivectors=ivecs)
+        _result(ctx, "nnet3-tdnn-ivector", score_hyps(st, hyps).wer)
+        open(ctx.path("nnet3_iv/DONE_decode"), "w").write("done\n")
+
     @pipe.stage(60, "train+decode chain", produces=("chain/DONE",))
     def _chain(ctx):
         from old_kaldi_git_tpu.fst.lang import make_unigram_grammar_fst

@@ -1,0 +1,206 @@
+"""iVectors as an end-to-end AM input: streaming extractor equivalence,
+egs append semantics, feature-pipeline integration, train/decode wiring.
+
+Reference parity: src/online2/online-ivector-feature.cc
+(OnlineIvectorFeature), nnet3-get-egs --online-ivectors, and the chain
+recipes' --online-ivector-dir convention (SURVEY.md §2.7, M9)."""
+
+import numpy as np
+import pytest
+
+from old_kaldi_git_tpu.ivector.extractor import (
+    OnlineIvectorExtractor,
+    extract_online_ivectors,
+    train_ivector_extractor,
+    train_ubm,
+)
+
+
+@pytest.fixture(scope="module")
+def ext():
+    rng = np.random.default_rng(0)
+    utts = [
+        (rng.normal(size=(60, 5)) + 2.0 * (i % 2)).astype(np.float32)
+        for i in range(6)
+    ]
+    ubm = train_ubm(np.concatenate(utts), num_gauss=4, num_iters=3)
+    return train_ivector_extractor(ubm, utts, ivector_dim=3, num_iters=3)
+
+
+@pytest.mark.parametrize("chunks", [
+    [63],                    # one shot
+    [1] * 63,                # frame by frame
+    [10, 10, 10, 10, 10, 13],  # period-aligned
+    [7, 16, 3, 25, 12],      # ragged
+])
+@pytest.mark.parametrize("scale_count", [(1.0, 0.0), (0.5, 0.0), (1.0, 20.0)])
+def test_online_extractor_chunking_invariance(ext, chunks, scale_count):
+    """For ANY chunking the concatenated streaming outputs equal
+    extract_online_ivectors on the whole utterance exactly (the repo's
+    streaming==batch discipline applied to OnlineIvectorFeature)."""
+    stats_scale, max_count = scale_count
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(63, 5)).astype(np.float32)
+    batch = extract_online_ivectors(ext, x, period=10,
+                                    stats_scale=stats_scale,
+                                    max_count=max_count)
+    st = OnlineIvectorExtractor(ext, period=10, stats_scale=stats_scale,
+                                max_count=max_count)
+    outs, lo = [], 0
+    for n in chunks:
+        outs.append(st.accept(x[lo: lo + n]))
+        lo += n
+    assert lo == 63
+    outs.append(st.input_finished())
+    got = np.concatenate(outs)
+    np.testing.assert_array_equal(got, batch)
+
+
+def test_online_extractor_float64_exactness(ext):
+    """accept() keeps the input dtype, so float64 streams match the batch
+    path too (the advisor's dtype-cast finding)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(40, 5))  # float64
+    batch = extract_online_ivectors(ext, x, period=10)
+    st = OnlineIvectorExtractor(ext, period=10)
+    got = np.concatenate([st.accept(x[:17]), st.accept(x[17:]),
+                          st.input_finished()])
+    np.testing.assert_array_equal(got, batch)
+
+
+def test_feature_pipeline_appends_online_ivectors(ext):
+    """OnlineFeaturePipeline(ivector_extractor=...) output == the base
+    streaming features with extract_online_ivectors over those same
+    features appended — for any waveform chunking."""
+    from old_kaldi_git_tpu.feat.compute import MfccOptions
+    from old_kaldi_git_tpu.online.streaming import OnlineFeaturePipeline
+
+    mo = MfccOptions()
+    mo.frame_opts.dither = 0.0
+    rng = np.random.default_rng(3)
+    wav = (rng.normal(size=16000) * 1000).astype(np.float32)
+
+    base_pipe = OnlineFeaturePipeline(mo, add_deltas=False)
+    base = np.concatenate(
+        [base_pipe.accept_waveform(wav[:9000]),
+         base_pipe.accept_waveform(wav[9000:]),
+         base_pipe.input_finished()]
+    )
+    # retrain a 13-dim extractor on the base features
+    ubm13 = train_ubm(base[::2], num_gauss=4, num_iters=2)
+    ext13 = train_ivector_extractor(ubm13, [base], ivector_dim=3,
+                                    num_iters=2)
+    want_iv = extract_online_ivectors(ext13, base, period=10)
+
+    iv_pipe = OnlineFeaturePipeline(
+        mo, add_deltas=False,
+        ivector_extractor=OnlineIvectorExtractor(ext13, period=10))
+    assert iv_pipe.output_dim == base.shape[1] + 3
+    outs = []
+    for lo in range(0, len(wav), 3001):
+        outs.append(iv_pipe.accept_waveform(wav[lo: lo + 3001]))
+    outs.append(iv_pipe.input_finished())
+    got = np.concatenate([o for o in outs if o.size])
+    assert got.shape == (base.shape[0], base.shape[1] + 3)
+    # base features recomputed over different buffer lengths differ at the
+    # float32-FFT level (~1e-4); the i-vector stream must equal the batch
+    # extractor over the frames the online extractor actually saw, exactly
+    np.testing.assert_allclose(got[:, : base.shape[1]], base, atol=1e-3)
+    np.testing.assert_allclose(want_iv, got[:, base.shape[1]:], atol=1e-4)
+    want_iv_exact = extract_online_ivectors(
+        ext13, got[:, : base.shape[1]], period=10)
+    np.testing.assert_array_equal(got[:, base.shape[1]:], want_iv_exact)
+
+
+def test_egs_batch_appends_ivectors():
+    """batch_ce_egs / batch_chain_egs append each eg's [R] i-vector to
+    every frame (making the NnetEg docstring true)."""
+    from old_kaldi_git_tpu.models.egs import NnetEg, batch_ce_egs
+
+    rng = np.random.default_rng(4)
+    egs = [
+        NnetEg(rng.normal(size=(8, 4)).astype(np.float32),
+               np.arange(8, dtype=np.int32),
+               ivector=np.full(3, float(i), np.float32))
+        for i in range(2)
+    ]
+    bf, bl, bm = batch_ce_egs(egs)
+    assert bf.shape == (2, 8, 7)
+    np.testing.assert_allclose(bf[0, :, 4:], 0.0)
+    np.testing.assert_allclose(bf[1, :, 4:], 1.0)
+    np.testing.assert_allclose(bf[1, :, :4], egs[1].feats)
+
+    # mixed i-vector dims in one minibatch is an extraction bug → refused
+    from old_kaldi_git_tpu.utils.log import KaldiError
+
+    egs[1].ivector = None
+    with pytest.raises(KaldiError):
+        batch_ce_egs(egs)
+
+
+def test_egs_holder_roundtrip_with_ivector(tmp_path):
+    """<IVec> optional section round-trips (and its absence round-trips)."""
+    from old_kaldi_git_tpu.models.egs import NnetEg
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    rng = np.random.default_rng(5)
+    egs = {
+        "a": NnetEg(rng.normal(size=(6, 4)).astype(np.float32),
+                    np.arange(6, dtype=np.int32),
+                    ivector=rng.normal(size=5).astype(np.float32)),
+        "b": NnetEg(rng.normal(size=(6, 4)).astype(np.float32),
+                    np.arange(6, dtype=np.int32)),
+    }
+    path = str(tmp_path / "egs.ark")
+    with TableWriter(f"ark:{path}", "egs") as w:
+        for k, v in egs.items():
+            w[k] = v
+    back = read_table(f"ark:{path}", "egs")
+    np.testing.assert_allclose(back["a"].ivector, egs["a"].ivector)
+    assert back["b"].ivector is None
+    np.testing.assert_allclose(back["a"].feats, egs["a"].feats, atol=1e-6)
+
+
+def test_chain_egs_carry_and_batch_ivectors():
+    """get_chain_egs(ivectors=...) populates ChainEg.ivector (midpoint row
+    of the online stream) and batch_chain_egs appends it to the full-rate
+    features."""
+    from old_kaldi_git_tpu.fst.lang import Lang, Lexicon
+    from old_kaldi_git_tpu.hmm.topology import HmmTopology
+    from old_kaldi_git_tpu.hmm.transition_model import TransitionModel
+    from old_kaldi_git_tpu.models.egs import batch_chain_egs, get_chain_egs
+    from old_kaldi_git_tpu.tree.context_dep import (
+        monophone_context_dependency as mono_cd,
+    )
+
+    lex = Lexicon.from_dict({"yes": "Y EH S", "no": "N OW"})
+    lang = Lang(lex, silence_phone="SIL")
+    phones = lang.real_phone_ids
+    topo = HmmTopology.standard(phones, silence_phones=[lang.silence_id])
+    cd_gmm = mono_cd(phones, {p: topo.num_pdf_classes(p) for p in phones})
+    tm = TransitionModel(cd_gmm, topo)
+    y, eh = lang.phones["Y"], lang.phones["EH"]
+
+    def make_seg(phone, frames):
+        ts0 = tm.tuple_to_tstate(phone, 0, cd_gmm.compute([phone], 0))
+        ts1 = tm.tuple_to_tstate(phone, 1, cd_gmm.compute([phone], 1))
+        ts2 = tm.tuple_to_tstate(phone, 2, cd_gmm.compute([phone], 2))
+        seg = [tm.pair_to_tid(ts0, 1)]
+        seg += [tm.self_loop_tid(ts0)] * (frames - 3)
+        seg += [tm.pair_to_tid(ts1, 1), tm.pair_to_tid(ts2, 1)]
+        return seg
+
+    ali = np.asarray(make_seg(y, 9) + make_seg(eh, 6), np.int32)
+    chain_cd = mono_cd(phones, {p: 1 for p in phones})
+    rng = np.random.default_rng(6)
+    T = len(ali)
+    feats = rng.normal(size=(T, 4)).astype(np.float32)
+    ivecs = rng.normal(size=(T, 3)).astype(np.float32)
+    egs = get_chain_egs(feats, ali, tm, chain_cd, None, 3, 2, 2,
+                        ivectors=ivecs)
+    assert egs[0].ivector is not None and egs[0].ivector.shape == (3,)
+    bf, *_rest = batch_chain_egs(egs)
+    assert bf.shape[-1] == 7
+    np.testing.assert_allclose(
+        bf[0, : feats.shape[0], 4:],
+        np.broadcast_to(egs[0].ivector, (feats.shape[0], 3)))

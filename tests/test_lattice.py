@@ -132,6 +132,46 @@ def test_lattice_generation_and_best_path():
     assert len(tids) == T
 
 
+def test_token_record_lattice_matches_host_reconstruction():
+    """The token-sparse decoder's device-emitted bounded arc records
+    rebuild the same raw lattice as the legacy host path (which needs the
+    full loglikes matrix): same best path/cost and the same n-best set
+    when budgets don't bind (reference GetRawLattice parity)."""
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch_tokens
+    from old_kaldi_git_tpu.lat.lattice import lattice_from_token_records
+
+    lang, topo, cd, tm, csr = _decode_system()
+    phones = [lang.phones[p] for p in ("Y", "EH", "S")]
+    ll = _fake_loglikes(tm, cd, lang, phones, sep=2.0)
+    T = ll.shape[0]
+    vopts = ViterbiOptions(beam=30.0, max_active=csr.num_states,
+                           acoustic_scale=1.0)
+    # legacy host path (dense scan + loglikes on host)
+    res_host = decode_batch(csr, ll[None], [T], vopts, want_lattice=True)[0]
+    lat_host = lattice_from_decode(
+        csr, ll, res_host.frame_states, res_host.frame_costs,
+        acoustic_scale=1.0, lattice_beam=20.0,
+    )
+    # device path: bounded records, no host loglikes
+    res_dev = decode_batch_tokens(csr, ll[None], [T], vopts,
+                                  want_lattice=True, lattice_beam=20.0)[0]
+    assert res_dev is not None and res_dev.token_lattice is not None
+    lat_dev = lattice_from_token_records(csr, res_dev.token_lattice)
+    assert lat_dev is not None and lat_dev.num_arcs > 0
+
+    wh, th, ch = lattice_best_path(lat_host, 1.0, 1.0)
+    wd, td, cdv = lattice_best_path(lat_dev, 1.0, 1.0)
+    assert wd == wh and list(td) == list(th)
+    assert cdv == pytest.approx(ch, abs=1e-3)
+    assert cdv == pytest.approx(res_dev.cost, abs=0.1)
+    # n-best hypothesis sets agree (costs within float tolerance)
+    nh = lattice_nbest(lat_host, 5, lm_scale=1.0, ac_scale=1.0)
+    nd = lattice_nbest(lat_dev, 5, lm_scale=1.0, ac_scale=1.0)
+    hyp_h = [(tuple(w), round(c, 2)) for w, c in nh]
+    hyp_d = [(tuple(w), round(c, 2)) for w, c in nd]
+    assert hyp_d == hyp_h
+
+
 def test_lattice_nbest_and_posteriors():
     lang, topo, cd, tm, csr = _decode_system()
     phones = [lang.phones[p] for p in ("Y", "EH", "S")]
