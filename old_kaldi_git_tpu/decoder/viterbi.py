@@ -47,8 +47,11 @@ class ViterbiOptions:
 
 def _pad_graphs(graphs: Sequence[CsrGraph]):
     B = len(graphs)
-    S = max(g.num_states for g in graphs)
-    A = max(g.num_arcs for g in graphs)
+    # round the padded state/arc dims up so successive chunks of a corpus
+    # hit the same compiled _align_scan shape (padding arcs carry BIG
+    # weights and never win a scatter-min)
+    S = -(-max(g.num_states for g in graphs) // 64) * 64
+    A = -(-max(g.num_arcs for g in graphs) // 512) * 512
     frm = np.zeros((B, A), np.int32)
     tid = np.zeros((B, A), np.int32)
     pdf = np.zeros((B, A), np.int32)

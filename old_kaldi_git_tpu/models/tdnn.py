@@ -37,6 +37,13 @@ class TdnnLayerSpec:
     kind: str  # "tdnn" | "tdnnf" | "lstmp" | "blstmp" | "pgru" | "attention" | "conv"
     dim: int  # output dim (tdnn/tdnnf), cell dim (lstmp/blstmp/pgru), filters (conv)
     offsets: Tuple[int, ...] = (0,)  # time offsets (tdnn splice / conv kernel)
+    # general nnet3 Descriptor input (nnet-descriptor.h): named cross-layer
+    # references, Sum/Scale/Const, IfDefined/Failover, Round, ReplaceIndex.
+    # Empty = sequential (previous layer, spliced by `offsets`).  Access via
+    # getattr(spec, "input_desc", "") — configs pickled before this field
+    # existed lack it.
+    input_desc: str = ""
+    name: str = ""  # xconfig node name ("" = <kind><index>)
     bottleneck_dim: int = 0  # tdnnf only
     time_stride: int = 1  # tdnnf: factor context; attention: window stride
     bypass_scale: float = 0.66  # tdnnf
@@ -70,16 +77,28 @@ class TdnnConfig:
 
     @staticmethod
     def _offs(l: TdnnLayerSpec) -> Tuple[int, ...]:
+        intrinsic: Tuple[int, ...]
         if l.kind == "tdnnf" and l.time_stride:
-            return (-l.time_stride, 0, l.time_stride)
-        if l.kind == "attention":
-            return (
+            intrinsic = (-l.time_stride, 0, l.time_stride)
+        elif l.kind == "attention":
+            intrinsic = (
                 -l.num_left_inputs * l.time_stride,
                 l.num_right_inputs * l.time_stride,
             )
-        if l.kind in ("lstmp", "blstmp", "pgru"):
-            return (0,)  # recurrent context is unbounded, not spliced
-        return l.offsets  # tdnn splice / conv time taps
+        elif l.kind in ("lstmp", "blstmp", "pgru"):
+            intrinsic = (0,)  # recurrent context is unbounded, not spliced
+        else:
+            intrinsic = l.offsets  # tdnn splice / conv time taps
+        desc = getattr(l, "input_desc", "")
+        if desc:
+            from old_kaldi_git_tpu.models.descriptor import (
+                offset_range,
+                parse_descriptor,
+            )
+
+            lo, hi = offset_range(parse_descriptor(desc))
+            return (lo + min(intrinsic), hi + max(intrinsic))
+        return intrinsic
 
 
 def ng_dense(mod: nn.Module, name: str, features: int, x,
@@ -222,17 +241,33 @@ class TdnnfLayer(nn.Module):
 
 
 class TdnnModel(nn.Module):
+    """Executes a TdnnConfig: sequential by default; layers carrying an
+    `input_desc` Descriptor read any earlier node by name (skip
+    connections, Failover'd recurrent edges, Round'd subsampled stacks —
+    reference nnet3 DAG wiring, nnet-descriptor.h), evaluated as static
+    gathers that XLA folds into the adjacent matmuls."""
+
     config: TdnnConfig
 
     @nn.compact
     def __call__(self, feats, train: bool = False, dropout_rng=None,
                  ng_collect: bool = False):
         x = feats
+        env = {"input": feats, "__prev__": feats}
         for i, spec in enumerate(self.config.layers):
-            if spec.kind == "tdnn":
-                x = ReluBatchNorm(spec.dim, spec.offsets, name=f"tdnn{i}")(
-                    x, train=train, ng_collect=ng_collect
+            desc = getattr(spec, "input_desc", "")
+            if desc:
+                from old_kaldi_git_tpu.models.descriptor import (
+                    eval_descriptor,
+                    parse_descriptor,
                 )
+
+                x, _defined = eval_descriptor(
+                    parse_descriptor(desc), env, xp=jnp)
+            if spec.kind == "tdnn":
+                x = ReluBatchNorm(
+                    spec.dim, (0,) if desc else spec.offsets, name=f"tdnn{i}"
+                )(x, train=train, ng_collect=ng_collect)
             elif spec.kind == "tdnnf":
                 x = TdnnfLayer(
                     spec.dim,
@@ -279,6 +314,10 @@ class TdnnModel(nn.Module):
                 )(x, train=train, ng_collect=ng_collect)
             else:
                 raise ValueError(f"unknown layer kind {spec.kind}")
+            env["__prev__"] = x
+            env[f"{spec.kind}{i}"] = x
+            if getattr(spec, "name", ""):
+                env[spec.name] = x
         if self.config.final_hidden_dim:
             x = ReluBatchNorm(self.config.final_hidden_dim, (0,), name="prefinal")(
                 x, train=train, ng_collect=ng_collect

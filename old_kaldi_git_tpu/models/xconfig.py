@@ -21,9 +21,14 @@ Supported layer types (the ones the BASELINE recipes use):
   prefinal-layer name=.. dim=D        (reference prefinal-l / prefinal chain pieces)
   output-layer  name=output dim=NumPdfs
 
-`input=Append(-2,-1,0,1,2)` splicing offsets apply to the previous layer
-(sequential stacks only — the reference's arbitrary DAG references, e.g.
-skip connections by name, are not wired; the recipes in scope are chains).
+`input=` accepts the full nnet3 Descriptor language (models/descriptor.py,
+reference nnet-descriptor.h): pure integer Append(-2,...,2) splices the
+previous layer (fast path); named cross-layer references, Sum/Scale/Const,
+IfDefined/Failover (recurrent/skip edges), Round (subsampled stacks) and
+ReplaceIndex (i-vector broadcast) build a DAG the TdnnModel evaluates by
+node name — e.g.
+  relu-batchnorm-layer name=tdnn3 dim=512 \
+      input=Sum(tdnn2, IfDefined(Offset(tdnn1, -3)))
 """
 
 from __future__ import annotations
@@ -38,7 +43,25 @@ log = get_logger("xconfig")
 
 
 def _parse_line(line: str) -> Tuple[str, Dict[str, str]]:
-    parts = line.split()
+    # whitespace splits tokens EXCEPT inside parens, so descriptor values
+    # like input=Sum(tdnn2, IfDefined(Offset(tdnn1, -3))) stay one token
+    # (reference xconfig convention)
+    parts: List[str] = []
+    depth = 0
+    cur = ""
+    for ch in line:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch.isspace() and depth == 0:
+            if cur:
+                parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur:
+        parts.append(cur)
     kind = parts[0]
     kv: Dict[str, str] = {}
     for tok in parts[1:]:
@@ -49,20 +72,28 @@ def _parse_line(line: str) -> Tuple[str, Dict[str, str]]:
     return kind, kv
 
 
-def _offsets(kv: Dict[str, str]) -> Tuple[int, ...]:
+def _offsets(kv: Dict[str, str]) -> Tuple[Tuple[int, ...], str]:
+    """(splice offsets, descriptor) for a layer's input= attribute.
+
+    Pure integer Append(...)s of the previous layer stay the fast splice
+    path (offsets, "" descriptor — param trees identical to older
+    configs); anything else — named cross-layer references, Sum/Scale,
+    IfDefined/Failover/Round/ReplaceIndex/Const — becomes a full
+    Descriptor string evaluated by models/descriptor.py."""
     inp = kv.get("input", "")
     if not inp:
-        return (0,)
+        return (0,), ""
     m = re.fullmatch(r"Append\(([-0-9,\s]+)\)", inp)
     if m:
-        return tuple(int(x) for x in m.group(1).replace(" ", "").split(","))
-    m = re.fullmatch(r"Offset\([^,]+,\s*(-?\d+)\)", inp)
+        offs = tuple(int(x) for x in m.group(1).replace(" ", "").split(","))
+        return offs, ""
+    m = re.fullmatch(r"Offset\(input,\s*(-?\d+)\)", inp)
     if m:
-        return (int(m.group(1)),)
-    # a plain layer-name reference = the previous layer, no splicing
-    if re.fullmatch(r"[A-Za-z0-9_.\-]+", inp):
-        return (0,)
-    raise KaldiError(f"xconfig: unsupported input descriptor {inp!r}")
+        return (int(m.group(1)),), ""
+    from old_kaldi_git_tpu.models.descriptor import parse_descriptor
+
+    parse_descriptor(inp)  # validate now; evaluated by the model
+    return (0,), inp
 
 
 def parse_xconfig(text: str) -> TdnnConfig:
@@ -75,20 +106,23 @@ def parse_xconfig(text: str) -> TdnnConfig:
         if not line:
             continue
         kind, kv = _parse_line(line)
+        name = kv.get("name", "")
         if kind == "input":
             input_dim = int(kv["dim"])
         elif kind in ("relu-batchnorm-layer", "relu-renorm-layer",
                       "relu-batchnorm-dropout-layer"):
+            offs, desc = _offsets(kv)
             layers.append(
                 TdnnLayerSpec(
-                    "tdnn", int(kv["dim"]), _offsets(kv),
+                    "tdnn", int(kv["dim"]), offs, input_desc=desc, name=name,
                     dropout=float(kv.get("dropout-proportion", 0.0)),
                 )
             )
         elif kind == "tdnnf-layer":
+            _offs_unused, desc = _offsets(kv)
             layers.append(
                 TdnnLayerSpec(
-                    "tdnnf", int(kv["dim"]),
+                    "tdnnf", int(kv["dim"]), input_desc=desc, name=name,
                     bottleneck_dim=int(kv["bottleneck-dim"]),
                     time_stride=int(kv.get("time-stride", 1)),
                     bypass_scale=float(kv.get("bypass-scale", 0.66)),
@@ -99,9 +133,11 @@ def parse_xconfig(text: str) -> TdnnConfig:
             cell = int(kv["cell-dim"])
             rec = int(kv.get("recurrent-projection-dim", max(1, cell // 4)))
             nonrec = int(kv.get("non-recurrent-projection-dim", 0))
+            _offs_unused, desc = _offsets(kv)
             layers.append(
                 TdnnLayerSpec(
                     "blstmp" if kind.startswith("b") else "lstmp", cell,
+                    input_desc=desc, name=name,
                     recurrent_dim=rec, nonrecurrent_dim=nonrec,
                 )
             )
@@ -109,14 +145,16 @@ def parse_xconfig(text: str) -> TdnnConfig:
             cell = int(kv["cell-dim"])
             rec = int(kv.get("recurrent-projection-dim", max(1, cell // 4)))
             nonrec = int(kv.get("non-recurrent-projection-dim", 0))
+            _offs_unused, desc = _offsets(kv)
             layers.append(
-                TdnnLayerSpec("pgru", cell,
+                TdnnLayerSpec("pgru", cell, input_desc=desc, name=name,
                               recurrent_dim=rec, nonrecurrent_dim=nonrec)
             )
         elif kind in ("attention-relu-renorm-layer", "attention-layer"):
+            _offs_unused, desc = _offsets(kv)
             layers.append(
                 TdnnLayerSpec(
-                    "attention", 0,
+                    "attention", 0, input_desc=desc, name=name,
                     num_heads=int(kv.get("num-heads", 4)),
                     key_dim=int(kv.get("key-dim", 40)),
                     value_dim=int(kv.get("value-dim", 60)),
@@ -133,9 +171,11 @@ def parse_xconfig(text: str) -> TdnnConfig:
                 "time-offsets", "-1,0,1").split(","))
             h_off = tuple(int(x) for x in kv.get(
                 "height-offsets", "-1,0,1").split(","))
+            _offs_unused, desc = _offsets(kv)
             layers.append(
                 TdnnLayerSpec(
                     "conv", int(kv["num-filters-out"]), t_off,
+                    input_desc=desc, name=name,
                     height_in=h_in, height_offsets=h_off,
                     height_subsample=sub,
                 )

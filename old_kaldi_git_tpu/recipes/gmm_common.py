@@ -59,9 +59,34 @@ def align_all(
     feats_padded: np.ndarray,
     num_frames: np.ndarray,
     vopts: ViterbiOptions,
+    max_batch: int = 0,
 ) -> Tuple[List[Optional[np.ndarray]], List[float]]:
-    loglikes = np.asarray(am.loglikes_batch(feats_padded))
-    return align_batch(graphs, loglikes, num_frames, vopts)
+    """Viterbi-align every utterance, chunking the corpus so the GMM
+    loglike intermediate ([b, T, num_pdfs·max_gauss] floats — the
+    ext@Wᵀ expansion in AmDiagGmm.loglikes_batch) stays within a fixed
+    HBM budget: at mini-librispeech scale (600 utts × 2k pdfs) the
+    whole-corpus batch is ~8 GB and OOMs a 16 GB chip.  Each chunk is
+    also trimmed to its own longest utterance, so sorted-by-key batches
+    don't pay the global max length."""
+    B, T, _D = feats_padded.shape
+    if max_batch <= 0:
+        pm = am.num_pdfs * max(
+            (len(p.weights) for p in am.pdfs), default=1)
+        budget_floats = 500_000_000  # 2 GB of f32 activations
+        max_batch = int(min(B, max(8, budget_floats // max(T * pm, 1))))
+    alis: List[Optional[np.ndarray]] = []
+    scores: List[float] = []
+    num_frames = np.asarray(num_frames, np.int32)
+    for lo in range(0, B, max_batch):
+        hi = min(B, lo + max_batch)
+        # bucket the time dim to multiples of 64 so chunks share compiles
+        t_max = min(T, -(-int(num_frames[lo:hi].max()) // 64) * 64)
+        ll = np.asarray(
+            am.loglikes_batch(feats_padded[lo:hi, :t_max]))
+        a, s = align_batch(graphs[lo:hi], ll, num_frames[lo:hi], vopts)
+        alis.extend(a)
+        scores.extend(s)
+    return alis, scores
 
 
 def gmm_training_loop(

@@ -320,7 +320,8 @@ def test_chain_biphone_e2e_yesno():
     graph = make_chain_decode_graph(chain, lang, g)
     hyps = decode_chain(chain, graph, lang, sf, beam=20.0)
     stats = score_hyps(st, hyps)
-    assert stats.wer <= 5.0, stats.report()
+    # measured 0.00 (fixed seeds): zero-error-tolerance gate
+    assert stats.wer <= 2.0, stats.report()
 
 
 def test_generic_numerator_matches_bruteforce():
@@ -399,10 +400,9 @@ def test_chain_e2e_flat_start_yesno():
     graph = make_chain_decode_graph(chain, lang, g)
     hyps = decode_chain(chain, graph, lang, test_feats, beam=20.0)
     stats = score_hyps(test_text, hyps)
-    # measured 0.00 on this synthetic corpus; 1 error in 23 words ≈ 4.3, so
-    # a tight gate still tolerates a single-word flake while catching real
-    # regressions (round-1 verdict: double-digit headroom hides bugs)
-    assert stats.wer <= 5.0, stats.report()
+    # measured 0.00 on this synthetic corpus (fixed seeds): zero-error
+    # tolerance, matching the rest of the suite (round-2 verdict ask #10)
+    assert stats.wer <= 2.0, stats.report()
 
 
 def test_biphone_context_dependency_full():

@@ -196,3 +196,195 @@ def test_transition_model_semantics_after_roundtrip(tmp_path):
     for tid in range(1, tm.num_tids + 1):
         assert got.tid_to_pdf(tid) == tm.tid_to_pdf(tid)
         assert got.tid_to_phone(tid) == tm.tid_to_phone(tid)
+
+
+# ---------------------------------------------------------------------------
+# OpenFst binary FST + CompactLattice layouts (src/fstext/kaldi-fst-io.cc,
+# src/lat/kaldi-lattice.cc) — round-2 verdict ask #9
+# ---------------------------------------------------------------------------
+
+def fst_header_bytes(arctype, start, numstates, numarcs):
+    out = struct.pack("<i", 2125659606)
+    for s in ("vector", arctype):
+        out += struct.pack("<i", len(s)) + s.encode()
+    out += struct.pack("<ii", 2, 0)       # version 2, flags 0
+    out += struct.pack("<Q", 3)           # properties expanded|mutable
+    out += struct.pack("<qqq", start, numstates, numarcs)
+    return out
+
+
+def _make_std_fst():
+    from old_kaldi_git_tpu.fst.vector_fst import Arc, VectorFst
+
+    fst = VectorFst()
+    s0, s1, s2 = fst.add_state(), fst.add_state(), fst.add_state()
+    fst.set_start(s0)
+    fst.add_arc(s0, Arc(3, 7, 0.5, s1))
+    fst.add_arc(s0, Arc(0, 0, 1.25, s2))
+    fst.add_arc(s1, Arc(4, 0, -0.5, s2))
+    fst.set_final(s2, 2.0)
+    return fst
+
+
+def expected_std_fst_bytes():
+    out = fst_header_bytes("standard", 0, 3, 3)
+    # state 0: nonfinal (+inf), 2 arcs
+    out += struct.pack("<f", float("inf")) + struct.pack("<q", 2)
+    out += struct.pack("<iifi", 3, 7, 0.5, 1)
+    out += struct.pack("<iifi", 0, 0, 1.25, 2)
+    # state 1
+    out += struct.pack("<f", float("inf")) + struct.pack("<q", 1)
+    out += struct.pack("<iifi", 4, 0, -0.5, 2)
+    # state 2: final 2.0, no arcs
+    out += struct.pack("<f", 2.0) + struct.pack("<q", 0)
+    return out
+
+
+def test_openfst_stdarc_writer_matches_reference_layout():
+    import io as _io
+
+    from old_kaldi_git_tpu.fst.kaldi_fst_io import write_fst_kaldi
+
+    buf = _io.BytesIO()
+    write_fst_kaldi(buf, _make_std_fst())
+    assert buf.getvalue() == expected_std_fst_bytes()
+
+
+def test_openfst_stdarc_reader_parses_reference_bytes():
+    import io as _io
+
+    from old_kaldi_git_tpu.fst.kaldi_fst_io import read_fst_kaldi
+
+    fst = read_fst_kaldi(_io.BytesIO(expected_std_fst_bytes()))
+    assert fst.num_states == 3 and fst.start == 0
+    assert [(
+        a.ilabel, a.olabel, a.weight, a.nextstate) for a in fst.arcs[0]] == [
+        (3, 7, 0.5, 1), (0, 0, 1.25, 2)]
+    assert fst.finals[2] == 2.0 and not fst.is_final(0)
+
+
+def clat_weight_bytes(graph, acoustic, tids):
+    out = struct.pack("<ff", graph, acoustic)
+    out += struct.pack("<q", len(tids))
+    out += np.asarray(tids, "<i4").tobytes()
+    return out
+
+
+def _make_clat():
+    from old_kaldi_git_tpu.lat.determinize import (
+        CompactLattice,
+        CompactLatticeArc,
+    )
+
+    clat = CompactLattice()
+    s0, s1 = clat.add_state(), clat.add_state()
+    clat.start = s0
+    clat.arcs[s0].append(CompactLatticeArc(12, 1.5, -3.25, (5, 6, 7), s1))
+    clat.finals[s1] = (0.25, 0.0, (8,))
+    return clat
+
+
+def expected_clat_bytes():
+    out = fst_header_bytes("compactlattice44", 0, 2, 1)
+    # state 0: nonfinal = (inf, inf, empty string), 1 arc 12:12
+    out += clat_weight_bytes(float("inf"), float("inf"), [])
+    out += struct.pack("<q", 1)
+    out += struct.pack("<ii", 12, 12)
+    out += clat_weight_bytes(1.5, -3.25, [5, 6, 7])
+    out += struct.pack("<i", 1)
+    # state 1: final (0.25, 0.0, [8]), 0 arcs
+    out += clat_weight_bytes(0.25, 0.0, [8])
+    out += struct.pack("<q", 0)
+    return out
+
+
+def test_compact_lattice_writer_matches_reference_layout():
+    import io as _io
+
+    from old_kaldi_git_tpu.fst.kaldi_fst_io import (
+        write_compact_lattice_kaldi,
+    )
+
+    buf = _io.BytesIO()
+    write_compact_lattice_kaldi(buf, _make_clat())
+    assert buf.getvalue() == expected_clat_bytes()
+
+
+def test_compact_lattice_reader_parses_reference_bytes():
+    import io as _io
+
+    from old_kaldi_git_tpu.fst.kaldi_fst_io import (
+        read_compact_lattice_kaldi,
+    )
+
+    clat = read_compact_lattice_kaldi(_io.BytesIO(expected_clat_bytes()))
+    assert clat.num_states == 2 and clat.start == 0
+    a = clat.arcs[0][0]
+    assert (a.word, a.graph_cost, a.acoustic_cost, tuple(a.tids),
+            a.nextstate) == (12, 1.5, -3.25, (5, 6, 7), 1)
+    assert clat.finals[1][:2] == (0.25, 0.0)
+    assert tuple(clat.finals[1][2]) == (8,)
+
+
+def test_kaldi_framed_ark_holders_roundtrip(tmp_path):
+    """`key \\0B <openfst binary>` ark cells via the kfst/kclat holders
+    (upstream lattice-ark framing), including the exact per-cell bytes."""
+    import old_kaldi_git_tpu.fst.kaldi_fst_io  # noqa: F401 registers holders
+    from old_kaldi_git_tpu.utils.table import TableWriter, read_table
+
+    fst = _make_std_fst()
+    clat = _make_clat()
+    fpath = str(tmp_path / "g.ark")
+    with TableWriter(f"ark:{fpath}", "kfst") as w:
+        w["utt1"] = fst
+    raw = open(fpath, "rb").read()
+    assert raw == b"utt1 \x00B" + expected_std_fst_bytes()
+    back = read_table(f"ark:{fpath}", "kfst")["utt1"]
+    assert back.num_states == 3 and back.finals[2] == 2.0
+
+    lpath = str(tmp_path / "lat.ark")
+    with TableWriter(f"ark:{lpath}", "kclat") as w:
+        w["utt1"] = clat
+    raw = open(lpath, "rb").read()
+    assert raw == b"utt1 \x00B" + expected_clat_bytes()
+    back = read_table(f"ark:{lpath}", "kclat")["utt1"]
+    assert back.arcs[0][0].word == 12
+
+
+def test_hclg_fst_file_roundtrip_real_graph(tmp_path):
+    """A real mkgraph HCLG survives the upstream binary file format with
+    identical arcs (write_fst_kaldi_file / read_fst_kaldi_file)."""
+    from old_kaldi_git_tpu.decoder.graph import mkgraph
+    from old_kaldi_git_tpu.fst.kaldi_fst_io import (
+        read_fst_kaldi_file,
+        write_fst_kaldi_file,
+    )
+    from old_kaldi_git_tpu.fst.lang import (
+        Lang,
+        Lexicon,
+        make_unigram_grammar_fst,
+    )
+    from old_kaldi_git_tpu.tree.context_dep import (
+        monophone_context_dependency,
+    )
+
+    lex = Lexicon.from_dict({"yes": "Y EH S", "no": "N OW"})
+    lang = Lang(lex, silence_phone="SIL", sil_prob=0.5)
+    phones = lang.real_phone_ids
+    topo = HmmTopology.standard(phones, silence_phones=[lang.silence_id])
+    cd = monophone_context_dependency(
+        phones, {p: topo.num_pdf_classes(p) for p in phones})
+    tm = TransitionModel(cd, topo)
+    g = make_unigram_grammar_fst([["yes"], ["no"]], lang.words)
+    hclg = mkgraph(lang, g, cd, tm)
+    path = str(tmp_path / "HCLG.fst")
+    write_fst_kaldi_file(path, hclg)
+    back = read_fst_kaldi_file(path)
+    assert back.num_states == hclg.num_states
+    assert back.start == hclg.start
+    for s in range(hclg.num_states):
+        assert len(back.arcs[s]) == len(hclg.arcs[s])
+        for a, b in zip(hclg.arcs[s], back.arcs[s]):
+            assert (a.ilabel, a.olabel, a.nextstate) == (
+                b.ilabel, b.olabel, b.nextstate)
+            assert abs(a.weight - b.weight) < 1e-6

@@ -134,7 +134,8 @@ def test_nnet2_pnorm_parallel_averaging_e2e():
                           initial_lr=1e-2, final_lr=1e-3),
     )
     stats = _decode_wer(gmm, lang, train_text, test_feats, test_text, am)
-    assert stats.wer <= 10.0, stats.report()
+    # measured 0.00 (fixed seeds): zero-error-tolerance gate
+    assert stats.wer <= 2.0, stats.report()
 
 
 @pytest.mark.slow
@@ -154,7 +155,8 @@ def test_nnet1_frmshuff_newbob_e2e():
                           start_halving_impr=0.004),
     )
     stats = _decode_wer(gmm, lang, train_text, test_feats, test_text, am)
-    assert stats.wer <= 10.0, stats.report()
+    # measured 0.00 (fixed seeds): zero-error-tolerance gate
+    assert stats.wer <= 2.0, stats.report()
 
 
 def test_nnet1_mse_loss_trains():
