@@ -1,15 +1,26 @@
-"""Benchmark: batched decode throughput (audio-seconds/s/chip).
+"""Benchmark: batched decode throughput (audio-seconds/s/chip) + WER.
 
-Measures the BASELINE primary metric on the full decode pipeline —
-on-device MFCC+deltas → TDNN-F acoustic scores → batched token-passing beam
-search (lax.scan) → host backtrace — over a synthetic medium-vocabulary
-task.  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "audio_sec_per_sec_per_chip",
-   "vs_baseline": N}
+Two systems, ONE JSON line:
+
+  * minilib (flagship, BASELINE configs 2-3 scale): 20k-word lexicon,
+    pruned trigram LM, triphone tree, TDNN-F AM — an HCLG in the
+    million-state range, decoded token-sparse (max_active=2048) over the
+    held-out test set with MEASURED WER.  This is the realistic number:
+    the graph no longer fits the dense kernels and per-frame cost is
+    gather/sort-bound (recipes/minilib.py; artifacts under exp/minilib,
+    committed so the bench starts warm).
+  * toy (1050-state unigram HCLG, dense kernel): the kernel-envelope
+    number — MFCC+deltas -> TDNN-F -> fused dense beam search + on-device
+    backtrace as ONE jitted program.
+
+The printed line's value/vs_baseline is the FLAGSHIP (minilib) decode
+throughput with its WER; the toy number rides as "toy_audio_s_per_s".
+If the minilib artifacts are missing (fresh clone without exp/), the toy
+line is printed alone so the bench never fails outright.
 
 vs_baseline: the reference decodes at roughly RTF 1.0 per CPU core
-(BASELINE.md, recalled upstream range 0.5-1.5), so vs_baseline is the value
-itself (x realtime per chip).
+(BASELINE.md, recalled upstream range 0.5-1.5), so vs_baseline is the
+value itself (x realtime per chip).
 """
 
 from __future__ import annotations
@@ -21,8 +32,10 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 
-def build_system(num_words: int = 200, seed: int = 0):
+
+def build_toy_system(num_words: int = 200, seed: int = 0):
     """Medium-vocab synthetic system: random lexicon over 30 phones,
     unigram G, mono GMM-free TDNN-F acoustic model with matching pdf count."""
     rng = np.random.default_rng(seed)
@@ -61,21 +74,10 @@ def build_system(num_words: int = 200, seed: int = 0):
     return lang, tm, csr, am
 
 
-def main():
+def run_toy() -> dict:
+    """Fused-pipeline dense decode on the 1050-state toy (the r01/r02
+    headline): audio-seconds/s/chip at B=1024 x 10 s."""
     import jax
-
-    # persistent compilation cache, stored IN THE REPO: XLA compile times on
-    # the tunneled TPU backend are erratic and routinely exceed 5 minutes
-    # for the decode scan (large per-step scan outputs), so a cold bench can
-    # outlive its timeout.  The committed cache makes any same-environment
-    # run start warm; on a different jaxlib/backend the keys miss and it
-    # degrades to a cold compile.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
     import jax.numpy as jnp
 
     from old_kaldi_git_tpu.decoder.viterbi import (
@@ -86,15 +88,13 @@ def main():
     from old_kaldi_git_tpu.feat import Mfcc, MfccOptions, compute_deltas
     from old_kaldi_git_tpu.feat.window import num_frames as count_frames
 
-    backend = jax.default_backend()
-    # B=512 measured ~1.8x per doubling up to B=1024 (scan alone 30.8k audio-s/s) (the scan's
-    # per-frame fixed costs amortize); [T, B, S] winning-arc store is
-    # ~4.3 GB, comfortably within the 16 GB HBM
+    # B=512 measured ~1.8x per doubling up to B=1024 (scan alone 30.8k
+    # audio-s/s); [T, B, S] winning-arc store ~4.3 GB, within 16 GB HBM
     B = 1024
-    DUR = 10.0  # seconds per utterance
+    DUR = 10.0
     SR = 16000.0
 
-    lang, tm, csr, am = build_system()
+    lang, tm, csr, am = build_toy_system()
     rng = np.random.default_rng(1)
     waves = rng.normal(size=(B, int(DUR * SR))).astype(np.float32) * 2000.0
 
@@ -102,11 +102,6 @@ def main():
     mfcc_opts.frame_opts.dither = 0.0
     mfcc = Mfcc(mfcc_opts)
 
-    # ONE fused program for the WHOLE pipeline (frontend + AM + beam search
-    # + backtrace): the tunneled compile service queues per compilation and
-    # under co-tenant load each queue entry can wait minutes, so a single
-    # program bounds the cold run to one wait (plus a trivial warmup jit
-    # that absorbs per-process backend init).
     model = am.model()
     variables = am.variables
     log_priors = jnp.asarray(am.log_priors)
@@ -125,6 +120,9 @@ def main():
     w_dev = jnp.asarray(csr.weight)
     ns_dev = jnp.asarray(csr.nextstate)
 
+    # ONE fused program (frontend + AM + search + backtrace): the tunneled
+    # compile service queues per compilation; a single program bounds a
+    # cold run to one queue wait
     @jax.jit
     def full_pipeline(w):
         f = compute_deltas(mfcc(w))  # 13 MFCC x (static+delta+accel) = 39
@@ -135,26 +133,18 @@ def main():
             1.0, 14.0, fw_dev, K, S,
         )
 
-    # absorb per-process backend init before the big compile
-    jax.jit(lambda a: a + 1)(jnp.zeros(2)).block_until_ready()
-
     nf_host = np.full(B, T, np.int32)
 
     def pipeline(waves_dev):
         end, has_final, costs, arcs = full_pipeline(waves_dev)
-        # decode_batch's shared host tail: words from winning arcs
         return results_from_arcs(
             csr, np.asarray(arcs), np.asarray(end), np.asarray(has_final),
             np.asarray(costs, np.float64), nf_host,
         )
 
-    # warmup (the one big compile)
     waves_dev = jnp.asarray(waves)
-    pipeline(waves_dev)
+    pipeline(waves_dev)  # warmup: the one big compile
 
-    # timed runs: take the fastest of several — the chip is time-shared and
-    # co-tenant load perturbs single runs by up to ~2x; the minimum
-    # approximates uncontended throughput
     runs = 4
     wall = float("inf")
     for _ in range(runs):
@@ -162,20 +152,78 @@ def main():
         results = pipeline(waves_dev)
         wall = min(wall, time.perf_counter() - t0)
     ok = sum(1 for r in results if r is not None)
+    return {
+        "toy_audio_s_per_s": round(B * DUR / wall, 2),
+        "toy_states": csr.num_states,
+        "toy_arcs": csr.num_arcs,
+        "toy_decoded": f"{ok}/{B}",
+    }
 
-    audio_sec_per_sec = B * DUR / wall
-    print(
-        json.dumps(
-            {
-                "metric": "decode audio-seconds/s/chip (MFCC+TDNN-F+beam search, "
-                f"{csr.num_states} states, {csr.num_arcs} arcs, backend={backend}, "
-                f"decoded {ok}/{B})",
-                "value": round(audio_sec_per_sec, 2),
-                "unit": "audio_sec_per_sec_per_chip",
-                "vs_baseline": round(audio_sec_per_sec / 1.0, 2),
-            }
-        )
-    )
+
+def run_minilib() -> dict | None:
+    """Flagship: token-sparse decode of the 20k-word trigram system with
+    measured WER (round-2 verdict ask #1)."""
+    from old_kaldi_git_tpu.recipes import minilib as ml
+
+    workdir = os.path.join(REPO, "exp", "minilib")
+    needed = ["lang.pkl", "arpa.txt.gz", "tree.pkl", "final.am", "hclg.npz"]
+    if not all(os.path.exists(os.path.join(workdir, n)) for n in needed):
+        return None
+    system = ml.load_system(workdir, build_missing=False)
+    S, A = system.csr.num_states, system.csr.num_arcs
+
+    # warmup (compiles AM fwd + token-sparse scan), then best-of-2 timed
+    wer, audio_s = ml.decode_and_score(system)
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        wer, audio_s = ml.decode_and_score(system)
+        wall = min(wall, time.perf_counter() - t0)
+    return {
+        "value": round(audio_s / wall, 2),
+        "wer": round(wer, 2),
+        "states": S,
+        "arcs": A,
+        "audio_s": round(audio_s, 1),
+        "num_test_utts": len(system.test_waves),
+    }
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    backend = jax.default_backend()
+
+    toy = run_toy()
+    mini = run_minilib()
+    if mini is None:
+        out = {
+            "metric": "decode audio-seconds/s/chip (toy 1050-state dense "
+                      f"pipeline, backend={backend}; minilib artifacts "
+                      "missing)",
+            "value": toy["toy_audio_s_per_s"],
+            "unit": "audio_sec_per_sec_per_chip",
+            "vs_baseline": toy["toy_audio_s_per_s"],
+            **toy,
+        }
+    else:
+        out = {
+            "metric": (
+                "minilib decode audio-seconds/s/chip + WER (20k words, "
+                f"pruned trigram, {mini['states']} states, {mini['arcs']} "
+                f"arcs, token-sparse max_active=2048, backend={backend})"
+            ),
+            "value": mini["value"],
+            "unit": "audio_sec_per_sec_per_chip",
+            "vs_baseline": mini["value"],
+            **{k: v for k, v in mini.items() if k != "value"},
+            **toy,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -491,9 +491,16 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         cost = base_cost + w_arc - acoustic_scale * ll_arc
         dest = jnp.where(valid, ns_arc, S)  # sentinel sorts last
         cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)
-        dest_s, cost_s, arc_s, kof_s, ll_s = jax.lax.sort(
-            (dest, cost, arc, k_of, ll_arc), dimension=1, num_keys=2
-        )
+        # the lattice path needs the source slot and acoustic score of each
+        # candidate post-sort; only pay the extra sort operands when L > 0
+        if L:
+            dest_s, cost_s, arc_s, kof_s, ll_s = jax.lax.sort(
+                (dest, cost, arc, k_of, ll_arc), dimension=1, num_keys=2
+            )
+        else:
+            dest_s, cost_s, arc_s = jax.lax.sort(
+                (dest, cost, arc), dimension=1, num_keys=2
+            )
         first = jnp.concatenate(
             [jnp.ones((B, 1), bool), dest_s[:, 1:] != dest_s[:, :-1]], axis=1
         )

@@ -165,17 +165,19 @@ def test_token_sparse_decoder_matches_dense():
         assert s.words == d.words
         assert np.array_equal(s.alignment, d.alignment)
         assert s.cost == pytest.approx(d.cost, abs=1e-3)
-    # lattice token sets: the sparse path's best path must survive in its
-    # frame token sets, and generated lattices carry the same best path
-    from old_kaldi_git_tpu.lat.lattice import lattice_best_path, lattice_from_decode
+    # lattices: the sparse path emits bounded device records; the rebuilt
+    # lattice must carry the decoder's best path (reference GetRawLattice
+    # invariant).  loglikes never reach the host reconstruction.
+    from old_kaldi_git_tpu.lat.lattice import (
+        lattice_best_path,
+        lattice_from_token_records,
+    )
 
     sparse_lat = decode_batch_tokens(csr, loglikes, nf, opts,
-                                     want_lattice=True)
+                                     want_lattice=True, lattice_beam=20.0)
     for i, res in enumerate(sparse_lat):
-        lat = lattice_from_decode(
-            csr, loglikes[i, : nf[i]], res.frame_states, res.frame_costs,
-            1.0, lattice_beam=20.0,
-        )
+        assert res.token_lattice is not None
+        lat = lattice_from_token_records(csr, res.token_lattice)
         assert lat is not None
         words, _tids, cost = lattice_best_path(lat, 1.0, 1.0)
         assert words == res.words
