@@ -203,6 +203,10 @@ def read_matrix(f: BinaryIO) -> np.ndarray:
     tok = read_token(f)
     if tok == "CM":
         return _read_compressed_matrix(f)
+    if tok == "CM2":
+        return _read_compressed_matrix_global(f, 65535.0, "<u2")
+    if tok == "CM3":
+        return _read_compressed_matrix_global(f, 255.0, "u1")
     if tok not in _MAT_TOKENS:
         raise KaldiError(f"unknown matrix token {tok!r}")
     dtype = _MAT_TOKENS[tok]
@@ -237,11 +241,19 @@ def read_vector(f: BinaryIO) -> np.ndarray:
     return np.frombuffer(raw, dtype=fmt).astype(dtype)
 
 
-def write_compressed_matrix(f: BinaryIO, mat: np.ndarray) -> None:
-    """Write Kaldi CompressedMatrix format 1 (per-column percentile headers,
-    8-bit codes) — reference src/matrix/compressed-matrix.cc
-    CompressedMatrix::CopyFromMat + Write.  Round-trips through
-    _read_compressed_matrix with quantization error ≤ range/255 per band."""
+def write_compressed_matrix(f: BinaryIO, mat: np.ndarray,
+                            format: int = 1) -> None:
+    """Write Kaldi CompressedMatrix — reference
+    src/matrix/compressed-matrix.cc CompressedMatrix::CopyFromMat + Write:
+
+      format 1 ("CM"):  per-column percentile headers + 8-bit codes (the
+                        speech-feature default; needs num_rows >= 8)
+      format 2 ("CM2"): kTwoByteAuto — one uint16 code per element against
+                        the global [min, min+range]
+      format 3 ("CM3"): kOneByteAuto — one uint8 code per element
+
+    Round-trips through read_matrix with quantization error ≤ range/255
+    per band (1/3) or range/65535 (2)."""
     mat = np.asarray(mat, np.float64)
     if mat.ndim != 2:
         raise KaldiError(f"write_compressed_matrix needs 2-D, got {mat.shape}")
@@ -250,6 +262,19 @@ def write_compressed_matrix(f: BinaryIO, mat: np.ndarray) -> None:
     rng = float(mat.max() - min_value) if mat.size else 1.0
     if rng <= 0:
         rng = 1.0
+    if format in (2, 3):
+        levels = 65535.0 if format == 2 else 255.0
+        dt = "<u2" if format == 2 else "u1"
+        write_token(f, "CM2" if format == 2 else "CM3")
+        f.write(struct.pack("<ff", np.float32(min_value), np.float32(rng)))
+        f.write(struct.pack("<ii", num_rows, num_cols))
+        codes = np.clip(
+            np.round((mat - min_value) / rng * levels), 0, levels
+        ).astype(dt)
+        f.write(codes.tobytes())
+        return
+    if format != 1:
+        raise KaldiError(f"unknown CompressedMatrix format {format}")
 
     def float_to_uint16(v):
         return np.clip(
@@ -292,6 +317,20 @@ def write_compressed_matrix(f: BinaryIO, mat: np.ndarray) -> None:
     )
     codes = np.where(cols <= p25, lo, np.where(cols <= p75, mid, hi))
     f.write(codes.astype(np.uint8).tobytes())
+
+
+def _read_compressed_matrix_global(f: BinaryIO, levels: float,
+                                   dt: str) -> np.ndarray:
+    """Formats 2/3: global linear quantization, row-major codes."""
+    min_value, rng = struct.unpack("<ff", f.read(8))
+    num_rows, num_cols = struct.unpack("<ii", f.read(8))
+    itemsize = np.dtype(dt).itemsize
+    raw = f.read(num_rows * num_cols * itemsize)
+    if len(raw) != num_rows * num_cols * itemsize:
+        raise KaldiError("truncated CompressedMatrix data")
+    codes = np.frombuffer(raw, dtype=dt).reshape(num_rows, num_cols)
+    return (min_value + rng * codes.astype(np.float64) / levels).astype(
+        np.float32)
 
 
 def _read_compressed_matrix(f: BinaryIO) -> np.ndarray:

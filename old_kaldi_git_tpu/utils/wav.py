@@ -45,7 +45,7 @@ def read_wav_stream(f: BinaryIO) -> WaveData:
             (audio_fmt, num_channels, rate, _byte_rate, _align, bits) = struct.unpack(
                 "<HHIIHH", fmt[:16]
             )
-            if audio_fmt not in (1, 0xFFFE):  # PCM / extensible
+            if audio_fmt not in (1, 6, 7, 0xFFFE):  # PCM / ALaw / µLaw / ext
                 raise KaldiError(f"unsupported WAVE format tag {audio_fmt}")
             samp_freq = float(rate)
         elif chunk_id == b"data":
@@ -56,12 +56,61 @@ def read_wav_stream(f: BinaryIO) -> WaveData:
             f.read(size + (size & 1))
     if samp_freq is None or data is None:
         raise KaldiError("WAVE stream missing fmt/data chunk")
-    if bits != 16:
-        raise KaldiError(f"only 16-bit PCM supported, got {bits}")
-    samples = np.frombuffer(data, dtype="<i2")
+    # sample decode per format tag (reference src/feat/wave-reader.cc
+    # supports 16/8-bit PCM plus G.711 ALaw/µLaw; all land in int16 range)
+    if audio_fmt in (1, 0xFFFE):
+        if bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.float32)
+        elif bits == 8:
+            # WAV 8-bit PCM is UNSIGNED; center and scale to int16 range
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+            ) * 256.0
+        else:
+            raise KaldiError(f"unsupported PCM bit depth {bits}")
+    elif audio_fmt == 6:
+        if bits != 8:
+            raise KaldiError(f"ALaw must be 8-bit, got {bits}")
+        samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    else:  # 7 = µLaw
+        if bits != 8:
+            raise KaldiError(f"µLaw must be 8-bit, got {bits}")
+        samples = _MULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
     n = (len(samples) // num_channels) * num_channels
     samples = samples[:n].reshape(-1, num_channels).T.astype(np.float32)
     return WaveData(samp_freq=samp_freq, data=samples)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """G.711 A-law byte → linear int16 (the Sun/CCITT alaw2linear)."""
+    out = np.zeros(256, np.float32)
+    for i in range(256):
+        a = i ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[i] = float(t if (a & 0x80) else -t)
+    return out
+
+
+def _build_mulaw_table() -> np.ndarray:
+    """G.711 µ-law byte → linear int16 (the Sun/CCITT ulaw2linear)."""
+    out = np.zeros(256, np.float32)
+    for i in range(256):
+        u = ~i & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out[i] = float(0x84 - t if (u & 0x80) else t - 0x84)
+    return out
+
+
+_ALAW_TABLE = _build_alaw_table()
+_MULAW_TABLE = _build_mulaw_table()
 
 
 def write_wav_stream(f: BinaryIO, wave: WaveData) -> None:

@@ -388,3 +388,87 @@ def test_hclg_fst_file_roundtrip_real_graph(tmp_path):
             assert (a.ilabel, a.olabel, a.nextstate) == (
                 b.ilabel, b.olabel, b.nextstate)
             assert abs(a.weight - b.weight) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# CompressedMatrix formats 2/3 + G.711/8-bit wav (src/matrix/
+# compressed-matrix.cc, src/feat/wave-reader.cc) — round-2 verdict ask #9
+# ---------------------------------------------------------------------------
+
+def test_compressed_matrix_format2_bytes_and_roundtrip():
+    import io as _io
+
+    from old_kaldi_git_tpu.utils.io_funcs import (
+        read_matrix,
+        write_compressed_matrix,
+    )
+
+    mat = np.asarray([[-1.0, 0.0, 1.0], [0.5, -0.5, 0.25]], np.float64)
+    # hand-assembled expected bytes: "CM2 " + GlobalHeader + uint16 codes
+    exp = tok("CM2") + struct.pack("<ff", -1.0, 2.0)
+    exp += struct.pack("<ii", 2, 3)
+    codes = np.round((mat + 1.0) / 2.0 * 65535.0).astype("<u2")
+    exp += codes.tobytes()
+    buf = _io.BytesIO()
+    write_compressed_matrix(buf, mat, format=2)
+    assert buf.getvalue() == exp
+    back = read_matrix(_io.BytesIO(exp))
+    np.testing.assert_allclose(back, mat, atol=2.0 / 65535)
+
+
+def test_compressed_matrix_format3_bytes_and_roundtrip():
+    import io as _io
+
+    from old_kaldi_git_tpu.utils.io_funcs import (
+        read_matrix,
+        write_compressed_matrix,
+    )
+
+    mat = np.asarray([[0.0, 2.0], [4.0, 1.0]], np.float64)
+    exp = tok("CM3") + struct.pack("<ff", 0.0, 4.0)
+    exp += struct.pack("<ii", 2, 2)
+    exp += np.round(mat / 4.0 * 255.0).astype("u1").tobytes()
+    buf = _io.BytesIO()
+    write_compressed_matrix(buf, mat, format=3)
+    assert buf.getvalue() == exp
+    back = read_matrix(_io.BytesIO(exp))
+    np.testing.assert_allclose(back, mat, atol=4.0 / 255)
+
+
+def _riff(fmt_tag, bits, payload, rate=8000, channels=1):
+    block = channels * (bits // 8)
+    out = b"fmt " + struct.pack("<IHHIIHH", 16, fmt_tag, channels, rate,
+                                rate * block, block, bits)
+    out += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+def test_wav_mulaw_decode_known_values():
+    import io as _io
+
+    from old_kaldi_git_tpu.utils.wav import read_wav_stream
+
+    # G.711 µ-law reference points: 0x00 → -32124, 0xFF → 0, 0x80 → +32124
+    w = read_wav_stream(_io.BytesIO(_riff(7, 8, bytes([0x00, 0xFF, 0x80]))))
+    np.testing.assert_array_equal(w.data[0], [-32124.0, 0.0, 32124.0])
+    assert w.samp_freq == 8000.0
+
+
+def test_wav_alaw_decode_known_values():
+    import io as _io
+
+    from old_kaldi_git_tpu.utils.wav import read_wav_stream
+
+    # G.711 A-law reference points: 0x55 → -8, 0xD5 → +8,
+    # 0x2A (= ^0x55 → 0x7F, the negative full-scale code) → -32256
+    w = read_wav_stream(_io.BytesIO(_riff(6, 8, bytes([0x55, 0xD5, 0x2A]))))
+    np.testing.assert_array_equal(w.data[0], [-8.0, 8.0, -32256.0])
+
+
+def test_wav_8bit_pcm_decode():
+    import io as _io
+
+    from old_kaldi_git_tpu.utils.wav import read_wav_stream
+
+    w = read_wav_stream(_io.BytesIO(_riff(1, 8, bytes([0, 128, 255]))))
+    np.testing.assert_array_equal(w.data[0], [-32768.0, 0.0, 32512.0])
