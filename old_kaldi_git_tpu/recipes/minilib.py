@@ -403,7 +403,7 @@ def save_csr(path: str, csr) -> None:
             vals.extend(t)
             off[i + 1] = len(vals)
         fol = FlatOlabels(off, np.asarray(vals, np.int32))
-    np.savez(
+    np.savez_compressed(
         path,
         start=np.int32(csr.start), row_ptr=csr.row_ptr, tid=csr.tid,
         pdf=csr.pdf, weight=csr.weight, nextstate=csr.nextstate,
@@ -462,8 +462,15 @@ def decode_and_score(
     beam: float = 14.0,
     max_active: int = 2048,
     acoustic_scale: float = 1.0,
+    batch: int = 64,
 ) -> Tuple[float, float]:
-    """Token-sparse decode of the test set; returns (WER %, audio seconds)."""
+    """Token-sparse decode of the test set; returns (WER %, audio seconds).
+
+    Utterances are decoded in duration-sorted chunks of `batch`: the
+    [T, B, K] backpointer store is the HBM hog at the 1M-state scale
+    (B=256 whole-set decode crashed a 16 GB chip), and duration sorting
+    + time-bucketing (multiples of 128 frames) keeps both the padding
+    waste and the number of distinct compiled shapes small."""
     from old_kaldi_git_tpu.decoder.viterbi import (
         ViterbiOptions,
         decode_batch_tokens,
@@ -472,16 +479,28 @@ def decode_and_score(
     from old_kaldi_git_tpu.utils.edit_distance import compute_wer
 
     feats = compute_feats(system.test_waves)
-    keys, padded, nf = pad_feature_batch(feats)
-    loglikes = system.am.loglikes_batch(padded)
-    results = decode_batch_tokens(
-        system.csr, loglikes, nf,
-        ViterbiOptions(beam=beam, max_active=max_active,
-                       acoustic_scale=acoustic_scale),
-    )
+    vopts = ViterbiOptions(beam=beam, max_active=max_active,
+                           acoustic_scale=acoustic_scale)
+    by_dur = sorted(feats, key=lambda k: feats[k].shape[0])
     hyps = {}
-    for k, res in zip(keys, results):
-        hyps[k] = [system.lang.words[w] for w in res.words] if res else []
+    for lo in range(0, len(by_dur), batch):
+        chunk = by_dur[lo: lo + batch]
+        keys, padded, nf = pad_feature_batch({k: feats[k] for k in chunk})
+        # bucket T to multiples of 128 so chunks share compiled shapes
+        T = padded.shape[1]
+        Tb = -(-T // 128) * 128
+        if Tb > T:
+            padded = np.pad(padded, ((0, 0), (0, Tb - T), (0, 0)))
+        # pad the last chunk's batch dim to the common size
+        if len(keys) < batch:
+            padded = np.pad(
+                padded, ((0, batch - len(keys)), (0, 0), (0, 0)))
+            nf = np.concatenate(
+                [nf, np.zeros(batch - len(keys), nf.dtype)])
+        loglikes = system.am.loglikes_batch(padded)
+        results = decode_batch_tokens(system.csr, loglikes, nf, vopts)
+        for k, res in zip(keys, results):
+            hyps[k] = [system.lang.words[w] for w in res.words] if res else []
     stats = compute_wer(
         {k: list(v) for k, v in system.test_text.items()}, hyps
     )
