@@ -145,26 +145,28 @@ def _sharded_token_scan(mesh: Mesh, axis: str, K: int, E: int, S: int,
             cum = jnp.cumsum(deg, axis=1)
             prev = jnp.concatenate(
                 [jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1)
-            kk = jnp.broadcast_to(
-                jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
-            # slot → owning token via run-start scatter + cummax (see
-            # viterbi._decode_scan_tokens for the chip measurements)
-            k_of = jax.lax.cummax(
-                jnp.zeros((B, E), jnp.int32)
-                .at[jnp.arange(B)[:, None], prev]
-                .max(kk, mode="drop"),
-                axis=1)
             cum_of = jax.lax.cummax(
                 jnp.zeros((B, E), jnp.int32)
                 .at[jnp.arange(B)[:, None], prev]
                 .max(cum, mode="drop"),
                 axis=1)
             valid = j[None, :] < cum_of
-            arc_base = rp - prev
+            # per-token bases broadcast to slots via exact delta-cumsum
+            # (see viterbi._decode_scan_tokens bcast_tokens_i32: >100x
+            # cheaper than take_along_axis gathers at this shape)
+
+            def bcast(vals):
+                delta = jnp.diff(
+                    vals, axis=1, prepend=jnp.zeros((B, 1), jnp.int32))
+                scat = jnp.zeros((B, E), jnp.int32).at[
+                    jnp.arange(B)[:, None], prev].add(delta, mode="drop")
+                return jnp.cumsum(scat, axis=1)
+
             arc = jnp.clip(
-                jnp.take_along_axis(arc_base, k_of, 1) + j[None, :],
-                0, AL - 1)
-            base_cost = jnp.take_along_axis(tok_cost, k_of, 1)
+                bcast(rp - prev) + j[None, :], 0, AL - 1)
+            base_cost = jax.lax.bitcast_convert_type(
+                bcast(jax.lax.bitcast_convert_type(tok_cost, jnp.int32)),
+                jnp.float32)
             rows = jnp.take(packed_loc, arc, axis=0)  # [B, E, 3]
             w_arc = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
             pdf_arc = rows[..., 1]

@@ -446,6 +446,20 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
     tok_state0 = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(start)
     tok_cost0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
 
+    def bcast_tokens_i32(vals, prev):
+        """EXACT [B, K] int32 → [B, E] run broadcast: scatter per-token
+        DELTAS at run starts, cumsum along slots.  Telescoping makes the
+        reconstruction exact for arbitrary values even under int32
+        wraparound (modular sums), and chip-measured it is >100x faster
+        than a take_along_axis gather at this shape (0.07 vs 7.9
+        ms/frame at [64, 11904] — per-element [B,E]<-[B,K] gathers are
+        the kernel's pathology, scatters+scans are not).  f32 values ride
+        bitcast through the same path bit-exactly."""
+        delta = jnp.diff(vals, axis=1, prepend=jnp.zeros((B, 1), jnp.int32))
+        scat = jnp.zeros((B, E), jnp.int32).at[
+            jnp.arange(B)[:, None], prev].add(delta, mode="drop")
+        return jnp.cumsum(scat, axis=1)
+
     def frame_update(tok_state, tok_cost, ll_t, t):
         live = (tok_state >= 0) & (tok_cost < BIG)
         s_cl = jnp.maximum(tok_state, 0)
@@ -454,33 +468,36 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         cum = jnp.cumsum(deg, axis=1)  # [B, K] inclusive run ends
         prev = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1)
-        # slot j belongs to token k_of[j] = max{k : prev[k] <= j} (exactly
-        # searchsorted(cum, j, 'right')): scatter k at each run start and
-        # cummax — ties (empty runs share a start) resolve to the larger
-        # k, which is the token whose run actually contains the slot.
-        # Run starts beyond E are dropped (mode="drop"): those tokens'
-        # arcs fall outside the budget.
-        kk = jnp.broadcast_to(
-            jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
-        k_of = jax.lax.cummax(
-            jnp.zeros((B, E), jnp.int32)
-            .at[jnp.arange(B)[:, None], prev]
-            .max(kk, mode="drop"),
-            axis=1)
-        # run-end bound per slot (cum is nondecreasing → same trick);
+        # run-end bound per slot (cum is nondecreasing → scatter at run
+        # starts + cummax; ties from empty runs resolve to the larger k);
         # j < cum_of[j] also implies j < total, and masks slots whose
-        # owner's run was truncated by the budget
+        # owner's run was truncated by the budget.  Run starts beyond E
+        # are dropped (mode="drop"): those tokens' arcs fall outside the
+        # budget.
         cum_of = jax.lax.cummax(
             jnp.zeros((B, E), jnp.int32)
             .at[jnp.arange(B)[:, None], prev]
             .max(cum, mode="drop"),
             axis=1)
         valid = j[None, :] < cum_of
-        # per-token bases, gathered once per slot
-        arc_base = rp - prev  # arc id = arc_base[k_of] + j
+        # per-token bases, broadcast to slots via exact delta-cumsum
+        # (arc id = arc_base[k_of] + j; cost rides bitcast)
         arc = jnp.clip(
-            jnp.take_along_axis(arc_base, k_of, 1) + j[None, :], 0, A - 1)
-        base_cost = jnp.take_along_axis(tok_cost, k_of, 1)
+            bcast_tokens_i32(rp - prev, prev) + j[None, :], 0, A - 1)
+        base_cost = jax.lax.bitcast_convert_type(
+            bcast_tokens_i32(
+                jax.lax.bitcast_convert_type(tok_cost, jnp.int32), prev),
+            jnp.float32)
+        if L:
+            # lattice records need each slot's source token index: slot j
+            # belongs to k_of[j] = max{k : prev[k] <= j}
+            kk = jnp.broadcast_to(
+                jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+            k_of = jax.lax.cummax(
+                jnp.zeros((B, E), jnp.int32)
+                .at[jnp.arange(B)[:, None], prev]
+                .max(kk, mode="drop"),
+                axis=1)
         rows = jnp.take(packed, arc, axis=0)  # [B, E, 3] one row gather
         w_arc = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
         pdf_arc = rows[..., 1]
@@ -567,15 +584,17 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
 
 
 def _token_budget(graph: CsrGraph, K: int) -> int:
-    """Static arc-expansion budget E for the token-sparse decoder: a 2x
+    """Static arc-expansion budget E for the token-sparse decoder: a 1.5x
     multiple of the expected active out-degree (headroom for degree skew;
-    overflow drops arcs from the worst-cost tokens only), capped at the
-    full arc count, rounded up to a lane-friendly multiple.  Per-frame
-    cost is linear in E (gather-bound), so the budget is the main
-    throughput knob after K."""
+    overflow drops arcs from the worst-cost tokens only — they are
+    cost-sorted), capped at the full arc count, rounded up to a
+    lane-friendly multiple.  Per-frame cost is linear in E (gather-bound:
+    the [A]-row and [B,P]-loglike random gathers are ~16 of ~21 ms/frame
+    at [64, 12k] on chip), so the budget is the main throughput knob
+    after K; 2.0x→1.5x measured WER-neutral on the minilib system."""
     A = graph.num_arcs
     mean_deg = max(1.0, A / max(1, graph.num_states))
-    E = int(min(A, max(2.0 * K * mean_deg, 4.0 * K)))
+    E = int(min(A, max(1.5 * K * mean_deg, 4.0 * K)))
     return max(128, (E + 127) // 128 * 128)
 
 

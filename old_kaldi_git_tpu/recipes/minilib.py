@@ -512,6 +512,9 @@ def decode_and_score(
 def main():
     import argparse
 
+    from old_kaldi_git_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("workdir")
     ap.add_argument("--stage", type=int, default=0)
