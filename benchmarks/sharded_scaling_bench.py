@@ -80,7 +80,17 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
+    # this is a VIRTUAL-mesh bench by design: force the 8-device CPU
+    # platform (the axon TPU plugin self-registers and wins over the
+    # JAX_PLATFORMS env var — jax.config must be updated after import,
+    # same dance as tests/conftest.py)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from jax.sharding import Mesh
 
     from old_kaldi_git_tpu.decoder.sharded import (

@@ -14,11 +14,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, K, DEG, P = 8, 4096, 6, 2000
-E = K * DEG
-S = 1_000_000
+import os
+B = int(os.environ.get("MB_B", 8))
+K = int(os.environ.get("MB_K", 4096))
+DEG = int(os.environ.get("MB_DEG", 6))
+P = int(os.environ.get("MB_P", 2000))
+E = int(os.environ.get("MB_E", K * DEG))
+S = int(os.environ.get("MB_S", 1_000_000))
 A = S * DEG
-ITERS = 100
+ITERS = int(os.environ.get("MB_ITERS", 100))
 
 rng = np.random.default_rng(0)
 
