@@ -186,6 +186,18 @@ def run_minilib() -> dict | None:
         out[f"{tag}value"] = round(audio_s / wall, 2)
         out[f"{tag}wer"] = round(wer, 2)
     out["k512_audio_s_per_s"] = out.pop("k512_value")
+    # chain LF-MMI decode (config-4 shape at scale: frame-subsampling 3,
+    # self-loop-scale-1.0 graph) when its artifacts are present
+    if all(os.path.exists(os.path.join(workdir, n))
+           for n in ("chain.mdl", "chain_hclg.npz")):
+        wer_c, audio_c = ml.decode_and_score_chain(workdir)  # warmup
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            wer_c, audio_c = ml.decode_and_score_chain(workdir)
+            wall = min(wall, time.perf_counter() - t0)
+        out["chain_audio_s_per_s"] = round(audio_c / wall, 2)
+        out["chain_wer"] = round(wer_c, 2)
     return {
         **out,
         "states": S,

@@ -64,6 +64,9 @@ class MinilibOptions:
     bottleneck_dim: int = 64
     num_layers: int = 6
     num_epochs: int = 4
+    # chain LF-MMI epochs (0 = same as num_epochs); small corpora need
+    # more passes to reach a usable objf (steps/epoch ∝ corpus size)
+    chain_epochs: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +365,56 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
         csr = _build_hclg(workdir, opts)
         save_csr(ctx.path("hclg.npz"), csr)
 
+    @pipe.stage(7, "chain", produces="chain.mdl")
+    def _chain(ctx):
+        from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+        from old_kaldi_git_tpu.recipes.chain import (
+            ChainTrainOptions,
+            train_chain,
+        )
+
+        lang = _load_lang(workdir)
+        tri = AmGmmModel.load(ctx.path("tri.mdl"))
+        with open(ctx.path("tri_ali.pkl"), "rb") as f:
+            ali = pickle.load(f)
+        sents = make_text(opts, opts.num_train, opts.seed + 4,
+                          min_len=4, max_len=11)
+        waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
+        feats = compute_feats(waves)
+        cm = train_chain(
+            tri, feats, ali, lang,
+            ChainTrainOptions(
+                num_epochs=opts.chain_epochs or opts.num_epochs,
+                minibatch_size=8,
+                hidden_dim=opts.hidden_dim,
+                bottleneck_dim=opts.bottleneck_dim,
+                num_layers=opts.num_layers,
+                phone_lm_order=3,
+                tree_context_width=2,
+                tree_max_leaves=opts.tree_leaves,
+            ),
+        )
+        cm.save(ctx.path("chain.mdl"))
+
+    @pipe.stage(8, "chain_hclg", produces="chain_hclg.npz")
+    def _chain_hclg(ctx):
+        from old_kaldi_git_tpu.decoder.graph import mkgraph_csr
+        from old_kaldi_git_tpu.lm.arpa import arpa_to_fst, parse_arpa
+        from old_kaldi_git_tpu.recipes.chain import ChainModel
+
+        lang = _load_lang(workdir)
+        cm = ChainModel.load(ctx.path("chain.mdl"))
+        with gzip.open(os.path.join(workdir, "arpa.txt.gz"), "rt") as f:
+            lm = parse_arpa(f.read())
+        g = arpa_to_fst(lm, lang.words)
+        g.arcsort("ilabel")
+        # chain convention: self-loop-scale 1.0 (reference mkgraph for
+        # chain models); native pipeline — the Python one would need
+        # tens of GB at this scale
+        save_csr(ctx.path("chain_hclg.npz"),
+                 mkgraph_csr(lang, g, cm.ctx_dep, cm.tm,
+                             self_loop_scale=1.0))
+
     pipe.run()
 
 
@@ -437,6 +490,7 @@ class MinilibSystem:
     am: object
     test_waves: Dict[str, np.ndarray]
     test_text: Dict[str, List[str]]
+    workdir: str = ""
 
 
 def load_system(workdir: str, opts: Optional[MinilibOptions] = None,
@@ -454,7 +508,7 @@ def load_system(workdir: str, opts: Optional[MinilibOptions] = None,
     am = AmNnet.load(os.path.join(workdir, "final.am"))
     test_sents = make_text(opts, opts.num_test, opts.seed + 6)
     test_waves, test_text = synth_set(opts, test_sents, "test", opts.seed + 7)
-    return MinilibSystem(lang, tm, csr, am, test_waves, test_text)
+    return MinilibSystem(lang, tm, csr, am, test_waves, test_text, workdir)
 
 
 def decode_and_score(
@@ -509,6 +563,146 @@ def decode_and_score(
     return stats.wer, audio_s
 
 
+def decode_and_score_chain(
+    workdir: str,
+    opts: Optional[MinilibOptions] = None,
+    beam: float = 14.0,
+    max_active: int = 2048,
+    batch: int = 64,
+) -> Tuple[float, float]:
+    """Token-sparse decode of the held-out set with the CHAIN model
+    (frame-subsampling 3, acoustic scale 1.0, self-loop-scale-1.0 graph);
+    returns (WER %, audio seconds).  Same chunking discipline as
+    decode_and_score."""
+    import jax.numpy as jnp
+
+    from old_kaldi_git_tpu.decoder.viterbi import (
+        ViterbiOptions,
+        decode_batch_tokens,
+    )
+    from old_kaldi_git_tpu.recipes.chain import ChainModel
+    from old_kaldi_git_tpu.utils.batching import pad_feature_batch
+    from old_kaldi_git_tpu.utils.edit_distance import compute_wer
+
+    opts = opts or MinilibOptions()
+    cm = ChainModel.load(os.path.join(workdir, "chain.mdl"))
+    csr = load_csr(os.path.join(workdir, "chain_hclg.npz"))
+    lang = _load_lang(workdir)
+    test_sents = make_text(opts, opts.num_test, opts.seed + 6)
+    test_waves, test_text = synth_set(opts, test_sents, "test",
+                                      opts.seed + 7)
+    feats = compute_feats(test_waves)
+    fsf = cm.frame_subsampling_factor
+    vopts = ViterbiOptions(beam=beam, max_active=max_active,
+                           acoustic_scale=1.0)
+    by_dur = sorted(feats, key=lambda k: feats[k].shape[0])
+    hyps = {}
+    for lo in range(0, len(by_dur), batch):
+        chunk = by_dur[lo: lo + batch]
+        keys, padded, nf = pad_feature_batch({k: feats[k] for k in chunk})
+        T = padded.shape[1]
+        Tb = -(-T // (128 * fsf)) * (128 * fsf)
+        padded = np.pad(padded, ((0, 0), (0, Tb - T), (0, 0)))
+        if len(keys) < batch:
+            padded = np.pad(padded,
+                            ((0, batch - len(keys)), (0, 0), (0, 0)))
+            nf = np.concatenate([nf, np.zeros(batch - len(keys), nf.dtype)])
+        logits = cm.am.logits(jnp.asarray(padded))[:, ::fsf]
+        nf_sub = (np.asarray(nf) + fsf - 1) // fsf
+        results = decode_batch_tokens(csr, logits, nf_sub, vopts)
+        for k, res in zip(keys, results):
+            hyps[k] = [lang.words[w] for w in res.words] if res else []
+    stats = compute_wer({k: list(v) for k, v in test_text.items()}, hyps)
+    audio_s = sum(w.shape[0] for w in test_waves.values()) / SAMP_FREQ
+    log.info("minilib chain decode: %s over %.0f audio-s",
+             stats.report(), audio_s)
+    return stats.wer, audio_s
+
+
+def rescore_and_score(
+    system: MinilibSystem,
+    opts: Optional[MinilibOptions] = None,
+    beam: float = 14.0,
+    max_active: int = 2048,
+    lattice_beam: float = 8.0,
+    lattice_budget: int = 128,
+    batch: int = 64,
+    num_utts: int = 64,
+) -> Tuple[float, float]:
+    """Config-5 shape at scale: decode with the PRUNED-trigram HCLG
+    keeping lattices (bounded device records), exact-determinize, then
+    rescore pruned→UNPRUNED trigram on the compact lattices (reference
+    lattice-lmrescore-const-arpa over the fglarge LM).  Returns
+    (WER before, WER after) over `num_utts` held-out utterances."""
+    from old_kaldi_git_tpu.decoder.viterbi import (
+        ViterbiOptions,
+        decode_batch_tokens,
+    )
+    from old_kaldi_git_tpu.lat.determinize import determinize_lattice_pruned
+    from old_kaldi_git_tpu.lat.lattice import (
+        lattice_best_path,
+        lattice_from_token_records,
+    )
+    from old_kaldi_git_tpu.lat.rescore import lmrescore_compact_lattice
+    from old_kaldi_git_tpu.lm.arpa import parse_arpa
+    from old_kaldi_git_tpu.lm.ngram import estimate_ngram_lm
+    from old_kaldi_git_tpu.utils.batching import pad_feature_batch
+    from old_kaldi_git_tpu.utils.edit_distance import compute_wer
+
+    opts = opts or MinilibOptions()
+    # old LM = the pruned decode trigram; new LM = unpruned estimate
+    sents = [
+        _to_words(s)
+        for s in make_text(opts, opts.lm_sentences, opts.seed + 2)
+    ]
+    full_lm = estimate_ngram_lm(sents, order=opts.lm_order,
+                                cutoffs=(0, 0, 1))
+    with gzip.open(
+        os.path.join(system.workdir, "arpa.txt.gz"), "rt"
+    ) as f:
+        pruned_lm = parse_arpa(f.read())
+
+    feats = compute_feats(
+        {k: system.test_waves[k]
+         for k in sorted(system.test_waves)[:num_utts]})
+    vopts = ViterbiOptions(beam=beam, max_active=max_active,
+                           acoustic_scale=1.0)
+    base_hyps, resc_hyps, refs = {}, {}, {}
+    by_dur = sorted(feats, key=lambda k: feats[k].shape[0])
+    for lo in range(0, len(by_dur), batch):
+        chunk = by_dur[lo: lo + batch]
+        keys, padded, nf = pad_feature_batch({k: feats[k] for k in chunk})
+        T = padded.shape[1]
+        Tb = -(-T // 128) * 128
+        padded = np.pad(padded, ((0, 0), (0, Tb - T), (0, 0)))
+        ll = system.am.loglikes_batch(padded)
+        results = decode_batch_tokens(
+            system.csr, ll, nf, vopts, want_lattice=True,
+            lattice_beam=lattice_beam, lattice_budget=lattice_budget)
+        for k, res in zip(keys, results):
+            refs[k] = list(system.test_text[k])
+            if res is None or res.token_lattice is None:
+                base_hyps[k] = resc_hyps[k] = []
+                continue
+            lat = lattice_from_token_records(system.csr, res.token_lattice)
+            if lat is None:
+                base_hyps[k] = resc_hyps[k] = []
+                continue
+            words, _t, _c = lattice_best_path(lat, 1.0, 1.0)
+            base_hyps[k] = [system.lang.words[w] for w in words]
+            clat = determinize_lattice_pruned(lat, lattice_beam,
+                                              acoustic_scale=1.0)
+            resc = lmrescore_compact_lattice(
+                clat, system.lang.words, full_lm, pruned_lm)
+            w2, _tids, _cost = resc.best_path(lm_scale=1.0, ac_scale=1.0)
+            resc_hyps[k] = [system.lang.words[w] for w in w2]
+    before = compute_wer(refs, base_hyps)
+    after = compute_wer(refs, resc_hyps)
+    log.info("minilib rescore: pruned-LM %s → full-LM %s",
+             before.report(), after.report())
+    return before.wer, after.wer
+
+
 def main():
     import argparse
 
@@ -519,6 +713,7 @@ def main():
     ap.add_argument("workdir")
     ap.add_argument("--stage", type=int, default=0)
     ap.add_argument("--decode", action="store_true")
+    ap.add_argument("--decode-chain", action="store_true")
     args = ap.parse_args()
     opts = MinilibOptions()
     build_system(args.workdir, opts, stage=args.stage)
@@ -526,6 +721,9 @@ def main():
         system = load_system(args.workdir, opts, build_missing=False)
         wer, audio_s = decode_and_score(system)
         print(f"WER {wer:.2f}% over {audio_s:.0f} audio-seconds")
+    if args.decode_chain:
+        wer, audio_s = decode_and_score_chain(args.workdir, opts)
+        print(f"chain WER {wer:.2f}% over {audio_s:.0f} audio-seconds")
 
 
 if __name__ == "__main__":

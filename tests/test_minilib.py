@@ -32,6 +32,7 @@ TINY = MinilibOptions(
     bottleneck_dim=32,
     num_layers=3,
     num_epochs=12,
+    chain_epochs=40,
     prune_threshold=1e-6,
 )
 
@@ -63,3 +64,25 @@ def test_minilib_artifacts_reload(tiny_system):
     np.testing.assert_array_equal(
         system2.test_waves[k], system.test_waves[k]
     )
+
+
+def test_minilib_tiny_chain_and_rescore(tiny_system):
+    """Chain stages (7: LF-MMI train on the real biphone tree; 8: chain
+    HCLG at self-loop-scale 1.0) and full-LM lattice rescoring run at CI
+    scale on the same code path as the flagship system."""
+    from old_kaldi_git_tpu.recipes.minilib import (
+        build_system,
+        decode_and_score_chain,
+        rescore_and_score,
+    )
+
+    wd, system = tiny_system
+    build_system(wd, TINY)  # stages 1-6 skip; 7-8 build if missing
+    wer, audio_s = decode_and_score_chain(wd, TINY, max_active=512)
+    assert audio_s > 10.0
+    assert wer <= 2.0, f"tiny minilib chain WER {wer}"
+
+    before, after = rescore_and_score(system, TINY, max_active=512,
+                                      num_utts=8)
+    # rescoring with the unpruned trigram must not hurt
+    assert after <= before + 1.0, (before, after)
