@@ -386,7 +386,7 @@ def _decode_and_backtrace(frm, pdf, w, ns, start, loglikes,
 @partial(jax.jit, static_argnames=("K", "E", "S", "L"))
 def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
                         num_frames, acoustic_scale, beam, K, E, S,
-                        L=0, lattice_beam=0.0):
+                        L=0, lattice_beam=0.0, init_tokens=None):
     """TOKEN-SPARSE beam decode: per-frame work O(B·(E + E·log E)),
     independent of graph size — for graphs whose dense [B, S] alpha (or
     [T, B, S] winning-arc store) cannot fit HBM.  This is the TPU shape of
@@ -443,8 +443,13 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         ns,
     ], axis=1)
 
-    tok_state0 = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(start)
-    tok_cost0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
+    if init_tokens is None:
+        tok_state0 = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(start)
+        tok_cost0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
+    else:
+        # streaming: resume from a carried token set (see
+        # online.streaming.StreamingTokenDecoder)
+        tok_state0, tok_cost0 = init_tokens
 
     def bcast_tokens_i32(vals, prev):
         """EXACT [B, K] int32 → [B, E] run broadcast: scatter per-token

@@ -211,6 +211,212 @@ def default_endpoint_rules() -> List[EndpointRule]:
     ]
 
 
+@partial(jax.jit, donate_argnums=(2, 3))
+def _append_bp(bp_s_chunk, bp_a_chunk, bps_buf, bpa_buf, t0):
+    """Append a chunk's [Tc, 1, K] backpointers into the persistent
+    device buffers (donated → updated in place)."""
+    bps_buf = jax.lax.dynamic_update_slice(bps_buf, bp_s_chunk, (t0, 0, 0))
+    bpa_buf = jax.lax.dynamic_update_slice(bpa_buf, bp_a_chunk, (t0, 0, 0))
+    return bps_buf, bpa_buf
+
+
+class StreamingTokenDecoder:
+    """Streaming decode over HUGE graphs: the token-sparse kernel
+    (viterbi._decode_scan_tokens) run chunk-wise with the [1, K] token
+    set carried across chunks — per-frame work independent of graph
+    size, so million-state HCLGs stream on one chip (the dense
+    StreamingDecoder's [1, S] alpha + all-arc relax does not scale past
+    ~10^5 states).  Same contract as StreamingDecoder: feed finalized
+    loglike frames via advance(), read best_words()/endpoint_detected().
+
+    ~ reference SingleUtteranceNnet3Decoder::AdvanceDecoding over
+    LatticeFasterOnlineDecoder, re-shaped per SURVEY §3.5: carried
+    (NN-state, beam-state) with host-side chunk feed."""
+
+    def __init__(
+        self,
+        graph: CsrGraph,
+        am_loglikes_fn,
+        silence_phones: Sequence[int],
+        tid_to_phone: np.ndarray,
+        opts: Optional[ViterbiOptions] = None,
+        frame_shift: float = 0.01,
+        am_left_context: int = 0,
+        am_right_context: int = 0,
+        endpoint_rules: Optional[List[EndpointRule]] = None,
+        max_frames: int = 6000,
+        chunk_quantum: int = 32,
+    ):
+        from old_kaldi_git_tpu.decoder.viterbi import (
+            _decode_scan_tokens,
+            _token_budget,
+        )
+
+        self.graph = graph
+        self.am = am_loglikes_fn
+        self.opts = opts or ViterbiOptions()
+        self.silence_phones = set(int(p) for p in silence_phones)
+        self.tid_to_phone = tid_to_phone
+        self.frame_shift = frame_shift
+        self.lctx = am_left_context
+        self.rctx = am_right_context
+        self.rules = endpoint_rules or default_endpoint_rules()
+        self.K = max(4, min(self.opts.max_active, graph.num_states))
+        self.E = _token_budget(graph, self.K)
+        self.max_frames = max_frames
+        self.chunk_quantum = chunk_quantum
+        self._scan = _decode_scan_tokens
+        self._row_ptr = jnp.asarray(graph.row_ptr)
+        self._frm = jnp.asarray(
+            np.repeat(np.arange(graph.num_states, dtype=np.int32),
+                      graph.out_degree()))
+        self._pdf = jnp.asarray(graph.pdf)
+        self._w = jnp.asarray(graph.weight)
+        self._ns = jnp.asarray(graph.nextstate)
+        self._fw = np.where(
+            np.isfinite(graph.final_weight), graph.final_weight, BIG)
+        # AM window: fixed length so every chunk hits one compiled program
+        self._W = -(-(self.lctx + chunk_quantum + self.rctx) // 16) * 16
+        self._fused = self._build_fused()
+        self.reset()
+
+    def _build_fused(self):
+        """ONE jitted program per chunk: AM forward over the fixed context
+        window → slice the chunk's loglikes → token-sparse frame updates
+        with the carried [1, K] token set → append backpointers into the
+        donated device buffers.  A single tunnel dispatch per chunk (the
+        3-dispatch version measured RTF 2.3 on the tunneled chip; dispatch
+        latency, not compute, dominates single-stream streaming there)."""
+        am = self.am
+        scan = self._scan
+        q = self.chunk_quantum
+        K, E, S = self.K, self.E, self.graph.num_states
+        start = self.graph.start
+        ac = float(self.opts.acoustic_scale)
+        beam = float(self.opts.beam)
+        row_ptr, frm = self._row_ptr, self._frm
+        pdf, w, ns = self._pdf, self._w, self._ns
+
+        @partial(jax.jit, donate_argnums=(4, 5, 6, 7))
+        def fused(feat_ctx, t_off, n_valid, t0, tok_state, tok_cost,
+                  bps, bpa):
+            ll = am(feat_ctx)[0]  # [W, P]
+            P = ll.shape[1]
+            ll_new = jax.lax.dynamic_slice(ll, (t_off, 0), (q, P))[None]
+            out = scan(row_ptr, frm, pdf, w, ns, start, ll_new,
+                       jnp.reshape(n_valid, (1,)).astype(jnp.int32),
+                       ac, beam, K, E, S, 0, 0.0, (tok_state, tok_cost))
+            ts, tc, bp_s, bp_a = out[0], out[1], out[2], out[3]
+            bps = jax.lax.dynamic_update_slice(bps, bp_s, (t0, 0, 0))
+            bpa = jax.lax.dynamic_update_slice(bpa, bp_a, (t0, 0, 0))
+            return ts, tc, bps, bpa
+
+        return fused
+
+    def reset(self) -> None:
+        self._tok_state = jnp.full((1, self.K), -1, jnp.int32).at[:, 0].set(
+            self.graph.start)
+        self._tok_cost = jnp.full((1, self.K), BIG, jnp.float32).at[
+            :, 0].set(0.0)
+        self._feat_buf = np.zeros((0, 0), np.float32)
+        self._frames_decoded = 0
+        self._bps_buf = jnp.full((self.max_frames, 1, self.K), -1, jnp.int32)
+        self._bpa_buf = jnp.full((self.max_frames, 1, self.K), -1, jnp.int32)
+
+    def advance(self, new_feats: np.ndarray, final: bool = False) -> None:
+        """Feed newly finalized feature frames (same hold-back contract as
+        StreamingDecoder.advance)."""
+        if new_feats.size != 0:
+            if self._feat_buf.size == 0:
+                self._feat_buf = new_feats.copy()
+            else:
+                self._feat_buf = np.concatenate([self._feat_buf, new_feats])
+        avail = len(self._feat_buf) if self._feat_buf.size else 0
+        total = avail if final else max(
+            self._frames_decoded, avail - self.rctx)
+        n_new = total - self._frames_decoded
+        if n_new <= 0:
+            return
+        q = self.chunk_quantum
+        if total + q > self.max_frames:
+            # dynamic_update_slice clamps the START index when the slice
+            # would overhang — that would silently corrupt earlier rows
+            raise ValueError(
+                f"stream + chunk padding exceeds max_frames="
+                f"{self.max_frames}; raise it or endpoint/reset")
+        # process in quantum-sized sub-chunks, ONE fused dispatch each
+        while n_new > 0:
+            take = min(q, n_new)
+            fd = self._frames_decoded
+            lo = max(0, fd - self.lctx)
+            window = self._feat_buf[lo:avail]
+            # fixed-length window, edge-replication pad (identical to the
+            # clip-splice edge semantics → outputs for kept frames are
+            # bit-identical to the batch path); one compiled program total
+            if len(window) < self._W:
+                window = np.pad(
+                    window, ((0, self._W - len(window)), (0, 0)),
+                    mode="edge")
+            else:
+                window = window[: self._W]
+            (self._tok_state, self._tok_cost, self._bps_buf,
+             self._bpa_buf) = self._fused(
+                jnp.asarray(window[None]), fd - lo, take, fd,
+                self._tok_state, self._tok_cost,
+                self._bps_buf, self._bpa_buf)
+            self._frames_decoded = fd + take
+            n_new -= take
+
+    # -- results (same device-side backtrace as StreamingDecoder) ----------
+    def _backtrace(self) -> Tuple[List[int], List[int]]:
+        if self._frames_decoded == 0:
+            return [], []
+        tok_state = np.asarray(self._tok_state)[0]
+        tok_cost = np.asarray(self._tok_cost)[0]
+        cb = np.where(tok_state >= 0, tok_cost, BIG)
+        total = cb + self._fw[np.maximum(tok_state, 0)]
+        if total.min() >= BIG:
+            total = cb
+        slot = int(np.argmin(total))
+        state = int(tok_state[slot])
+        if state < 0:
+            return [], []
+        arcs = np.asarray(
+            _backtrace_scan(
+                self._bps_buf, self._bpa_buf, self._frm,
+                jnp.asarray([state], np.int32),
+                jnp.asarray([self._frames_decoded], np.int32),
+            )
+        )[: self._frames_decoded, 0]
+        if (arcs < 0).any():
+            return [], []
+        words: List[int] = []
+        for a in arcs:
+            words.extend(self.graph.arc_olabels[a])
+        tids = [int(self.graph.tid[a]) for a in arcs]
+        return words, tids
+
+    def best_words(self) -> List[int]:
+        return self._backtrace()[0]
+
+    def trailing_silence_frames(self) -> int:
+        _, tids = self._backtrace()
+        n = 0
+        for tid in reversed(tids):
+            if int(self.tid_to_phone[tid]) in self.silence_phones:
+                n += 1
+            else:
+                break
+        return n
+
+    def endpoint_detected(self) -> bool:
+        words, tids = self._backtrace()
+        utt_sec = self._frames_decoded * self.frame_shift
+        sil_sec = self.trailing_silence_frames() * self.frame_shift
+        said = len(words) > 0
+        return any(r.triggered(utt_sec, sil_sec, said) for r in self.rules)
+
+
 class StreamingDecoder:
     """Chunked decoding with carried beam state over a shared HCLG."""
 
@@ -292,7 +498,15 @@ class StreamingDecoder:
         # AM context window covers held-back future frames too (right ctx)
         lo = max(0, self._frames_decoded - self.lctx)
         ctx_feats = self._feat_buf[lo:avail]
-        ll = np.asarray(self.am(jnp.asarray(ctx_feats[None])))[0]
+        # bucket the AM input length (edge-replication pad: identical to
+        # the clip-splice edge semantics, so outputs for the kept frames
+        # are bit-identical) — otherwise every distinct chunk length
+        # compiles a fresh AM program, ruinous on the tunneled backend
+        n_ctx = len(ctx_feats)
+        n_pad = -(-max(n_ctx, 1) // 16) * 16 - n_ctx
+        if n_pad:
+            ctx_feats = np.pad(ctx_feats, ((0, n_pad), (0, 0)), mode="edge")
+        ll = np.asarray(self.am(jnp.asarray(ctx_feats[None])))[0][:n_ctx]
         ll_new = ll[self._frames_decoded - lo :][:n_new]
         T = ll_new.shape[0]
         q = self.chunk_quantum

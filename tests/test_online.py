@@ -173,3 +173,51 @@ def test_streaming_am_equals_batch():
     am2 = AmNnet.init(bad, seed=0)
     with pytest.raises(ValueError):
         StreamingAmNnet(am2)
+
+
+def test_streaming_token_decoder_matches_batch():
+    """StreamingTokenDecoder (token-sparse carried beam state — the
+    million-state streaming path) == batch decode_batch_tokens for any
+    chunking, including alignment and endpointing behavior."""
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch_tokens
+    from old_kaldi_git_tpu.online.streaming import StreamingTokenDecoder
+
+    lang, topo, cd, tm, csr = _toy_decode_system()
+    ll = _loglikes_for(tm, cd, lang, ["Y", "EH", "S"])
+    T = ll.shape[0]
+    vopts = ViterbiOptions(beam=30.0, max_active=64, acoustic_scale=1.0)
+    batch = decode_batch_tokens(csr, ll[None], [T], vopts)[0]
+
+    for chunks in ([5] * ((T + 4) // 5), [1] * T, [T], [7, 3, T]):
+        dec = StreamingTokenDecoder(
+            csr, lambda f: jnp.asarray(f),
+            silence_phones=[lang.silence_id],
+            tid_to_phone=tm.tid_to_phone_array(),
+            opts=vopts,
+        )
+        lo = 0
+        for n in chunks:
+            dec.advance(ll[lo: lo + n])
+            lo += n
+            if lo >= T:
+                break
+        words, tids = dec._backtrace()
+        assert words == batch.words, chunks
+        assert tids == list(batch.alignment), chunks
+
+    # endpointing: trailing silence triggers the rule (same semantics as
+    # the dense StreamingDecoder)
+    speech = _loglikes_for(tm, cd, lang, ["N", "OW"])
+    silence = _loglikes_for(tm, cd, lang, ["SIL"], frames_per_phone=120)
+    dec = StreamingTokenDecoder(
+        csr, lambda f: jnp.asarray(f),
+        silence_phones=[lang.silence_id],
+        tid_to_phone=tm.tid_to_phone_array(),
+        opts=vopts,
+        endpoint_rules=[EndpointRule(True, 0.5, 0.0)],
+    )
+    dec.advance(speech)
+    assert not dec.endpoint_detected()
+    dec.advance(silence)
+    assert dec.endpoint_detected()
+    assert [lang.words[w] for w in dec.best_words()] == ["no"]
