@@ -101,7 +101,8 @@ class ChainModel:
                     "am": {"config": self.am.config,
                            "variables": jax.tree.map(np.asarray,
                                                      self.am.variables),
-                           "log_priors": self.am.log_priors},
+                           "log_priors": self.am.log_priors,
+                           "ivector_dim": self.am.ivector_dim},
                     "ctx_dep": self.ctx_dep,
                     "tm": self.tm,
                     "den": self.den,
@@ -118,7 +119,8 @@ class ChainModel:
         with open(path, "rb") as f:
             d = pickle.load(f)
         am = AmNnet(d["am"]["config"], d["am"]["variables"],
-                    d["am"]["log_priors"], d.get("lrf"))
+                    d["am"]["log_priors"], d.get("lrf"),
+                    d["am"].get("ivector_dim", 0))
         return ChainModel(am, d["ctx_dep"], d["tm"], d["den"], d["fsf"])
 
 
@@ -386,8 +388,20 @@ def train_chain(
     alignments: Dict[str, np.ndarray],
     lang: Lang,
     opts: Optional[ChainTrainOptions] = None,
+    ivectors: Optional[Dict[str, np.ndarray]] = None,
 ) -> ChainModel:
+    """ivectors: per-utterance online [T, R] (or [R]) i-vectors appended to
+    every frame's features (reference chain recipes'
+    --online-ivector-dir); ChainModel.am.ivector_dim records the width so
+    decode_chain can demand matching inputs."""
     opts = opts or ChainTrainOptions()
+    ivector_dim = 0
+    if ivectors is not None:
+        from old_kaldi_git_tpu.recipes.nnet3 import append_ivector_feats
+
+        feats = append_ivector_feats(feats, ivectors)
+        ivector_dim = int(np.asarray(
+            next(iter(ivectors.values()))).shape[-1])
     ctx_dep, tm, den = build_chain_objects(
         gmm_model, alignments, lang, opts, feats=feats
     )
@@ -504,6 +518,7 @@ def train_chain(
         {"params": jax.tree.map(np.asarray, state.params),
          "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
         None,  # chain models use raw logits, no priors
+        ivector_dim=ivector_dim,
     )
     return ChainModel(out_am, ctx_dep, tm, den, fsf)
 
@@ -524,7 +539,16 @@ def decode_chain(
     beam: float = 16.0,
     max_active: int = 7000,
     acoustic_scale: float = 1.0,
+    ivectors: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict[str, List[str]]:
+    if chain.am.ivector_dim and ivectors is None:
+        raise ValueError(
+            f"chain model expects {chain.am.ivector_dim}-dim i-vectors; "
+            "pass ivectors= (reference --online-ivector-dir convention)")
+    if ivectors is not None:
+        from old_kaldi_git_tpu.recipes.nnet3 import append_ivector_feats
+
+        feats = append_ivector_feats(feats, ivectors)
     keys = sorted(feats)
     fsf = chain.frame_subsampling_factor
     T = max(feats[k].shape[0] for k in keys)
