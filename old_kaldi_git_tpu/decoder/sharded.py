@@ -46,6 +46,7 @@ from old_kaldi_git_tpu.decoder.viterbi import (
     ViterbiOptions,
     results_from_arcs,
 )
+from old_kaldi_git_tpu.ops.gather_kernel import batched_table_gather
 from old_kaldi_git_tpu.utils.log import get_logger
 
 log = get_logger("sharded")
@@ -171,8 +172,10 @@ def _sharded_token_scan(mesh: Mesh, axis: str, K: int, E: int, S: int,
             w_arc = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
             pdf_arc = rows[..., 1]
             ns_arc = rows[..., 2]
-            ac = acoustic_scale * jnp.take_along_axis(
-                ll_t, jnp.minimum(pdf_arc, Pdim - 1), axis=1)
+            # one-hot Pallas gather on TPU (ops/gather_kernel.py);
+            # take_along_axis fallback elsewhere — bit-exact either way
+            ac = acoustic_scale * batched_table_gather(
+                ll_t, jnp.minimum(pdf_arc, Pdim - 1))
             cost = base_cost + w_arc - ac
             dest = jnp.where(valid, ns_arc, S)
             cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)

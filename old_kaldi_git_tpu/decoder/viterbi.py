@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from old_kaldi_git_tpu.decoder.csr import CsrGraph
+from old_kaldi_git_tpu.ops.gather_kernel import batched_table_gather
 from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
 from old_kaldi_git_tpu.utils.parse_options import options_dataclass
 
@@ -89,7 +90,9 @@ def _align_scan(frm, pdf, w, ns, start, loglikes, num_frames, acoustic_scale,
 
     def step(alpha, inputs):
         ll_t, t = inputs  # ll_t: [B, P]
-        ac = acoustic_scale * jnp.take_along_axis(ll_t, pdf, axis=1)  # [B, A]
+        # [B, A] per-arc loglikes via the one-hot Pallas gather on TPU
+        # (ops/gather_kernel.py); exact take_along_axis fallback elsewhere
+        ac = acoustic_scale * batched_table_gather(ll_t, pdf)
         cand = jnp.take_along_axis(alpha, frm, axis=1) + w - ac
         cand = jnp.minimum(cand, BIG)
         new_alpha = jax.vmap(scatter_min)(cand, ns)
@@ -507,9 +510,10 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         w_arc = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
         pdf_arc = rows[..., 1]
         ns_arc = rows[..., 2]
-        ll_arc = jnp.take_along_axis(
-            ll_t, jnp.minimum(pdf_arc, P - 1), axis=1
-        )
+        # one-hot Pallas kernel on TPU (~4.9x vs the element-serial
+        # take_along_axis gather at [64, 12k]: 1.6 vs 7.8 ms/frame —
+        # ops/gather_kernel.py); bit-exact either way
+        ll_arc = batched_table_gather(ll_t, jnp.minimum(pdf_arc, P - 1))
         cost = base_cost + w_arc - acoustic_scale * ll_arc
         dest = jnp.where(valid, ns_arc, S)  # sentinel sorts last
         cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)
