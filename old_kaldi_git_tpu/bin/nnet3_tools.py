@@ -459,13 +459,14 @@ def nnet3_latgen_faster_tool(argv: List[str]) -> int:
         log.warning("no features")
         return 1
     keys, padded, nf = pad_feature_batch(feats)
+    fsf = o.frame_subsampling_factor
     if o.use_priors and bundle.am.log_priors is not None:
         ll = np.asarray(bundle.am.loglikes_batch_chunked(padded))
+        if fsf > 1:
+            ll = ll[:, ::fsf]
     else:
-        ll = np.asarray(bundle.am.logits(padded))
-    fsf = o.frame_subsampling_factor
+        ll = np.asarray(bundle.am.logits(padded, output_stride=fsf))
     if fsf > 1:
-        ll = ll[:, ::fsf]
         nf = [(n + fsf - 1) // fsf for n in nf]
     results = decode_batch(
         csr, ll, nf,
@@ -805,7 +806,8 @@ def nnet3_chain_compute_prob_tool(argv: List[str]) -> int:
     tot_obj = tot_frames = 0.0
     for group in iter_merged(egs, 8):
         bf, pdf_seq, allowed, nf, sl, adv, _xent = batch_chain_egs(group)
-        logits = cm.am.logits(jnp.asarray(bf))[:, ::fsf][:, : allowed.shape[1]]
+        logits = cm.am.logits(
+            jnp.asarray(bf), output_stride=fsf)[:, : allowed.shape[1]]
         _loss, metrics = chain_loss(
             logits, cm.den, jnp.asarray(pdf_seq), jnp.asarray(allowed),
             jnp.asarray(nf), jnp.asarray(sl), jnp.asarray(adv), loss_opts,

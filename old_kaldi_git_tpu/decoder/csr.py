@@ -55,6 +55,91 @@ class CsrGraph:
 
 
 
+@dataclasses.dataclass
+class TileGraph:
+    """Per-state MD-arc tile layout of a CsrGraph for the token-sparse
+    decoder: every state's out-arcs are padded to a multiple of `md` and
+    stored as [Ntile, md, 3] int32 rows (weight f32 bitcast, pdf,
+    nextstate).  One device gather per active TOKEN then pulls a whole
+    tile — chip-measured 3.2x cheaper than one gather per expanded arc
+    at decode shape (benchmarks/gather_variants_bench.py: 2.56 vs 8.09
+    ms/frame at [64, 11904], because XLA's TPU gather prices per index,
+    not per byte).  Padding arcs carry weight=BIG so their candidates
+    cost >= BIG and die at the beam/keep gate.
+
+    Padded arc id = tile_id * md + lane; `pad2orig` maps it back to the
+    CsrGraph arc id (-1 on padding) so every id that leaves the decoder
+    still refers to the original graph."""
+
+    md: int
+    tile_ptr: np.ndarray   # [S+1] int32 cumulative tiles per state
+    tiles: np.ndarray      # [Ntile, md, 3] int32 (w bitcast, pdf, ns)
+    pad2orig: np.ndarray   # [Ntile*md] int32, -1 = padding
+    frm_pad: np.ndarray    # [Ntile*md] int32 source state (0 on padding)
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.tiles)
+
+    def device_arrays(self):
+        """(tile_ptr, tiles, frm_pad) as device arrays, uploaded ONCE and
+        cached — re-uploading ~80 MB of tile tables per decode chunk
+        through the tunneled device link costs seconds."""
+        if not hasattr(self, "_dev"):
+            import jax.numpy as jnp
+
+            self._dev = (jnp.asarray(self.tile_ptr), jnp.asarray(self.tiles),
+                         jnp.asarray(self.frm_pad))
+        return self._dev
+
+
+def build_tile_graph(graph: CsrGraph, md: int = 4,
+                     big: float = 1e10) -> TileGraph:
+    """Build (and cache on the graph) the MD-arc tile layout."""
+    cached = getattr(graph, "_tile_graph", None)
+    if cached is not None and cached.md == md:
+        return cached
+    deg = graph.out_degree().astype(np.int64)
+    ntiles = -(-deg // md)  # ceil, 0 for dead states
+    tile_ptr = np.zeros(len(deg) + 1, np.int64)
+    np.cumsum(ntiles, out=tile_ptr[1:])
+    ntile = int(tile_ptr[-1])
+    ap = ntile * md
+    w = np.full(ap, big, np.float32)
+    pdf = np.zeros(ap, np.int32)
+    ns = np.zeros(ap, np.int32)
+    pad2orig = np.full(ap, -1, np.int32)
+    frm_pad = np.zeros(ap, np.int32)
+    # padded slot of arc i (state s, offset o) = (tile_ptr[s]*md) + o
+    src = np.repeat(np.arange(graph.num_states, dtype=np.int64), deg)
+    off = np.arange(graph.num_arcs, dtype=np.int64) - np.repeat(
+        graph.row_ptr[:-1].astype(np.int64), deg)
+    slot = tile_ptr[src] * md + off
+    w[slot] = graph.weight
+    pdf[slot] = graph.pdf
+    ns[slot] = graph.nextstate
+    pad2orig[slot] = np.arange(graph.num_arcs, dtype=np.int32)
+    frm_pad[slot] = src.astype(np.int32)
+    tiles = np.empty((ntile, md, 3), np.int32)
+    tiles[:, :, 0] = w.view(np.int32).reshape(ntile, md)
+    tiles[:, :, 1] = pdf.reshape(ntile, md)
+    tiles[:, :, 2] = ns.reshape(ntile, md)
+    tg = TileGraph(
+        md=md,
+        tile_ptr=tile_ptr.astype(np.int32),
+        tiles=tiles,
+        pad2orig=pad2orig,
+        frm_pad=frm_pad,
+    )
+    graph._tile_graph = tg
+    log.info(
+        "tiles(md=%d): %d states / %d arcs -> %d tiles (%.0f%% pad)",
+        md, graph.num_states, graph.num_arcs, ntile,
+        100.0 * (ap - graph.num_arcs) / max(1, ap),
+    )
+    return tg
+
+
 class FlatOlabels:
     """Per-arc (or per-state) output-label runs stored as flat (offsets,
     values) arrays — tuple-list protocol without millions of Python tuples

@@ -386,9 +386,9 @@ def _decode_and_backtrace(frm, pdf, w, ns, start, loglikes,
     return end_states, has_final, costs, arcs
 
 
-@partial(jax.jit, static_argnames=("K", "E", "S", "L"))
-def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
-                        num_frames, acoustic_scale, beam, K, E, S,
+@partial(jax.jit, static_argnames=("K", "ET", "S", "L"))
+def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
+                        num_frames, acoustic_scale, beam, K, ET, S,
                         L=0, lattice_beam=0.0, init_tokens=None):
     """TOKEN-SPARSE beam decode: per-frame work O(B·(E + E·log E)),
     independent of graph size — for graphs whose dense [B, S] alpha (or
@@ -398,27 +398,29 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
     hash-map dedup replaced by a lexicographic sort over (dest, cost):
 
       tokens [B, K] (state id, cost)  — cost-sorted, slot 0 = best
-      → CSR row expansion of the K states into a static arc budget E
-        (arcs beyond E are dropped from the WORST tokens — graceful beam
-        shrink, tokens are cost-sorted)
-      → candidate (dest, cost, arc) triples
+      → TILE expansion of the K states into a static budget of ET
+        per-state arc tiles (csr.build_tile_graph: MD arcs per tile, one
+        HBM gather per TILE — tiles beyond ET are dropped from the
+        WORST tokens; graceful beam shrink, tokens are cost-sorted)
+      → E = ET·MD candidate (dest, cost, arc) triples
       → lax.sort by (dest, cost): the first entry of each dest run is its
         Viterbi min (the ε-free dedup)
       → top-K + beam gate → next token set.
 
-    Kernel shape (chip-measured; benchmarks/token_sparse_microbench.py):
-    the CSR row expansion maps slot j → owning token k_of[j] =
-    max{k : run_start[k] ≤ j}.  A vmapped searchsorted costs 20 ms/frame
-    at [8, 24k] (log K passes of per-element gathers); the same map as a
-    run-start scatter + cummax costs 0.36 ms — both k_of and the run-end
-    bound cum_of are monotone in j, so each is one scatter + one cummax.
-    Per-slot values then need only two [B,E]←[B,K] take_along_axis
-    gathers (arc base, cost base), the unavoidable random arc-data
-    gathers from HBM, and one [B,E] 2-key sort (0.24 ms — sorting is
-    CHEAP on TPU at this width; the gathers are what must be minimized).
+    Kernel shape (chip-measured; benchmarks/token_sparse_microbench.py +
+    gather_variants_bench.py): the tile expansion maps slot j → owning
+    token via a run-start scatter + cummax (0.36 ms — a vmapped
+    searchsorted costs 20 ms); per-tile bases broadcast by exact
+    delta-cumsum; the arc-data access is ONE [B,ET] gather of [MD,3]
+    tiles (2.6 ms/frame at [64, 2976×4] vs 8.1 for per-arc row gathers —
+    XLA's TPU gather prices per index, so fewer, fatter gathers win);
+    the per-arc loglike lookup is the Pallas one-hot kernel; the [B,E]
+    2-key sort is cheap (~1 ms — sorting is CHEAP on TPU at this width).
 
     Returns (tok_state [B,K], tok_cost [B,K], bp_state [T,B,K],
     bp_arc [T,B,K], bp_cost [T,B,K]) — same contract as _decode_scan.
+    Arc ids are PADDED tile-slot ids (tile*MD + lane); callers map them
+    back to graph arcs via TileGraph.pad2orig.
 
     L > 0 additionally emits per-frame LATTICE-ARC RECORDS into a bounded
     device buffer (SURVEY.md §7.1 "emit lattice arcs to a bounded buffer"):
@@ -431,20 +433,9 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
     ever leaving the device and with a transfer bounded by L, not by K·S.
     """
     B, T, P = loglikes.shape
-    A = frm.shape[0]
-    j = jnp.arange(E, dtype=jnp.int32)
-    # pack per-arc (weight, pdf, nextstate) into [A, 3] rows so the random
-    # HBM access per expanded arc is ONE row gather, not three element
-    # gathers (chip-measured 2.6x: 2.1 vs 5.4 ms/frame at [8, 24k]).
-    # The carrier dtype must be INT32: small ints bitcast to f32 are
-    # denormal bit patterns and get flushed to zero in f32 copies
-    # (measured on both CPU and TPU backends); int paths are bit-exact,
-    # so the f32 weight rides as its bit pattern instead.
-    packed = jnp.stack([
-        jax.lax.bitcast_convert_type(w, jnp.int32),
-        pdf,
-        ns,
-    ], axis=1)
+    NT, MD, _ = tiles.shape
+    E = ET * MD
+    j = jnp.arange(ET, dtype=jnp.int32)
 
     if init_tokens is None:
         tok_state0 = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(start)
@@ -454,66 +445,73 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         # online.streaming.StreamingTokenDecoder)
         tok_state0, tok_cost0 = init_tokens
 
-    def bcast_tokens_i32(vals, prev):
-        """EXACT [B, K] int32 → [B, E] run broadcast: scatter per-token
-        DELTAS at run starts, cumsum along slots.  Telescoping makes the
-        reconstruction exact for arbitrary values even under int32
-        wraparound (modular sums), and chip-measured it is >100x faster
-        than a take_along_axis gather at this shape (0.07 vs 7.9
-        ms/frame at [64, 11904] — per-element [B,E]<-[B,K] gathers are
-        the kernel's pathology, scatters+scans are not).  f32 values ride
-        bitcast through the same path bit-exactly."""
-        delta = jnp.diff(vals, axis=1, prepend=jnp.zeros((B, 1), jnp.int32))
-        scat = jnp.zeros((B, E), jnp.int32).at[
-            jnp.arange(B)[:, None], prev].add(delta, mode="drop")
-        return jnp.cumsum(scat, axis=1)
+    def expand_md(x):
+        """[B, ET] per-tile value → [B, E] per-arc value (lane repeat)."""
+        return jnp.broadcast_to(
+            x[:, :, None], (B, ET, MD)).reshape(B, E)
 
     def frame_update(tok_state, tok_cost, ll_t, t):
         live = (tok_state >= 0) & (tok_cost < BIG)
         s_cl = jnp.maximum(tok_state, 0)
-        rp = row_ptr[s_cl]  # [B, K]
-        deg = jnp.where(live, row_ptr[s_cl + 1] - rp, 0)
+        rp = tile_ptr[s_cl]  # [B, K]
+        deg = jnp.where(live, tile_ptr[s_cl + 1] - rp, 0)
         cum = jnp.cumsum(deg, axis=1)  # [B, K] inclusive run ends
         prev = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1)
-        # run-end bound per slot (cum is nondecreasing → scatter at run
-        # starts + cummax; ties from empty runs resolve to the larger k);
-        # j < cum_of[j] also implies j < total, and masks slots whose
-        # owner's run was truncated by the budget.  Run starts beyond E
-        # are dropped (mode="drop"): those tokens' arcs fall outside the
-        # budget.
-        cum_of = jax.lax.cummax(
-            jnp.zeros((B, E), jnp.int32)
-            .at[jnp.arange(B)[:, None], prev]
-            .max(cum, mode="drop"),
-            axis=1)
-        valid = j[None, :] < cum_of
-        # per-token bases, broadcast to slots via exact delta-cumsum
-        # (arc id = arc_base[k_of] + j; cost rides bitcast)
-        arc = jnp.clip(
-            bcast_tokens_i32(rp - prev, prev) + j[None, :], 0, A - 1)
-        base_cost = jax.lax.bitcast_convert_type(
-            bcast_tokens_i32(
-                jax.lax.bitcast_convert_type(tok_cost, jnp.int32), prev),
-            jnp.float32)
+        # ALL per-token run quantities ride ONE stacked scatter-add of
+        # deltas at run starts + one cumsum (scatter cost is per-index —
+        # 3 separate scatters measured ~1.3x the stacked one on chip):
+        #   ch0: run-end bound cum_of (deltas of cum; cum is nondecreasing
+        #        and colliding empty-run starts telescope, so the cumsum
+        #        equals the cummax formulation: the value of the LAST run
+        #        start ≤ j — which also masks slots whose owner's run was
+        #        truncated by the budget; run starts beyond ET drop)
+        #   ch1: tile-id base (deltas of rp - prev)
+        #   ch2: token cost base (deltas of cost BITS — telescoping is
+        #        exact for arbitrary values under int32 wraparound)
+        #   ch3 (L only): owning-token index k_of (deltas of k)
+        def deltas(vals):
+            return jnp.diff(vals, axis=1,
+                            prepend=jnp.zeros((B, 1), jnp.int32))
+
+        chans = [deltas(cum), deltas(rp - prev),
+                 deltas(jax.lax.bitcast_convert_type(tok_cost, jnp.int32))]
         if L:
-            # lattice records need each slot's source token index: slot j
-            # belongs to k_of[j] = max{k : prev[k] <= j}
-            kk = jnp.broadcast_to(
-                jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
-            k_of = jax.lax.cummax(
-                jnp.zeros((B, E), jnp.int32)
-                .at[jnp.arange(B)[:, None], prev]
-                .max(kk, mode="drop"),
-                axis=1)
-        rows = jnp.take(packed, arc, axis=0)  # [B, E, 3] one row gather
-        w_arc = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
-        pdf_arc = rows[..., 1]
-        ns_arc = rows[..., 2]
+            chans.append(deltas(jnp.broadcast_to(
+                jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))))
+        stacked = jnp.stack(chans, axis=-1)  # [B, K, C]
+        scat = jnp.zeros((B, ET, len(chans)), jnp.int32).at[
+            jnp.arange(B)[:, None], prev].add(stacked, mode="drop")
+        bases = jnp.cumsum(scat, axis=1)  # [B, ET, C]
+        cum_of = bases[..., 0]
+        valid = j[None, :] < cum_of
+        # tile id = tile_base[k_of] + j; cost rides bitcast
+        tile = jnp.clip(bases[..., 1] + j[None, :], 0, NT - 1)
+        base_cost = jax.lax.bitcast_convert_type(bases[..., 2], jnp.float32)
+        if L:
+            k_of = expand_md(bases[..., 3])
+        # THE arc-data access: one [MD,3] tile per slot (per-index gather
+        # cost; 3.2x over per-arc rows — benchmarks/gather_variants_bench)
+        rows = jnp.take(tiles, tile, axis=0)  # [B, ET, MD, 3]
+        w_arc = jax.lax.bitcast_convert_type(
+            rows[..., 0].reshape(B, E), jnp.float32)
+        pdf_arc = rows[..., 1].reshape(B, E)
+        ns_arc = rows[..., 2].reshape(B, E)
+        arc = (tile * MD)[:, :, None]
+        arc = (arc + jnp.arange(MD, dtype=jnp.int32)[None, None, :]
+               ).reshape(B, E)
+        base_cost = expand_md(
+            jax.lax.bitcast_convert_type(base_cost, jnp.int32))
+        base_cost = jax.lax.bitcast_convert_type(base_cost, jnp.float32)
+        valid = expand_md(valid.astype(jnp.int32)) > 0
         # one-hot Pallas kernel on TPU (~4.9x vs the element-serial
         # take_along_axis gather at [64, 12k]: 1.6 vs 7.8 ms/frame —
         # ops/gather_kernel.py); bit-exact either way
         ll_arc = batched_table_gather(ll_t, jnp.minimum(pdf_arc, P - 1))
+        # tile-padding arcs carry w=BIG; a positive acoustic term could
+        # drag their cost just under BIG, so they must be masked like
+        # budget-invalid slots, not merely cost-gated
+        valid = valid & (w_arc < BIG)
         cost = base_cost + w_arc - acoustic_scale * ll_arc
         dest = jnp.where(valid, ns_arc, S)  # sentinel sorts last
         cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)
@@ -531,10 +529,22 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
             [jnp.ones((B, 1), bool), dest_s[:, 1:] != dest_s[:, :-1]], axis=1
         )
         cand = jnp.where(first & (dest_s < S), cost_s, BIG)
-        neg_top, sel = jax.lax.top_k(-cand, K)  # [B, K] ascending cost
-        new_cost = -neg_top
-        new_state = jnp.take_along_axis(dest_s, sel, 1)
-        new_arc = jnp.take_along_axis(arc_s, sel, 1)
+        # top-K select by a second (1-key) sort and a static slice: one
+        # sort (~1.1 ms at [64,14k]) replaces lax.top_k + two
+        # [B,K]<-[B,E] take_along_axis gathers (~3.5 ms — per-element
+        # gathers are the kernel's pathology, sorts are not)
+        if L:
+            sort_in = (cand, dest_s, arc_s,
+                       jnp.broadcast_to(
+                           jnp.arange(E, dtype=jnp.int32)[None, :], (B, E)))
+            new_cost, new_state, new_arc, sel = (
+                x[:, :K] for x in
+                jax.lax.sort(sort_in, dimension=1, num_keys=1))
+        else:
+            new_cost, new_state, new_arc = (
+                x[:, :K] for x in
+                jax.lax.sort((cand, dest_s, arc_s), dimension=1,
+                             num_keys=1))
         # keep requires a REAL candidate: when a frame has zero valid
         # expansions everything is BIG and the sentinel dest S would
         # otherwise survive the beam gate (BIG <= BIG + beam) and escape
@@ -555,7 +565,8 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
         # ---- bounded lattice-arc emission (GetRawLattice on device) ----
         # winner of each sorted dest run sits at the run's first slot
         run_start = jax.lax.cummax(
-            jnp.where(first, j[None, :], 0), axis=1)  # [B, E]
+            jnp.where(first, jnp.arange(E, dtype=jnp.int32)[None, :], 0),
+            axis=1)  # [B, E]
         winner = jnp.take_along_axis(cost_s, run_start, 1)
         # surviving-token slot of each dest: scatter the kept slot index
         # at its winner's sorted position (top_k positions are distinct)
@@ -592,19 +603,22 @@ def _decode_scan_tokens(row_ptr, frm, pdf, w, ns, start, loglikes,
     return (tok_state, tok_cost) + tuple(ys)
 
 
-def _token_budget(graph: CsrGraph, K: int) -> int:
-    """Static arc-expansion budget E for the token-sparse decoder: a 1.5x
-    multiple of the expected active out-degree (headroom for degree skew;
-    overflow drops arcs from the worst-cost tokens only — they are
-    cost-sorted), capped at the full arc count, rounded up to a
-    lane-friendly multiple.  Per-frame cost is linear in E (gather-bound:
-    the [A]-row and [B,P]-loglike random gathers are ~16 of ~21 ms/frame
-    at [64, 12k] on chip), so the budget is the main throughput knob
-    after K; 2.0x→1.5x measured WER-neutral on the minilib system."""
-    A = graph.num_arcs
-    mean_deg = max(1.0, A / max(1, graph.num_states))
-    E = int(min(A, max(1.5 * K * mean_deg, 4.0 * K)))
-    return max(128, (E + 127) // 128 * 128)
+def _token_budget(graph: CsrGraph, K: int, md: int = 4) -> int:
+    """Static TILE-expansion budget ET for the token-sparse decoder: a
+    1.5x multiple of the expected active tiles-per-state (headroom for
+    degree skew; overflow drops tiles from the worst-cost tokens only —
+    they are cost-sorted), capped at the tile count, rounded up to a
+    lane-friendly multiple.  Per-frame cost is linear in E = ET·MD
+    (gather/sort/loglike-lookup all scale with it), so the budget is the
+    main throughput knob after K; headroom sweep measured WER-neutral
+    on the minilib system (2.0x→1.5x r3, →1.25x r4)."""
+    from old_kaldi_git_tpu.decoder.csr import build_tile_graph
+
+    tg = build_tile_graph(graph, md)
+    NT = tg.num_tiles
+    mean_tiles = max(1.0, NT / max(1, graph.num_states))
+    ET = int(min(NT, max(1.25 * K * mean_tiles, 1.25 * K)))
+    return max(128, (ET + 127) // 128 * 128)
 
 
 def decode_batch_tokens(
@@ -623,26 +637,26 @@ def decode_batch_tokens(
     device (no host loglikes, transfer O(T·L) per utterance) — see
     TokenLattice / lat.lattice.lattice_from_token_records.
     lattice_budget: arcs kept per (utterance, frame); 0 → auto."""
+    from old_kaldi_git_tpu.decoder.csr import build_tile_graph
+
     opts = opts or ViterbiOptions()
     B, T, P = loglikes.shape
     K = max(4, min(opts.max_active, graph.num_states))
-    E = _token_budget(graph, K)
+    tg = build_tile_graph(graph)
+    ET = _token_budget(graph, K, tg.md)
+    E = ET * tg.md
     L = 0
     if want_lattice:
         L = lattice_budget or min(E, max(512, 2 * K))
         L = min(E, (L + 127) // 128 * 128)
     num_frames = np.asarray(num_frames, np.int32)
-    frm = np.repeat(
-        np.arange(graph.num_states, dtype=np.int32), graph.out_degree()
-    )
     fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
     nf_dev = jnp.asarray(num_frames)
-    frm_dev = jnp.asarray(frm)
+    tile_ptr_dev, tiles_dev, frm_dev = tg.device_arrays()
     out = _decode_scan_tokens(
-        jnp.asarray(graph.row_ptr), frm_dev, jnp.asarray(graph.pdf),
-        jnp.asarray(graph.weight), jnp.asarray(graph.nextstate),
+        tile_ptr_dev, tiles_dev,
         graph.start, jnp.asarray(loglikes, jnp.float32), nf_dev,
-        float(opts.acoustic_scale), float(opts.beam), K, E,
+        float(opts.acoustic_scale), float(opts.beam), K, ET,
         graph.num_states, L, float(lattice_beam),
     )
     tok_state, tok_cost, bp_state, bp_arc, bp_cost = out[:5]
@@ -666,6 +680,8 @@ def decode_batch_tokens(
         _backtrace_scan(bp_state, bp_arc, frm_dev,
                         jnp.asarray(np.maximum(end_states, 0)), nf_dev)
     )
+    # the kernel's arc ids are padded tile slots — map back to graph arcs
+    arcs = np.where(arcs >= 0, tg.pad2orig[np.maximum(arcs, 0)], -1)
     # record-based lattices need NO [T, B, K] frame tensors on the host —
     # only the bounded [T, B, L] records plus the [B, K] final token set
     results = results_from_arcs(
@@ -673,6 +689,8 @@ def decode_batch_tokens(
     )
     if want_lattice:
         lat_src, lat_dst, lat_arc, lat_ac = (np.asarray(a) for a in out[5:])
+        lat_arc = np.where(
+            lat_arc >= 0, tg.pad2orig[np.maximum(lat_arc, 0)], -1)
         for b, res in enumerate(results):
             if res is None:
                 continue

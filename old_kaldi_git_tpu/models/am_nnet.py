@@ -94,9 +94,14 @@ class AmNnet:
         p = np.maximum(p / p.sum(), 1e-8)
         self.log_priors = np.log(p).astype(np.float32)
 
-    def logits(self, feats: jnp.ndarray) -> jnp.ndarray:
+    def logits(self, feats: jnp.ndarray, output_stride: int = 1
+               ) -> jnp.ndarray:
+        """output_stride > 1 evaluates the prefinal/output layers only at
+        every stride-th frame (reference frame-subsampling decode for
+        chain models) — [B, ceil(T/stride), num_pdfs]."""
         model = self.model()
-        return model.apply(self.variables, feats, train=False)
+        return model.apply(self.variables, feats, train=False,
+                           output_stride=output_stride)
 
     def loglikes_batch(self, feats: jnp.ndarray) -> jnp.ndarray:
         """[B, T, D] → [B, T, num_pdfs] pseudo-loglikes (log-softmax − prior)."""

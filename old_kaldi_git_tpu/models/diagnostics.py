@@ -94,7 +94,8 @@ def compute_chain_prob(
     x = np.zeros((len(used), T, D), np.float32)
     for i, k in enumerate(used):
         x[i, : feats[k].shape[0]] = feats[k]
-    logits = chain_model.am.logits(jnp.asarray(x))[:, ::fsf][:, : allowed.shape[1]]
+    logits = chain_model.am.logits(
+        jnp.asarray(x), output_stride=fsf)[:, : allowed.shape[1]]
     loss, metrics = chain_loss(
         logits, chain_model.den, jnp.asarray(pdf_seq), jnp.asarray(allowed),
         jnp.asarray(nf), jnp.asarray(seq_len), jnp.asarray(adv),

@@ -251,7 +251,7 @@ class TdnnModel(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False, dropout_rng=None,
-                 ng_collect: bool = False):
+                 ng_collect: bool = False, output_stride: int = 1):
         x = feats
         env = {"input": feats, "__prev__": feats}
         for i, spec in enumerate(self.config.layers):
@@ -318,6 +318,12 @@ class TdnnModel(nn.Module):
             env[f"{spec.kind}{i}"] = x
             if getattr(spec, "name", ""):
                 env[spec.name] = x
+        if output_stride > 1:
+            # frame-subsampled output (reference --frame-subsampling-factor
+            # in nnet3-latgen-faster / chain egs): the prefinal + output
+            # affines — the widest matmuls — run only at the subsampled
+            # frames instead of computing 3x and discarding 2/3
+            x = x[:, ::output_stride]
         if self.config.final_hidden_dim:
             x = ReluBatchNorm(self.config.final_hidden_dim, (0,), name="prefinal")(
                 x, train=train, ng_collect=ng_collect

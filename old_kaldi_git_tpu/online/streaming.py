@@ -261,18 +261,18 @@ class StreamingTokenDecoder:
         self.lctx = am_left_context
         self.rctx = am_right_context
         self.rules = endpoint_rules or default_endpoint_rules()
+        from old_kaldi_git_tpu.decoder.csr import build_tile_graph
+
         self.K = max(4, min(self.opts.max_active, graph.num_states))
-        self.E = _token_budget(graph, self.K)
+        tg = build_tile_graph(graph)
+        self._tg = tg
+        self.E = _token_budget(graph, self.K, tg.md)  # tile budget ET
         self.max_frames = max_frames
         self.chunk_quantum = chunk_quantum
         self._scan = _decode_scan_tokens
-        self._row_ptr = jnp.asarray(graph.row_ptr)
-        self._frm = jnp.asarray(
-            np.repeat(np.arange(graph.num_states, dtype=np.int32),
-                      graph.out_degree()))
-        self._pdf = jnp.asarray(graph.pdf)
-        self._w = jnp.asarray(graph.weight)
-        self._ns = jnp.asarray(graph.nextstate)
+        self._tile_ptr = jnp.asarray(tg.tile_ptr)
+        self._tiles = jnp.asarray(tg.tiles)
+        self._frm = jnp.asarray(tg.frm_pad)
         self._fw = np.where(
             np.isfinite(graph.final_weight), graph.final_weight, BIG)
         # AM window: fixed length so every chunk hits one compiled program
@@ -294,8 +294,7 @@ class StreamingTokenDecoder:
         start = self.graph.start
         ac = float(self.opts.acoustic_scale)
         beam = float(self.opts.beam)
-        row_ptr, frm = self._row_ptr, self._frm
-        pdf, w, ns = self._pdf, self._w, self._ns
+        tile_ptr, tiles = self._tile_ptr, self._tiles
 
         @partial(jax.jit, donate_argnums=(4, 5, 6, 7))
         def fused(feat_ctx, t_off, n_valid, t0, tok_state, tok_cost,
@@ -303,7 +302,7 @@ class StreamingTokenDecoder:
             ll = am(feat_ctx)[0]  # [W, P]
             P = ll.shape[1]
             ll_new = jax.lax.dynamic_slice(ll, (t_off, 0), (q, P))[None]
-            out = scan(row_ptr, frm, pdf, w, ns, start, ll_new,
+            out = scan(tile_ptr, tiles, start, ll_new,
                        jnp.reshape(n_valid, (1,)).astype(jnp.int32),
                        ac, beam, K, E, S, 0, 0.0, (tok_state, tok_cost))
             ts, tc, bp_s, bp_a = out[0], out[1], out[2], out[3]
@@ -390,6 +389,8 @@ class StreamingTokenDecoder:
         )[: self._frames_decoded, 0]
         if (arcs < 0).any():
             return [], []
+        # padded tile-slot ids -> original graph arc ids
+        arcs = self._tg.pad2orig[arcs]
         words: List[int] = []
         for a in arcs:
             words.extend(self.graph.arc_olabels[a])

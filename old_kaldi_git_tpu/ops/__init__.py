@@ -19,3 +19,4 @@ from old_kaldi_git_tpu.ops.gmm_kernel import (
     gmm_loglikes_reference,
     pack_gmm_weights,
 )
+from old_kaldi_git_tpu.ops.gather_kernel import batched_table_gather

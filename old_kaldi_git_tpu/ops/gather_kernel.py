@@ -90,10 +90,24 @@ def batched_table_gather(table: jnp.ndarray, idx: jnp.ndarray,
     """out[b, j] = table[b, idx[b, j]] — [B, P] f32 table, [B, E] int32
     indices in [0, P).  On TPU this is the Pallas one-hot kernel; on
     other backends it falls back to take_along_axis (identical
-    semantics) rather than paying the interpreter."""
+    semantics) rather than paying the interpreter.
+
+    Out-of-range indices are clamped to [0, P) on EVERY path (the raw
+    kernel would return 0.0 for them while take_along_axis clamps —
+    clamping here keeps the two backends bit-identical on
+    out-of-contract input)."""
+    idx = jnp.clip(idx, 0, table.shape[1] - 1)
     if interpret is None:
         if jax.default_backend() != "tpu":
             return jnp.take_along_axis(table, idx, axis=1)
         interpret = False
     blk = min(blk, (max(idx.shape[1], LANE) + LANE - 1) // LANE * LANE)
+    # keep the per-row [blk, ppad] one-hot intermediate ≲4 MB of VMEM so
+    # large pdf tables (ppad ~ 8k) cannot blow the ~16 MB budget if the
+    # where+sum fails to fuse into a streaming reduction
+    ppad = (table.shape[1] + LANE - 1) // LANE * LANE
+    if ppad * blk * 4 > (4 << 20):
+        blk = max(LANE, ((1 << 20) // ppad) // LANE * LANE)
+    # Mosaic requires the minor block dim be a LANE multiple
+    blk = max(LANE, -(-blk // LANE) * LANE)
     return _pallas_gather(table, idx, blk=blk, interpret=interpret)

@@ -143,12 +143,13 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
         if pert is not None:
             variables["perturbations"] = pert
             mutable = ["batch_stats", "ng_in"]
-        logits_full, mutated = model.apply(
+        logits_sub, mutated = model.apply(
             variables, bf, train=True,
             dropout_rng=dropout_rng, mutable=mutable,
+            output_stride=fsf,
             **({"ng_collect": True} if pert is not None else {}),
         )
-        logits = logits_full[:, ::fsf][:, : b_allowed.shape[1]]
+        logits = logits_sub[:, : b_allowed.shape[1]]
         loss, metrics = chain_loss(
             logits, den, b_pdf, b_allowed, b_nf, b_sl, b_adv, loss_opts
         )
@@ -241,7 +242,7 @@ def make_chain_step(model, den, optimizer, loss_opts: ChainLossOptions,
             shapes = jax.eval_shape(
                 lambda r, x: model.init(
                     r, x, train=True, dropout_rng=jax.random.PRNGKey(0),
-                    ng_collect=True),
+                    ng_collect=True, output_stride=fsf),
                 jax.random.PRNGKey(0), jnp.zeros(bf.shape, jnp.float32))
             pert_cache[key] = jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
@@ -287,8 +288,9 @@ def combine_chain_models(
         params = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1), stacked)
         bs = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1), stacked_bs)
         logits = model.apply(
-            {"params": params, "batch_stats": bs}, bf, train=False)
-        logits = logits[:, ::fsf][:, : allowed.shape[1]]
+            {"params": params, "batch_stats": bs}, bf, train=False,
+            output_stride=fsf)
+        logits = logits[:, : allowed.shape[1]]
         loss, _m = chain_loss(
             logits, base.den, pdf_seq, allowed, nf, sl, adv, opts)
         return loss
@@ -559,7 +561,8 @@ def decode_chain(
     for i, k in enumerate(keys):
         padded[i, : feats[k].shape[0]] = feats[k]
         nf[i] = (feats[k].shape[0] + fsf - 1) // fsf
-    logits = chain.am.logits(jnp.asarray(padded))[:, ::fsf]  # device-resident
+    logits = chain.am.logits(jnp.asarray(padded),
+                             output_stride=fsf)  # device-resident
     results = decode_batch(
         graph, logits, nf,
         ViterbiOptions(beam=beam, max_active=max_active, acoustic_scale=acoustic_scale),
@@ -680,11 +683,12 @@ def train_chain_e2e(
                        optimizer.init(params), 0)
 
     def loss_fn(params, batch_stats, bf, b_nf, bg, dropout_rng):
-        logits_full, mutated = model.apply(
+        logits_sub, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, bf, train=True,
             dropout_rng=dropout_rng, mutable=["batch_stats"],
+            output_stride=fsf,
         )
-        logits = logits_full[:, ::fsf]
+        logits = logits_sub
         loss, metrics = chain_e2e_loss(logits, den, bg, b_nf, loss_opts)
         return loss, (mutated["batch_stats"], metrics)
 

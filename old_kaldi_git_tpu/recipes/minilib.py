@@ -607,7 +607,7 @@ def decode_and_score_chain(
             padded = np.pad(padded,
                             ((0, batch - len(keys)), (0, 0), (0, 0)))
             nf = np.concatenate([nf, np.zeros(batch - len(keys), nf.dtype)])
-        logits = cm.am.logits(jnp.asarray(padded))[:, ::fsf]
+        logits = cm.am.logits(jnp.asarray(padded), output_stride=fsf)
         nf_sub = (np.asarray(nf) + fsf - 1) // fsf
         results = decode_batch_tokens(csr, logits, nf_sub, vopts)
         for k, res in zip(keys, results):

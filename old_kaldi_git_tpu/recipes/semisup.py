@@ -99,7 +99,8 @@ def decode_chain_lattices(
     for i, k in enumerate(keys):
         padded[i, : feats[k].shape[0]] = feats[k]
         nf[i] = (feats[k].shape[0] + fsf - 1) // fsf
-    logits = np.asarray(chain.am.logits(jnp.asarray(padded))[:, ::fsf])
+    logits = np.asarray(
+        chain.am.logits(jnp.asarray(padded), output_stride=fsf))
     results = decode_batch(
         graph, logits, nf,
         ViterbiOptions(beam=beam, max_active=max_active,
@@ -215,11 +216,12 @@ def train_chain_semisup(
                        optimizer.init(params), 0)
 
     def loss_fn(params, batch_stats, bf, b_nf, bg, b_wt, dropout_rng):
-        logits_full, mutated = model.apply(
+        logits_sub, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, bf, train=True,
             dropout_rng=dropout_rng, mutable=["batch_stats"],
+            output_stride=fsf,
         )
-        logits = logits_full[:, ::fsf]
+        logits = logits_sub
         loss, metrics = chain_e2e_loss(
             logits, den, bg, b_nf, loss_opts, seq_weights=b_wt)
         return loss, (mutated["batch_stats"], metrics)

@@ -213,7 +213,7 @@ def test_token_sparse_decoder_matches_dense():
     import old_kaldi_git_tpu.decoder.viterbi as vit
 
     orig = vit._token_budget
-    vit._token_budget = lambda g, K: 128
+    vit._token_budget = lambda g, K, md=4: 128  # 128 tiles
     try:
         tight = decode_batch_tokens(csr, loglikes, nf, opts)
     finally:
