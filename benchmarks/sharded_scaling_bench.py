@@ -129,8 +129,9 @@ def main():
         K = vopts.max_active
         print(json.dumps({
             "n_devices": n,
-            "arcs_per_shard": int(plan.arcs_per_shard),
-            "shard_arc_mb": round(plan.arcs_per_shard * 12 / 1e6, 1),
+            "tiles_per_shard": int(plan.tiles_per_shard),
+            "shard_tile_mb": round(
+                plan.tiles_per_shard * plan.md * 12 / 1e6, 1),
             "gather_words_per_frame_per_dev": 3 * K * B,
             "wall_s": round(best, 3),
             "rel_throughput": round(tp / base_tp, 3),

@@ -25,8 +25,21 @@ log = get_logger("csr")
 
 @dataclasses.dataclass
 class CsrGraph:
-    """Eps-free emitting-arc CSR. Device arrays are plain numpy here; the
-    decoder moves them to the device once per graph."""
+    """Emitting-arc CSR. Device arrays are plain numpy here; the decoder
+    moves them to the device once per graph.
+
+    Two epsilon regimes (reference ProcessNonemitting re-shaped two ways):
+
+      * FOLDED (default): eps arcs are eliminated up front by closure
+        forwarding — every arc's weight/olabels include its eps prefix.
+        Exact, but duplicates a backoff state's arcs into every
+        predecessor (the chain/backoff-heavy graphs blow up 4-5x).
+      * SPLIT (eps_ns is not None): arcs here are the emitting arcs ONLY;
+        each state additionally carries at most one eps "backoff" arc
+        (eps_ns/eps_w/eps_olab, eps_ns < 0 = none), and the decoder runs
+        `eps_depth` bounded backoff-hop merge rounds per frame.  Only
+        valid when every state has <= 1 eps out-arc (LM-backoff shape);
+        final_weight/final_olabels stay closure-folded."""
 
     start: int
     row_ptr: np.ndarray  # [S+1] int32
@@ -37,6 +50,11 @@ class CsrGraph:
     final_weight: np.ndarray  # [S] float32 (+inf = not final)
     arc_olabels: List[Tuple[int, ...]]  # per arc: word ids along eps prefix + arc
     final_olabels: List[Tuple[int, ...]]  # per state: words on best eps path to final
+    # split-eps regime (None in the folded regime):
+    eps_ns: Optional[np.ndarray] = None   # [S] int32 backoff target, -1 = none
+    eps_w: Optional[np.ndarray] = None    # [S] float32 backoff weight
+    eps_olab: Optional[np.ndarray] = None  # [S] int32 word on backoff arc, 0 = none
+    eps_depth: int = 0                    # max backoff-chain length
 
     @property
     def num_states(self) -> int:
@@ -184,6 +202,124 @@ def fst_to_csr_native(nfst, tid_to_pdf: np.ndarray) -> CsrGraph:
     log.info(
         "csr(native): %d states, %d arcs (max out-degree %d)",
         csr.num_states, csr.num_arcs, csr.max_out_degree,
+    )
+    return csr
+
+
+def fst_to_split_csr_arrays(
+    start: int,
+    row_ptr: np.ndarray,
+    il: np.ndarray,
+    ol: np.ndarray,
+    w: np.ndarray,
+    ns: np.ndarray,
+    finals: np.ndarray,
+    tid_to_pdf: np.ndarray,
+    max_depth: int = 8,
+) -> CsrGraph:
+    """Build a SPLIT-eps CsrGraph from raw FST arrays (il 0 = eps).
+
+    Requires every state to have <= 1 eps out-arc and acyclic eps chains
+    of depth <= max_depth (the LM-backoff shape: trigram state ->
+    bigram -> unigram).  Raises KaldiError otherwise — callers fall back
+    to the folded export.  Emitting arcs stay un-duplicated (the folded
+    export copies a backoff state's arcs into every predecessor — 4.7x
+    arc blowup measured on the minilib chain HCLG); the decoder instead
+    runs `eps_depth` backoff-hop merge rounds per frame
+    (viterbi._decode_scan_tokens)."""
+    S = len(row_ptr) - 1
+    deg = np.diff(row_ptr)
+    src = np.repeat(np.arange(S, dtype=np.int64), deg)
+    eps = il == 0
+    eps_out = np.bincount(src[eps], minlength=S)
+    if eps_out.max(initial=0) > 1:
+        raise KaldiError(
+            f"split-eps export needs <=1 eps out-arc per state "
+            f"(max {int(eps_out.max())})")
+    eps_ns = np.full(S, -1, np.int32)
+    eps_w = np.full(S, np.float32(1e10), np.float32)
+    eps_olab = np.zeros(S, np.int32)
+    es = src[eps]
+    eps_ns[es] = ns[eps]
+    eps_w[es] = w[eps]
+    eps_olab[es] = ol[eps]
+    # depth + acyclicity
+    depth = 0
+    cur = eps_ns.astype(np.int64)
+    while (cur >= 0).any():
+        depth += 1
+        if depth > max_depth:
+            raise KaldiError(
+                f"eps chains deeper than {max_depth} (cycle?)")
+        m = cur >= 0
+        nxt = np.full(S, -1, np.int64)
+        nxt[m] = eps_ns[cur[m]]
+        cur = nxt
+    # emitting CSR
+    keep = ~eps
+    e_src = src[keep]
+    e_il = il[keep].astype(np.int32)
+    e_ol = ol[keep].astype(np.int32)
+    e_w = w[keep].astype(np.float32)
+    e_ns = ns[keep].astype(np.int32)
+    order = np.argsort(e_src, kind="stable")
+    e_src, e_il, e_ol = e_src[order], e_il[order], e_ol[order]
+    e_w, e_ns = e_w[order], e_ns[order]
+    new_deg = np.bincount(e_src, minlength=S)
+    new_rp = np.zeros(S + 1, np.int64)
+    np.cumsum(new_deg, out=new_rp[1:])
+    has = e_ol != 0
+    olab_off = np.zeros(len(e_il) + 1, np.int64)
+    np.cumsum(has.astype(np.int64), out=olab_off[1:])
+    arc_olabels = FlatOlabels(olab_off.astype(np.int32),
+                              e_ol[has].astype(np.int32))
+    # closure-folded final weights (the eps chain is a path, so the best
+    # completion is an argmin over <= depth+1 prefix candidates)
+    fin = np.where(np.isfinite(finals), finals, np.inf).astype(np.float64)
+    cand = np.full((depth + 1, S), np.inf)
+    cand[0] = fin
+    cum = np.zeros(S)
+    u = np.arange(S, dtype=np.int64)
+    alive = np.ones(S, bool)
+    for k in range(1, depth + 1):
+        alive = alive & (eps_ns[np.maximum(u, 0)] >= 0) & (u >= 0)
+        step_w = np.where(alive, eps_w[np.maximum(u, 0)], np.inf)
+        cum = cum + step_w
+        u = np.where(alive, eps_ns[np.maximum(u, 0)], -1)
+        cand[k] = np.where(alive, cum + fin[np.maximum(u, 0)], np.inf)
+    best_k = np.argmin(cand, axis=0)
+    fw_folded = cand[best_k, np.arange(S)]
+    final_olabels: List[Tuple[int, ...]] = [()] * S
+    for s in np.nonzero((best_k > 0) & np.isfinite(fw_folded))[0]:
+        labs: List[int] = []
+        u2 = int(s)
+        for _ in range(int(best_k[s])):
+            if eps_olab[u2]:
+                labs.append(int(eps_olab[u2]))
+            u2 = int(eps_ns[u2])
+        final_olabels[int(s)] = tuple(labs)
+    csr = CsrGraph(
+        start=int(start),
+        row_ptr=new_rp.astype(np.int32),
+        tid=e_il,
+        pdf=tid_to_pdf[e_il].astype(np.int32) if len(e_il) else e_il.copy(),
+        weight=e_w,
+        nextstate=e_ns,
+        final_weight=np.where(
+            np.isfinite(fw_folded), fw_folded, np.inf).astype(np.float32),
+        arc_olabels=arc_olabels,
+        final_olabels=final_olabels,
+        eps_ns=eps_ns,
+        eps_w=eps_w,
+        eps_olab=eps_olab,
+        eps_depth=depth,
+    )
+    csr._olabel_mask = has
+    log.info(
+        "csr(split-eps): %d states, %d emit arcs + %d backoff arcs "
+        "(depth %d, max emit out-degree %d)",
+        S, csr.num_arcs, int((eps_ns >= 0).sum()), depth,
+        csr.max_out_degree,
     )
     return csr
 

@@ -120,22 +120,39 @@ def mkgraph_csr(
     tm: TransitionModel,
     transition_scale: float = 1.0,
     self_loop_scale: float = 0.1,
+    split_eps: bool = False,
 ):
     """mkgraph straight to decoder CSR form, entirely on native handles
     when the C++ library is built (the only path that scales to 20k-word
     trigram HCLGs with millions of states — Python VectorFst objects per
     arc would need tens of GB).  Falls back to the Python pipeline.
 
+    split_eps=True exports the backoff-shaped split-eps CSR (emitting
+    arcs un-duplicated + per-state backoff arc; decoder runs bounded
+    backoff-hop rounds) when the graph qualifies — 4.7x fewer arcs than
+    the folded export on the minilib chain HCLG; falls back to folded if
+    the eps structure is not backoff-shaped.
+
     Equivalence with mkgraph + fst_to_csr is tested on small systems
     (tests/test_fst.py)."""
-    from old_kaldi_git_tpu.decoder.csr import fst_to_csr, fst_to_csr_native
+    from old_kaldi_git_tpu.decoder.csr import (
+        fst_to_csr,
+        fst_to_csr_native,
+        fst_to_split_csr_arrays,
+    )
     from old_kaldi_git_tpu.fst.native import NativeFst
+    from old_kaldi_git_tpu.utils.log import KaldiError
 
     if not native.available():
-        return fst_to_csr(
-            mkgraph(lang, g, ctx_dep, tm, transition_scale, self_loop_scale),
-            tm.tid_to_pdf_array(),
-        )
+        hclg_py = mkgraph(lang, g, ctx_dep, tm, transition_scale,
+                          self_loop_scale)
+        if split_eps:
+            try:
+                return _split_csr_from_vector_fst(
+                    hclg_py, tm.tid_to_pdf_array())
+            except KaldiError as e:
+                log.warning("split-eps export failed (%s); folding", e)
+        return fst_to_csr(hclg_py, tm.tid_to_pdf_array())
     lg = NativeFst.from_vector_fst(lang.L_disambig).compose(
         NativeFst.from_vector_fst(g))
     lg = lg.determinize_star(use_log=True)
@@ -161,7 +178,42 @@ def mkgraph_csr(
     hclg.connect()
     log.info("mkgraph: HCLG has %d states / %d arcs",
              hclg.num_states, hclg.num_arcs)
+    if split_eps:
+        try:
+            return fst_to_split_csr_arrays(
+                *hclg.to_raw_arrays(), tm.tid_to_pdf_array())
+        except KaldiError as e:
+            log.warning("split-eps export failed (%s); folding", e)
     return fst_to_csr_native(hclg, tm.tid_to_pdf_array())
+
+
+def _split_csr_from_vector_fst(fst: VectorFst, tid_to_pdf):
+    """Split-eps CSR from a Python VectorFst (small-graph fallback)."""
+    import numpy as np
+
+    from old_kaldi_git_tpu.decoder.csr import fst_to_split_csr_arrays
+    from old_kaldi_git_tpu.fst.vector_fst import INF
+
+    n = fst.num_states
+    counts = np.asarray([len(a) for a in fst.arcs], np.int64)
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    a_total = int(row_ptr[-1])
+    il = np.zeros(a_total, np.int32)
+    ol = np.zeros(a_total, np.int32)
+    w = np.zeros(a_total, np.float32)
+    ns = np.zeros(a_total, np.int32)
+    i = 0
+    for lst in fst.arcs:
+        for a in lst:
+            il[i], ol[i], w[i], ns[i] = (a.ilabel, a.olabel, a.weight,
+                                         a.nextstate)
+            i += 1
+    finals = np.asarray(
+        [f if f != INF else np.inf for f in fst.finals], np.float32)
+    return fst_to_split_csr_arrays(
+        fst.start, row_ptr.astype(np.int32), il, ol, w, ns, finals,
+        tid_to_pdf)
 
 
 class GraphCompiler:

@@ -5,17 +5,23 @@ For graphs whose arc tensors exceed one chip's HBM (the README's
 LibriSpeech fglarge HCLG is multi-GB — src/decoder/lattice-faster-decoder.cc
 only ever holds it in host RAM, one process per job).  TPU-native design:
 
-  * states are partitioned into N contiguous ranges, balanced by ARC
-    count, so each device stores only its shard's packed arc rows
-    ([A/N, 3] int32) and local row_ptr — the HBM hog splits N ways, and
-    so does the per-frame gather bandwidth (the kernel's bottleneck).
+  * states are partitioned into N contiguous ranges, balanced by arc-TILE
+    count, so each device stores only its shard of the per-state MD-arc
+    tile table (csr.build_tile_graph) — the HBM hog splits N ways, and so
+    does the per-frame gather traffic (the kernel's bottleneck).
   * the token set [B, K] stays replicated (it is tiny).  Each frame,
     every device expands only the tokens whose state lives in its range
-    (their out-arcs are device-local by construction), dedups and
+    (their tiles are device-local by construction), dedups and
     top-K-prunes locally, then `all_gather`s its K candidates over the
     ICI — [B, 3K] words per device per frame — and all devices compute
     the identical global merge (sort by (dest, cost), first-of-run
-    dedup, top-K, beam gate).  No scatter into [B, S] ever exists.
+    dedup, sorted-slice top-K, beam gate).  No scatter into [B, S] ever
+    exists.
+  * both the local and global top-K selections are 1-key sorts + static
+    slices (not lax.top_k + take_along_axis — per-element gathers are
+    the kernel's pathology on TPU; see viterbi._decode_scan_tokens),
+    so the N=1 "sharding tax" is two extra [B, K]-ish sorts plus the
+    all_gather, not a second expansion pipeline.
 
   Local top-K before the gather is exact, not approximate: dedup keeps
   the min cost per dest, so if a local candidate is dropped by local
@@ -31,7 +37,6 @@ part of __graft_entry__.dryrun_multichip.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -39,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from old_kaldi_git_tpu.decoder.csr import CsrGraph
+from old_kaldi_git_tpu.decoder.csr import CsrGraph, build_tile_graph
 from old_kaldi_git_tpu.decoder.viterbi import (
     BIG,
     DecodeResult,
@@ -55,15 +60,17 @@ log = get_logger("sharded")
 @dataclasses.dataclass
 class ShardedCsrGraph:
     """Host-side shard plan for a CsrGraph: N contiguous state ranges
-    balanced by arc count, each with local (0-based) row_ptr and padded
-    packed arc rows.  Built once per (graph, N); device placement happens
-    in the decode call."""
+    balanced by arc-tile count, each with local (0-based) tile_ptr and
+    its slice of the [*, MD, 3] tile table.  Built once per (graph, N);
+    device placement happens in the decode call."""
 
     graph: CsrGraph
+    md: int
     lo: np.ndarray        # [N] first state of each shard
-    arc_off: np.ndarray   # [N] global arc id of each shard's first arc
-    row_ptr: np.ndarray   # [N, SL+1] local row_ptr (padded states: deg 0)
-    packed: np.ndarray    # [N, AL, 3] int32 (w bitcast, pdf, nextstate)
+    tile_off: np.ndarray  # [N] global tile id of each shard's first tile
+    tile_ptr: np.ndarray  # [N, SL+1] local tile_ptr (padded states: 0 tiles)
+    tiles: np.ndarray     # [N, TL, MD, 3] int32 (w bitcast, pdf, nextstate)
+    pad2orig: np.ndarray  # [Ntile*md] padded arc id -> graph arc id
 
     @property
     def num_shards(self) -> int:
@@ -71,62 +78,65 @@ class ShardedCsrGraph:
 
     @property
     def states_per_shard(self) -> int:
-        return self.row_ptr.shape[1] - 1
+        return self.tile_ptr.shape[1] - 1
 
     @property
-    def arcs_per_shard(self) -> int:
-        return self.packed.shape[1]
+    def tiles_per_shard(self) -> int:
+        return self.tiles.shape[1]
 
 
 def shard_graph(graph: CsrGraph, num_shards: int) -> ShardedCsrGraph:
     """Partition states into `num_shards` contiguous ranges with ~equal
-    arc counts (arc storage and gather traffic are what must balance;
+    tile counts (tile storage and gather traffic are what must balance;
     state counts may be skewed)."""
-    S, A = graph.num_states, graph.num_arcs
-    rp = graph.row_ptr.astype(np.int64)
-    targets = (A * np.arange(1, num_shards) / num_shards).astype(np.int64)
-    cuts = np.searchsorted(rp, targets, side="left")
+    tg = build_tile_graph(graph)
+    S = graph.num_states
+    NT = tg.num_tiles
+    tp = tg.tile_ptr.astype(np.int64)
+    targets = (NT * np.arange(1, num_shards) / num_shards).astype(np.int64)
+    cuts = np.searchsorted(tp, targets, side="left")
     bounds = np.concatenate([[0], np.clip(cuts, 0, S), [S]])
     bounds = np.maximum.accumulate(bounds).astype(np.int64)
     lo = bounds[:-1]
     hi = bounds[1:]
     SL = int((hi - lo).max())
-    AL = int(max(1, (rp[hi] - rp[lo]).max()))
-    row_ptr = np.zeros((num_shards, SL + 1), np.int32)
-    packed = np.zeros((num_shards, AL, 3), np.int32)
-    w_bits = np.ascontiguousarray(
-        graph.weight.astype(np.float32)).view(np.int32)
+    TL = int(max(1, (tp[hi] - tp[lo]).max()))
+    tile_ptr = np.zeros((num_shards, SL + 1), np.int32)
+    tiles = np.zeros((num_shards, TL, tg.md, 3), np.int32)
+    # padding tiles must carry w=BIG so their arcs never become candidates
+    tiles[..., 0] = np.array([BIG], np.float32).view(np.int32)[0]
     for d in range(num_shards):
         n = int(hi[d] - lo[d])
-        local = rp[lo[d]:hi[d] + 1] - rp[lo[d]]
-        row_ptr[d, :n + 1] = local
-        row_ptr[d, n + 1:] = local[-1]  # padded states: zero out-degree
-        a0, a1 = int(rp[lo[d]]), int(rp[hi[d]])
-        packed[d, : a1 - a0, 0] = w_bits[a0:a1]
-        packed[d, : a1 - a0, 1] = graph.pdf[a0:a1]
-        packed[d, : a1 - a0, 2] = graph.nextstate[a0:a1]
+        local = tp[lo[d]:hi[d] + 1] - tp[lo[d]]
+        tile_ptr[d, :n + 1] = local
+        tile_ptr[d, n + 1:] = local[-1]  # padded states: zero tiles
+        t0, t1 = int(tp[lo[d]]), int(tp[hi[d]])
+        tiles[d, : t1 - t0] = tg.tiles[t0:t1]
     return ShardedCsrGraph(
         graph=graph,
+        md=tg.md,
         lo=lo.astype(np.int32),
-        arc_off=rp[lo].astype(np.int32),
-        row_ptr=row_ptr,
-        packed=packed,
+        tile_off=tp[lo].astype(np.int32),
+        tile_ptr=tile_ptr,
+        tiles=tiles,
+        pad2orig=tg.pad2orig,
     )
 
 
-def _sharded_token_scan(mesh: Mesh, axis: str, K: int, E: int, S: int,
+def _sharded_token_scan(mesh: Mesh, axis: str, K: int, ET: int, S: int,
                         SL: int):
     """Build the jitted shard_map program (closed over static shapes)."""
 
-    def run(row_ptr_loc, packed_loc, lo, arc_off, start, loglikes,
+    def run(tile_ptr_loc, tiles_loc, lo, tile_off, start, loglikes,
             num_frames, acoustic_scale, beam):
-        row_ptr_loc = row_ptr_loc[0]   # [SL+1]
-        packed_loc = packed_loc[0]     # [AL, 3]
+        tile_ptr_loc = tile_ptr_loc[0]   # [SL+1]
+        tiles_loc = tiles_loc[0]         # [TL, MD, 3]
         lo_d = lo[0]
-        arc_off_d = arc_off[0]
+        tile_off_d = tile_off[0]
         B, T, Pdim = loglikes.shape
-        AL = packed_loc.shape[0]
-        j = jnp.arange(E, dtype=jnp.int32)
+        TL, MD, _ = tiles_loc.shape
+        E = ET * MD
+        j = jnp.arange(ET, dtype=jnp.int32)
         tok_state0 = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(start)
         tok_cost0 = jnp.full((B, K), BIG, jnp.float32).at[:, 0].set(0.0)
         # the carry is device-varying in the manual-axes type system (it is
@@ -136,80 +146,122 @@ def _sharded_token_scan(mesh: Mesh, axis: str, K: int, E: int, S: int,
         tok_state0 = jax.lax.pcast(tok_state0, axis, to="varying")
         tok_cost0 = jax.lax.pcast(tok_cost0, axis, to="varying")
 
+        def expand_md(x):
+            return jnp.broadcast_to(x[:, :, None], (B, ET, MD)).reshape(B, E)
+
         def frame_update(tok_state, tok_cost, ll_t, t):
             s_loc = tok_state - lo_d
             live = ((tok_state >= 0) & (tok_cost < BIG)
                     & (s_loc >= 0) & (s_loc < SL))
             s_cl = jnp.clip(s_loc, 0, SL - 1)
-            rp = row_ptr_loc[s_cl]
-            deg = jnp.where(live, row_ptr_loc[s_cl + 1] - rp, 0)
+            rp = tile_ptr_loc[s_cl]
+            deg = jnp.where(live, tile_ptr_loc[s_cl + 1] - rp, 0)
             cum = jnp.cumsum(deg, axis=1)
             prev = jnp.concatenate(
                 [jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1)
-            cum_of = jax.lax.cummax(
-                jnp.zeros((B, E), jnp.int32)
-                .at[jnp.arange(B)[:, None], prev]
-                .max(cum, mode="drop"),
-                axis=1)
-            valid = j[None, :] < cum_of
-            # per-token bases broadcast to slots via exact delta-cumsum
-            # (see viterbi._decode_scan_tokens bcast_tokens_i32: >100x
-            # cheaper than take_along_axis gathers at this shape)
+            # stacked run-start scatter-add + cumsum (one scatter for all
+            # three run quantities — viterbi._decode_scan_tokens)
 
-            def bcast(vals):
-                delta = jnp.diff(
+            def deltas(vals):
+                return jnp.diff(
                     vals, axis=1, prepend=jnp.zeros((B, 1), jnp.int32))
-                scat = jnp.zeros((B, E), jnp.int32).at[
-                    jnp.arange(B)[:, None], prev].add(delta, mode="drop")
-                return jnp.cumsum(scat, axis=1)
 
-            arc = jnp.clip(
-                bcast(rp - prev) + j[None, :], 0, AL - 1)
+            stacked = jnp.stack(
+                [deltas(cum), deltas(rp - prev),
+                 deltas(jax.lax.bitcast_convert_type(tok_cost, jnp.int32))],
+                axis=-1)
+            scat = jnp.zeros((B, ET, 3), jnp.int32).at[
+                jnp.arange(B)[:, None], prev].add(stacked, mode="drop")
+            bases = jnp.cumsum(scat, axis=1)
+            valid = j[None, :] < bases[..., 0]
+            tile = jnp.clip(bases[..., 1] + j[None, :], 0, TL - 1)
             base_cost = jax.lax.bitcast_convert_type(
-                bcast(jax.lax.bitcast_convert_type(tok_cost, jnp.int32)),
-                jnp.float32)
-            rows = jnp.take(packed_loc, arc, axis=0)  # [B, E, 3]
-            w_arc = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
-            pdf_arc = rows[..., 1]
-            ns_arc = rows[..., 2]
+                bases[..., 2], jnp.float32)
+            rows = jnp.take(tiles_loc, tile, axis=0)  # [B, ET, MD, 3]
+            w_arc = jax.lax.bitcast_convert_type(
+                rows[..., 0].reshape(B, E), jnp.float32)
+            pdf_arc = rows[..., 1].reshape(B, E)
+            ns_arc = rows[..., 2].reshape(B, E)
+            garc = ((tile + tile_off_d) * MD)[:, :, None]
+            garc = (garc + jnp.arange(MD, dtype=jnp.int32)[None, None, :]
+                    ).reshape(B, E)
+            base_cost = expand_md(
+                jax.lax.bitcast_convert_type(base_cost, jnp.int32))
+            base_cost = jax.lax.bitcast_convert_type(base_cost, jnp.float32)
+            valid = expand_md(valid.astype(jnp.int32)) > 0
             # one-hot Pallas gather on TPU (ops/gather_kernel.py);
             # take_along_axis fallback elsewhere — bit-exact either way
             ac = acoustic_scale * batched_table_gather(
                 ll_t, jnp.minimum(pdf_arc, Pdim - 1))
+            valid = valid & (w_arc < BIG)  # mask tile-padding arcs
             cost = base_cost + w_arc - ac
             dest = jnp.where(valid, ns_arc, S)
             cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)
-            garc = jnp.where(valid, arc + arc_off_d, -1)
+            garc = jnp.where(valid, garc, -1)
             dest_s, cost_s, arc_s = jax.lax.sort(
                 (dest, cost, garc), dimension=1, num_keys=2)
             first = jnp.concatenate(
                 [jnp.ones((B, 1), bool), dest_s[:, 1:] != dest_s[:, :-1]],
                 axis=1)
             lcand = jnp.where(first & (dest_s < S), cost_s, BIG)
-            neg_top, sel = jax.lax.top_k(-lcand, K)
-            l_cost = -neg_top
-            l_state = jnp.where(l_cost < BIG,
-                                jnp.take_along_axis(dest_s, sel, 1), S)
-            l_arc = jnp.take_along_axis(arc_s, sel, 1)
-            # ICI hop: every device contributes its K local winners
-            g_state = jax.lax.all_gather(l_state, axis)  # [N, B, K]
-            g_cost = jax.lax.all_gather(l_cost, axis)
-            g_arc = jax.lax.all_gather(l_arc, axis)
-            N = g_state.shape[0]
-            g_state = jnp.moveaxis(g_state, 0, 1).reshape(B, N * K)
-            g_cost = jnp.moveaxis(g_cost, 0, 1).reshape(B, N * K)
-            g_arc = jnp.moveaxis(g_arc, 0, 1).reshape(B, N * K)
-            # identical global merge on every device
-            dest_g, cost_g, arc_g = jax.lax.sort(
-                (g_state, g_cost, g_arc), dimension=1, num_keys=2)
-            first_g = jnp.concatenate(
-                [jnp.ones((B, 1), bool), dest_g[:, 1:] != dest_g[:, :-1]],
-                axis=1)
-            cand = jnp.where(first_g & (dest_g < S), cost_g, BIG)
-            neg_top, sel = jax.lax.top_k(-cand, K)
-            new_cost = -neg_top
-            new_state = jnp.take_along_axis(dest_g, sel, 1)
-            new_arc = jnp.take_along_axis(arc_g, sel, 1)
+            # local top-K: 1-key sort + static slice
+            l_cost, l_state, l_arc = (
+                x[:, :K] for x in
+                jax.lax.sort((lcand, dest_s, arc_s), dimension=1,
+                             num_keys=1))
+            l_state = jnp.where(l_cost < BIG, l_state, S)
+            N = mesh.shape[axis]
+            if N & (N - 1) == 0:
+                # EXACT hierarchical butterfly merge: log2(N) ppermute
+                # stages, each exchanging K candidates with the partner
+                # 2^i away and merging two dedup'd top-K lists (dedup-min
+                # per dest then top-K is associative: anything an
+                # intermediate top-K drops is beaten by K survivors that
+                # only improve downstream).  Per stage the wire carries K
+                # words/device instead of all_gather's N·K, and the merge
+                # sorts [B, 2K] instead of [B, N·K] — at N=1 the loop
+                # vanishes and the sharding tax is just the local select.
+                m_state, m_cost, m_arc = l_state, l_cost, l_arc
+                stage = 1
+                while stage < N:
+                    perm = [(r, r ^ stage) for r in range(N)]
+                    o_state = jax.lax.ppermute(m_state, axis, perm)
+                    o_cost = jax.lax.ppermute(m_cost, axis, perm)
+                    o_arc = jax.lax.ppermute(m_arc, axis, perm)
+                    cs = jnp.concatenate([m_state, o_state], 1)  # [B, 2K]
+                    cc = jnp.concatenate([m_cost, o_cost], 1)
+                    ca = jnp.concatenate([m_arc, o_arc], 1)
+                    ds, cc2, ca2 = jax.lax.sort(
+                        (cs, cc, ca), dimension=1, num_keys=2)
+                    fst2 = jnp.concatenate(
+                        [jnp.ones((B, 1), bool), ds[:, 1:] != ds[:, :-1]],
+                        axis=1)
+                    cand2 = jnp.where(fst2 & (ds < S), cc2, BIG)
+                    m_cost, m_state, m_arc = (
+                        x[:, :K] for x in
+                        jax.lax.sort((cand2, ds, ca2), dimension=1,
+                                     num_keys=1))
+                    m_state = jnp.where(m_cost < BIG, m_state, S)
+                    stage *= 2
+                new_cost, new_state, new_arc = m_cost, m_state, m_arc
+            else:
+                # non-power-of-2 mesh: flat all_gather + one global merge
+                g_state = jax.lax.all_gather(l_state, axis)  # [N, B, K]
+                g_cost = jax.lax.all_gather(l_cost, axis)
+                g_arc = jax.lax.all_gather(l_arc, axis)
+                g_state = jnp.moveaxis(g_state, 0, 1).reshape(B, N * K)
+                g_cost = jnp.moveaxis(g_cost, 0, 1).reshape(B, N * K)
+                g_arc = jnp.moveaxis(g_arc, 0, 1).reshape(B, N * K)
+                dest_g, cost_g, arc_g = jax.lax.sort(
+                    (g_state, g_cost, g_arc), dimension=1, num_keys=2)
+                first_g = jnp.concatenate(
+                    [jnp.ones((B, 1), bool),
+                     dest_g[:, 1:] != dest_g[:, :-1]], axis=1)
+                cand = jnp.where(first_g & (dest_g < S), cost_g, BIG)
+                new_cost, new_state, new_arc = (
+                    x[:, :K] for x in
+                    jax.lax.sort((cand, dest_g, arc_g), dimension=1,
+                                 num_keys=1))
             keep = ((new_cost <= new_cost[:, :1] + beam)
                     & (new_cost < BIG) & (new_state < S))
             new_cost = jnp.where(keep, new_cost, BIG)
@@ -254,9 +306,10 @@ def _host_backtrace(bp_state: np.ndarray, bp_arc: np.ndarray,
                     frm: np.ndarray, end_states: np.ndarray,
                     num_frames: np.ndarray) -> np.ndarray:
     """Numpy backtrace over [T, B, K] backpointers.  The on-device version
-    (viterbi._backtrace_scan) gathers arc→source from a [A] device array;
-    at sharded-graph scale that array is exactly what must NOT live on one
-    device, so the walk runs on the host (frm stays host RAM)."""
+    (viterbi._backtrace_scan) gathers arc→source from a device array; at
+    sharded-graph scale that array is exactly what must NOT live on one
+    device, so the walk runs on the host (frm stays host RAM).  Arc ids
+    here are PADDED tile-slot ids; frm must be indexed accordingly."""
     T, B, K = bp_state.shape
     arcs = np.full((T, B), -1, np.int64)
     state = end_states.astype(np.int64).copy()
@@ -282,7 +335,7 @@ def decode_batch_tokens_sharded(
     want_lattice: bool = False,
 ) -> List[Optional[DecodeResult]]:
     """Graph-sharded analog of viterbi.decode_batch_tokens: identical
-    result contract, arc tensors split over `mesh`'s `axis` devices.
+    result contract, tile tensors split over `mesh`'s `axis` devices.
     Pass a prebuilt ShardedCsrGraph to amortize the shard plan."""
     opts = opts or ViterbiOptions()
     if mesh is None:
@@ -299,18 +352,19 @@ def decode_batch_tokens_sharded(
     B, T, _ = loglikes.shape
     S = graph.num_states
     K = max(4, min(opts.max_active, S))
-    # per-shard expansion budget: same 2x-mean-degree headroom rule as
-    # viterbi._token_budget, against the LOCAL arc share
-    AL = sg.arcs_per_shard
-    mean_deg = max(1.0, graph.num_arcs / max(1, S))
-    E = int(min(AL, max(2.0 * K * mean_deg / N, 4.0 * K)))
-    E = max(128, K, (E + 127) // 128 * 128)  # top_k needs E >= K
+    # per-shard tile budget: same headroom rule as viterbi._token_budget
+    # against the LOCAL tile share, with extra slack for shard skew
+    TL = sg.tiles_per_shard
+    NT = int(sg.tile_off[-1]) + TL  # ≈ total tiles
+    mean_tiles = max(1.0, NT / max(1, S))
+    ET = int(min(TL, max(2.0 * K * mean_tiles / N, 1.0 * K)))
+    ET = max(128, (ET + 127) // 128 * 128)
     num_frames = np.asarray(num_frames, np.int32)
 
-    prog = _sharded_token_scan(mesh, axis, K, E, S, sg.states_per_shard)
+    prog = _sharded_token_scan(mesh, axis, K, ET, S, sg.states_per_shard)
     tok_state, tok_cost, bp_state, bp_arc, bp_cost = prog(
-        jnp.asarray(sg.row_ptr), jnp.asarray(sg.packed),
-        jnp.asarray(sg.lo), jnp.asarray(sg.arc_off),
+        jnp.asarray(sg.tile_ptr), jnp.asarray(sg.tiles),
+        jnp.asarray(sg.lo), jnp.asarray(sg.tile_off),
         jnp.int32(graph.start), jnp.asarray(loglikes, jnp.float32),
         jnp.asarray(num_frames), jnp.float32(opts.acoustic_scale),
         jnp.float32(opts.beam),
@@ -335,10 +389,11 @@ def decode_batch_tokens_sharded(
         slot = int(np.argmin(total))
         costs[b] = float(total[slot])
         end_states[b] = sb[slot]
-    frm = np.repeat(
-        np.arange(S, dtype=np.int64), graph.out_degree().astype(np.int64))
-    arcs = _host_backtrace(bp_state_h, bp_arc_h, frm,
+    # frm over PADDED tile-slot arc ids, then map arcs back to graph ids
+    tg = build_tile_graph(graph)
+    arcs = _host_backtrace(bp_state_h, bp_arc_h, tg.frm_pad,
                            np.maximum(end_states, 0), num_frames)
+    arcs = np.where(arcs >= 0, tg.pad2orig[np.maximum(arcs, 0)], -1)
     return results_from_arcs(
         graph, arcs, end_states, use_final, costs, num_frames,
         frame_states=bp_state_h if want_lattice else None,

@@ -386,10 +386,11 @@ def _decode_and_backtrace(frm, pdf, w, ns, start, loglikes,
     return end_states, has_final, costs, arcs
 
 
-@partial(jax.jit, static_argnames=("K", "ET", "S", "L"))
+@partial(jax.jit, static_argnames=("K", "ET", "S", "L", "D"))
 def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
                         num_frames, acoustic_scale, beam, K, ET, S,
-                        L=0, lattice_beam=0.0, init_tokens=None):
+                        L=0, lattice_beam=0.0, init_tokens=None,
+                        eps_hops=None, D=0):
     """TOKEN-SPARSE beam decode: per-frame work O(B·(E + E·log E)),
     independent of graph size — for graphs whose dense [B, S] alpha (or
     [T, B, S] winning-arc store) cannot fit HBM.  This is the TPU shape of
@@ -545,6 +546,38 @@ def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
                 x[:, :K] for x in
                 jax.lax.sort((cand, dest_s, arc_s), dimension=1,
                              num_keys=1))
+        if D:
+            # SPLIT-EPS backoff hops (reference ProcessNonemitting for
+            # backoff-shaped graphs, csr.fst_to_split_csr_arrays): each
+            # token contributes its <= D precomputed eps-closure states
+            # (eps_hops[s, k] = (cumulative weight bits, k+1-hop dest),
+            # BIG on missing hops) as extra candidates carrying the same
+            # winning emit arc; one (1+D)K-wide dedup-merge keeps the min
+            # per dest.  Exact for chains up to depth D in ONE round —
+            # the host recovers hop word labels by walking the (unique)
+            # eps chain from the arc's target to the recorded state.
+            s1 = jnp.where(new_cost < BIG, new_state, S)
+            hop = jnp.take(eps_hops, jnp.clip(s1, 0, eps_hops.shape[0] - 1),
+                           axis=0)  # [B, K, D, 2]
+            h_w = jax.lax.bitcast_convert_type(hop[..., 0], jnp.float32)
+            h_ns = hop[..., 1]
+            ok_h = (s1[:, :, None] < S) & (h_w < BIG)
+            h_cost = jnp.where(
+                ok_h, jnp.minimum(new_cost[:, :, None] + h_w, BIG), BIG)
+            h_state = jnp.where(ok_h, h_ns, S)
+            h_arc = jnp.broadcast_to(new_arc[:, :, None], (B, K, D))
+            cs = jnp.concatenate([s1, h_state.reshape(B, K * D)], axis=1)
+            cc = jnp.concatenate([new_cost, h_cost.reshape(B, K * D)],
+                                 axis=1)
+            ca = jnp.concatenate([new_arc, h_arc.reshape(B, K * D)], axis=1)
+            ds2, cc2, ca2 = jax.lax.sort((cs, cc, ca), dimension=1,
+                                         num_keys=2)
+            fst2 = jnp.concatenate(
+                [jnp.ones((B, 1), bool), ds2[:, 1:] != ds2[:, :-1]], axis=1)
+            cand2 = jnp.where(fst2 & (ds2 < S), cc2, BIG)
+            new_cost, new_state, new_arc = (
+                x[:, :K] for x in
+                jax.lax.sort((cand2, ds2, ca2), dimension=1, num_keys=1))
         # keep requires a REAL candidate: when a frame has zero valid
         # expansions everything is BIG and the sentinel dest S would
         # otherwise survive the beam gate (BIG <= BIG + beam) and escape
@@ -621,6 +654,115 @@ def _token_budget(graph: CsrGraph, K: int, md: int = 4) -> int:
     return max(128, (ET + 127) // 128 * 128)
 
 
+def _eps_hop_table(graph: CsrGraph):
+    """[S, D, 2] int32 (cumulative-weight bits, k+1-hop destination) for a
+    split-eps graph's backoff chains; BIG weight on missing hops.  Cached
+    on the graph (uploaded once per decode session)."""
+    cached = getattr(graph, "_eps_hops", None)
+    if cached is not None:
+        return cached
+    S = graph.num_states
+    D = max(1, int(graph.eps_depth))
+    eps_ns = graph.eps_ns
+    eps_w = graph.eps_w.astype(np.float64)
+    hops = np.zeros((S, D, 2), np.int32)
+    u = eps_ns.astype(np.int64)
+    cum = np.where(u >= 0, eps_w, BIG)
+    for k in range(D):
+        valid = u >= 0
+        wcol = np.where(valid, np.minimum(cum, BIG), BIG).astype(np.float32)
+        hops[:, k, 0] = wcol.view(np.int32)
+        hops[:, k, 1] = np.where(valid, u, 0)
+        nxt = np.where(valid, eps_ns[np.maximum(u, 0)], -1)
+        cum = np.where(
+            nxt >= 0, cum + np.where(valid, eps_w[np.maximum(u, 0)], BIG),
+            BIG)
+        u = nxt
+    dev = (jnp.asarray(hops), D)
+    graph._eps_hops = dev
+    return dev
+
+
+def _eps_walk_words(graph: CsrGraph, u: int, v: int):
+    """Word labels along the (unique) backoff chain u -> v; None if v is
+    not reachable within eps_depth hops (decoder/host inconsistency)."""
+    words: List[int] = []
+    for _ in range(graph.eps_depth + 1):
+        if u == v:
+            return words
+        nxt = int(graph.eps_ns[u])
+        if nxt < 0:
+            return None
+        if graph.eps_olab[u]:
+            words.append(int(graph.eps_olab[u]))
+        u = nxt
+    return words if u == v else None
+
+
+def _results_from_arcs_split(
+    graph: CsrGraph,
+    arcs: np.ndarray,  # [T, B] winning EMIT arc ids (-1 = dead frame)
+    end_states: np.ndarray,
+    use_final: np.ndarray,
+    costs: np.ndarray,
+    num_frames: np.ndarray,
+) -> List[Optional[DecodeResult]]:
+    """Host tail for SPLIT-EPS decodes: like results_from_arcs, but word
+    labels on backoff arcs are recovered by walking the unique eps chain
+    between each frame's arc target and the next frame's arc source (the
+    kernel records only the emit arc + the post-hop token state)."""
+    B = arcs.shape[1]
+    frm = np.repeat(
+        np.arange(graph.num_states, dtype=np.int64),
+        graph.out_degree().astype(np.int64))
+    results: List[Optional[DecodeResult]] = []
+    for b in range(B):
+        nf_b = int(num_frames[b])
+        if costs[b] >= BIG:
+            results.append(None)
+            continue
+        arc_seq = arcs[:nf_b, b]
+        if (arc_seq < 0).any():
+            results.append(None)
+            continue
+        if nf_b == 0:  # zero-frame (batch-padding) rows: empty result
+            results.append(DecodeResult(
+                words=[], alignment=np.zeros(0, np.int32),
+                cost=float(costs[b])))
+            continue
+        words: List[int] = []
+        ok = True
+        # eps prefix from the start state to the first arc's source
+        pre = _eps_walk_words(graph, graph.start, int(frm[arc_seq[0]]))
+        if pre is None:
+            ok = False
+        else:
+            words.extend(pre)
+        for t in range(nf_b):
+            if not ok:
+                break
+            a = int(arc_seq[t])
+            o = graph.arc_olabels[a]
+            words.extend(o)
+            tgt = (int(frm[arc_seq[t + 1]]) if t + 1 < nf_b
+                   else int(end_states[b]))
+            hop_words = _eps_walk_words(graph, int(graph.nextstate[a]), tgt)
+            if hop_words is None:
+                ok = False
+            else:
+                words.extend(hop_words)
+        if not ok:
+            log.warning("split-eps backtrace walk failed for utt %d", b)
+            results.append(None)
+            continue
+        if use_final[b]:
+            words.extend(graph.final_olabels[int(end_states[b])])
+        results.append(DecodeResult(
+            words=words, alignment=graph.tid[arc_seq].astype(np.int32),
+            cost=float(costs[b])))
+    return results
+
+
 def decode_batch_tokens(
     graph: CsrGraph,
     loglikes: np.ndarray,
@@ -645,19 +787,44 @@ def decode_batch_tokens(
     tg = build_tile_graph(graph)
     ET = _token_budget(graph, K, tg.md)
     E = ET * tg.md
+    split = graph.eps_ns is not None
     L = 0
     if want_lattice:
+        if split:
+            raise KaldiError(
+                "lattice generation needs a folded-eps graph "
+                "(split-eps export is best-path only)")
         L = lattice_budget or min(E, max(512, 2 * K))
         L = min(E, (L + 127) // 128 * 128)
     num_frames = np.asarray(num_frames, np.int32)
     fw = np.where(np.isfinite(graph.final_weight), graph.final_weight, BIG)
     nf_dev = jnp.asarray(num_frames)
     tile_ptr_dev, tiles_dev, frm_dev = tg.device_arrays()
+    eps_hops = None
+    D = 0
+    init_tokens = None
+    if split:
+        eps_hops, D = _eps_hop_table(graph)
+        # the start state's eps closure must seed the INITIAL token set
+        # (the kernel's hop merge only runs after each frame's expansion)
+        seeds = [(graph.start, 0.0)]
+        u, c = graph.start, 0.0
+        while graph.eps_ns[u] >= 0 and len(seeds) <= D:
+            c += float(graph.eps_w[u])
+            u = int(graph.eps_ns[u])
+            seeds.append((u, c))
+        ts0 = np.full((B, K), -1, np.int32)
+        tc0 = np.full((B, K), BIG, np.float32)
+        for i, (s_i, c_i) in enumerate(seeds[:K]):
+            ts0[:, i] = s_i
+            tc0[:, i] = c_i
+        init_tokens = (jnp.asarray(ts0), jnp.asarray(tc0))
     out = _decode_scan_tokens(
         tile_ptr_dev, tiles_dev,
         graph.start, jnp.asarray(loglikes, jnp.float32), nf_dev,
         float(opts.acoustic_scale), float(opts.beam), K, ET,
-        graph.num_states, L, float(lattice_beam),
+        graph.num_states, L, float(lattice_beam), init_tokens,
+        eps_hops, D,
     )
     tok_state, tok_cost, bp_state, bp_arc, bp_cost = out[:5]
     tok_state_h = np.asarray(tok_state)
@@ -684,9 +851,13 @@ def decode_batch_tokens(
     arcs = np.where(arcs >= 0, tg.pad2orig[np.maximum(arcs, 0)], -1)
     # record-based lattices need NO [T, B, K] frame tensors on the host —
     # only the bounded [T, B, L] records plus the [B, K] final token set
-    results = results_from_arcs(
-        graph, arcs, end_states, use_final, costs, num_frames,
-    )
+    if split:
+        results = _results_from_arcs_split(
+            graph, arcs, end_states, use_final, costs, num_frames)
+    else:
+        results = results_from_arcs(
+            graph, arcs, end_states, use_final, costs, num_frames,
+        )
     if want_lattice:
         lat_src, lat_dst, lat_arc, lat_ac = (np.asarray(a) for a in out[5:])
         lat_arc = np.where(

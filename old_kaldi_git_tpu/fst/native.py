@@ -371,6 +371,23 @@ class NativeFst:
             _pf(ts_loop_w), _pf(ts_fwd_w), num_ts,
         ))
 
+    def to_raw_arrays(self):
+        """Raw (start, row_ptr, ilabels, olabels, weights, nextstates,
+        finals) numpy export — arcs as stored, eps included, no Python
+        arc objects (the split-eps CSR path builds from these)."""
+        lib = _load()
+        n = lib.okt_fst_num_states(self._h)
+        a = lib.okt_fst_num_arcs(self._h)
+        row_ptr = np.zeros(n + 1, np.int32)
+        il = np.zeros(a, np.int32)
+        ol = np.zeros(a, np.int32)
+        w = np.zeros(a, np.float32)
+        ns = np.zeros(a, np.int32)
+        finals = np.zeros(n, np.float32)
+        lib.okt_fst_export(self._h, _p32(row_ptr), _p32(il), _p32(ol),
+                           _pf(w), _p32(ns), _pf(finals))
+        return (lib.okt_fst_start(self._h), row_ptr, il, ol, w, ns, finals)
+
     def to_csr_arrays(self):
         """Eps-forwarded CSR export (decoder/csr.py::fst_to_csr semantics).
 

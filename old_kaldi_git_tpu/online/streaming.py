@@ -263,6 +263,10 @@ class StreamingTokenDecoder:
         self.rules = endpoint_rules or default_endpoint_rules()
         from old_kaldi_git_tpu.decoder.csr import build_tile_graph
 
+        if graph.eps_ns is not None:
+            raise KaldiError(
+                "StreamingTokenDecoder needs a folded-eps graph "
+                "(split-eps streaming not yet wired)")
         self.K = max(4, min(self.opts.max_active, graph.num_states))
         tg = build_tile_graph(graph)
         self._tg = tg

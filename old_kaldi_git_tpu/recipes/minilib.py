@@ -64,6 +64,11 @@ class MinilibOptions:
     bottleneck_dim: int = 64
     num_layers: int = 6
     num_epochs: int = 4
+    # online iVectors (reference mini_librispeech chain recipe standard:
+    # 512-gauss UBM / 100-dim; scaled to the synthetic corpus)
+    ivector_ubm_gauss: int = 64
+    ivector_dim: int = 32
+    ivector_period: int = 10
     # chain LF-MMI epochs (0 = same as num_epochs); small corpora need
     # more passes to reach a usable objf (steps/epoch ∝ corpus size)
     chain_epochs: int = 0
@@ -236,6 +241,16 @@ def synth_set(
     return waves, text
 
 
+def compute_ivectors(ext, feats: Dict[str, np.ndarray],
+                     period: int = 10) -> Dict[str, np.ndarray]:
+    """Per-utterance online iVectors [T, R] (reference
+    ivector-extract-online2 role, steps/online/nnet2/extract_ivectors_online.sh)."""
+    from old_kaldi_git_tpu.ivector.extractor import extract_online_ivectors
+
+    return {k: extract_online_ivectors(ext, v, period=period)
+            for k, v in feats.items()}
+
+
 # ---------------------------------------------------------------------------
 # system build (stage-gated)
 # ---------------------------------------------------------------------------
@@ -365,6 +380,91 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
         csr = _build_hclg(workdir, opts)
         save_csr(ctx.path("hclg.npz"), csr)
 
+    @pipe.stage(9, "ivector", produces="final.ie")
+    def _ivector(ctx):
+        from old_kaldi_git_tpu.ivector.extractor import (
+            train_ivector_extractor,
+            train_ubm,
+        )
+
+        sents = make_text(opts, opts.num_train, opts.seed + 4,
+                          min_len=4, max_len=11)
+        waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
+        feats = compute_feats(waves)
+        # reference steps/online/nnet2/{train_diag_ubm,
+        # train_ivector_extractor}.sh (512 gauss / 100-dim at full
+        # librispeech scale; minilib-scaled here)
+        pooled = np.concatenate(list(feats.values()))[::4]
+        ubm = train_ubm(pooled, num_gauss=opts.ivector_ubm_gauss,
+                        num_iters=6)
+        ext = train_ivector_extractor(
+            ubm, list(feats.values()), ivector_dim=opts.ivector_dim,
+            num_iters=4)
+        ext.save(ctx.path("final.ie"))
+
+    @pipe.stage(10, "am_ivec", produces="final_ivec.am")
+    def _am_ivec(ctx):
+        from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+        from old_kaldi_git_tpu.ivector.extractor import IvectorExtractor
+        from old_kaldi_git_tpu.models.tdnn import make_tdnnf
+        from old_kaldi_git_tpu.models.train import NnetTrainOptions
+        from old_kaldi_git_tpu.recipes.nnet3 import train_tdnn
+
+        tri = AmGmmModel.load(ctx.path("tri.mdl"))
+        with open(ctx.path("tri_ali.pkl"), "rb") as f:
+            ali = pickle.load(f)
+        sents = make_text(opts, opts.num_train, opts.seed + 4,
+                          min_len=4, max_len=11)
+        waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
+        feats = compute_feats(waves)
+        ext = IvectorExtractor.load(ctx.path("final.ie"))
+        ivecs = compute_ivectors(ext, feats, opts.ivector_period)
+        config = make_tdnnf(
+            39 + opts.ivector_dim, tri.am.num_pdfs, opts.hidden_dim,
+            opts.bottleneck_dim, opts.num_layers,
+        )
+        am = train_tdnn(
+            tri, feats, ali,
+            opts=NnetTrainOptions(num_epochs=opts.num_epochs),
+            config=config, ivectors=ivecs,
+        )
+        am.save(ctx.path("final_ivec.am"))
+
+    @pipe.stage(11, "chain_ivec", produces="chain_ivec.mdl")
+    def _chain_ivec(ctx):
+        from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
+        from old_kaldi_git_tpu.ivector.extractor import IvectorExtractor
+        from old_kaldi_git_tpu.recipes.chain import (
+            ChainTrainOptions,
+            train_chain,
+        )
+
+        lang = _load_lang(workdir)
+        tri = AmGmmModel.load(ctx.path("tri.mdl"))
+        with open(ctx.path("tri_ali.pkl"), "rb") as f:
+            ali = pickle.load(f)
+        sents = make_text(opts, opts.num_train, opts.seed + 4,
+                          min_len=4, max_len=11)
+        waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
+        feats = compute_feats(waves)
+        ext = IvectorExtractor.load(ctx.path("final.ie"))
+        ivecs = compute_ivectors(ext, feats, opts.ivector_period)
+        cm = train_chain(
+            tri, feats, ali, lang,
+            ChainTrainOptions(
+                num_epochs=opts.chain_epochs or opts.num_epochs,
+                minibatch_size=8,
+                hidden_dim=opts.hidden_dim,
+                bottleneck_dim=opts.bottleneck_dim,
+                num_layers=opts.num_layers,
+                phone_lm_order=3,
+                tree_context_width=2,
+                tree_max_leaves=opts.tree_leaves,
+            ),
+            ivectors=ivecs,
+        )
+        cm.save(ctx.path("chain_ivec.mdl"))
+
     @pipe.stage(7, "chain", produces="chain.mdl")
     def _chain(ctx):
         from old_kaldi_git_tpu.gmm.diag_gmm import AmGmmModel
@@ -410,10 +510,13 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
         g.arcsort("ilabel")
         # chain convention: self-loop-scale 1.0 (reference mkgraph for
         # chain models); native pipeline — the Python one would need
-        # tens of GB at this scale
+        # tens of GB at this scale.  split_eps: the chain HCLG's LM
+        # backoff structure makes the folded export blow up 4.7x
+        # (6.6M vs 1.4M arcs measured r4); the split export keeps emit
+        # arcs un-duplicated and the decoder hops backoff chains.
         save_csr(ctx.path("chain_hclg.npz"),
                  mkgraph_csr(lang, g, cm.ctx_dep, cm.tm,
-                             self_loop_scale=1.0))
+                             self_loop_scale=1.0, split_eps=True))
 
     pipe.run()
 
@@ -456,6 +559,11 @@ def save_csr(path: str, csr) -> None:
             vals.extend(t)
             off[i + 1] = len(vals)
         fol = FlatOlabels(off, np.asarray(vals, np.int32))
+    extra = {}
+    if csr.eps_ns is not None:
+        extra = dict(eps_ns=csr.eps_ns, eps_w=csr.eps_w,
+                     eps_olab=csr.eps_olab,
+                     eps_depth=np.int32(csr.eps_depth))
     np.savez_compressed(
         path,
         start=np.int32(csr.start), row_ptr=csr.row_ptr, tid=csr.tid,
@@ -463,6 +571,7 @@ def save_csr(path: str, csr) -> None:
         final_weight=csr.final_weight,
         olab_off=ol.offsets, olab_val=ol.values,
         folab_off=fol.offsets, folab_val=fol.values,
+        **extra,
     )
 
 
@@ -477,6 +586,10 @@ def load_csr(path: str):
         final_weight=z["final_weight"],
         arc_olabels=FlatOlabels(z["olab_off"], z["olab_val"]),
         final_olabels=FlatOlabels(z["folab_off"], z["folab_val"]),
+        eps_ns=z["eps_ns"] if "eps_ns" in z else None,
+        eps_w=z["eps_w"] if "eps_w" in z else None,
+        eps_olab=z["eps_olab"] if "eps_olab" in z else None,
+        eps_depth=int(z["eps_depth"]) if "eps_depth" in z else 0,
     )
     csr._olabel_mask = csr.arc_olabels.offsets[1:] > csr.arc_olabels.offsets[:-1]
     return csr
@@ -517,6 +630,7 @@ def decode_and_score(
     max_active: int = 2048,
     acoustic_scale: float = 1.0,
     batch: int = 64,
+    use_ivectors: bool = False,
 ) -> Tuple[float, float]:
     """Token-sparse decode of the test set; returns (WER %, audio seconds).
 
@@ -533,6 +647,16 @@ def decode_and_score(
     from old_kaldi_git_tpu.utils.edit_distance import compute_wer
 
     feats = compute_feats(system.test_waves)
+    am = system.am
+    if use_ivectors:
+        from old_kaldi_git_tpu.ivector.extractor import IvectorExtractor
+        from old_kaldi_git_tpu.models.am_nnet import AmNnet
+        from old_kaldi_git_tpu.recipes.nnet3 import append_ivector_feats
+
+        am = AmNnet.load(os.path.join(system.workdir, "final_ivec.am"))
+        ext = IvectorExtractor.load(
+            os.path.join(system.workdir, "final.ie"))
+        feats = append_ivector_feats(feats, compute_ivectors(ext, feats))
     vopts = ViterbiOptions(beam=beam, max_active=max_active,
                            acoustic_scale=acoustic_scale)
     by_dur = sorted(feats, key=lambda k: feats[k].shape[0])
@@ -551,7 +675,7 @@ def decode_and_score(
                 padded, ((0, batch - len(keys)), (0, 0), (0, 0)))
             nf = np.concatenate(
                 [nf, np.zeros(batch - len(keys), nf.dtype)])
-        loglikes = system.am.loglikes_batch(padded)
+        loglikes = am.loglikes_batch(padded)
         results = decode_batch_tokens(system.csr, loglikes, nf, vopts)
         for k, res in zip(keys, results):
             hyps[k] = [system.lang.words[w] for w in res.words] if res else []
@@ -569,6 +693,8 @@ def decode_and_score_chain(
     beam: float = 14.0,
     max_active: int = 2048,
     batch: int = 64,
+    use_ivectors: bool = False,
+    model_name: Optional[str] = None,
 ) -> Tuple[float, float]:
     """Token-sparse decode of the held-out set with the CHAIN model
     (frame-subsampling 3, acoustic scale 1.0, self-loop-scale-1.0 graph);
@@ -585,13 +711,21 @@ def decode_and_score_chain(
     from old_kaldi_git_tpu.utils.edit_distance import compute_wer
 
     opts = opts or MinilibOptions()
-    cm = ChainModel.load(os.path.join(workdir, "chain.mdl"))
+    mdl = model_name or ("chain_ivec.mdl" if use_ivectors else "chain.mdl")
+    cm = ChainModel.load(os.path.join(workdir, mdl))
     csr = load_csr(os.path.join(workdir, "chain_hclg.npz"))
     lang = _load_lang(workdir)
     test_sents = make_text(opts, opts.num_test, opts.seed + 6)
     test_waves, test_text = synth_set(opts, test_sents, "test",
                                       opts.seed + 7)
     feats = compute_feats(test_waves)
+    if use_ivectors:
+        from old_kaldi_git_tpu.ivector.extractor import IvectorExtractor
+        from old_kaldi_git_tpu.recipes.nnet3 import append_ivector_feats
+
+        ext = IvectorExtractor.load(os.path.join(workdir, "final.ie"))
+        feats = append_ivector_feats(
+            feats, compute_ivectors(ext, feats, opts.ivector_period))
     fsf = cm.frame_subsampling_factor
     vopts = ViterbiOptions(beam=beam, max_active=max_active,
                            acoustic_scale=1.0)

@@ -282,3 +282,74 @@ def test_token_sparse_dead_beam_returns_none():
     res1 = decode_batch_tokens(g, ll[:, :1], [1],
                                ViterbiOptions(beam=10.0, max_active=4))
     assert res1[0] is not None and res1[0].words == [7]
+
+
+def test_split_eps_decode_matches_folded():
+    """Backoff-shaped graph (<=1 eps out-arc per state, depth 2): the
+    split-eps decode (emit tiles + hop merge + host eps walk) must agree
+    with the folded-closure decode on words, alignment, and cost."""
+    from old_kaldi_git_tpu.decoder.csr import (
+        fst_to_csr,
+        fst_to_split_csr_arrays,
+    )
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch_tokens
+    from old_kaldi_git_tpu.fst.vector_fst import Arc, VectorFst
+
+    rng = np.random.default_rng(7)
+    S, P = 40, 12
+    fst = VectorFst()
+    for _ in range(S):
+        fst.add_state()
+    fst.start = 0
+    # ring of emitting arcs + backoff eps chains: state 3k -> 3k+1 -> 3k+2
+    for s in range(S):
+        for _ in range(3):
+            tid = int(rng.integers(1, P + 1))
+            fst.add_arc(s, Arc(tid, int(rng.integers(0, 5)),
+                               float(rng.exponential(0.5)),
+                               int(rng.integers(0, S))))
+        if s % 3 != 2 and s + 1 < S:  # eps chain in the triple (depth <= 2)
+            fst.add_arc(s, Arc(0, int(rng.integers(0, 3)),
+                               float(rng.exponential(0.3)), s + 1))
+    for s in range(0, S, 5):
+        fst.set_final(s, float(rng.exponential(0.2)))
+    tid_to_pdf = np.arange(P + 1, dtype=np.int32)  # tid t -> pdf t-1 (toy)
+    tid_to_pdf[1:] = np.arange(P)
+    folded = fst_to_csr(fst, tid_to_pdf)
+
+    n = fst.num_states
+    counts = np.asarray([len(a) for a in fst.arcs], np.int64)
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    il = np.zeros(int(row_ptr[-1]), np.int32)
+    ol = np.zeros_like(il)
+    w = np.zeros(len(il), np.float32)
+    ns = np.zeros_like(il)
+    i = 0
+    for lst in fst.arcs:
+        for a in lst:
+            il[i], ol[i], w[i], ns[i] = (a.ilabel, a.olabel, a.weight,
+                                         a.nextstate)
+            i += 1
+    from old_kaldi_git_tpu.fst.vector_fst import INF
+
+    finals = np.asarray([f if f != INF else np.inf for f in fst.finals],
+                        np.float32)
+    split = fst_to_split_csr_arrays(
+        fst.start, row_ptr.astype(np.int32), il, ol, w, ns, finals,
+        tid_to_pdf)
+    assert split.eps_depth == 2
+    assert split.num_arcs < folded.num_arcs  # the fold duplicates
+
+    ll = rng.normal(size=(4, 25, P)).astype(np.float32)
+    nf = np.asarray([25, 25, 17, 9], np.int32)
+    o = ViterbiOptions(beam=1e9, max_active=64, acoustic_scale=0.7)
+    rf = decode_batch_tokens(folded, ll, nf, o)
+    rs = decode_batch_tokens(split, ll, nf, o)
+    for a, b in zip(rf, rs):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        assert b.cost == pytest.approx(a.cost, abs=1e-3)
+        assert b.words == a.words
+        assert np.array_equal(b.alignment, a.alignment)

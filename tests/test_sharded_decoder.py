@@ -44,32 +44,41 @@ def test_shard_graph_partition_covers_all_arcs():
     g = _random_csr(rng)
     sg = shard_graph(g, 8)
     assert sg.num_shards == 8
-    # every global arc appears in exactly one shard with its data intact
+    md = sg.md
+    # every graph arc appears in exactly one shard's tiles with its data
+    # intact (padded tile-slot id -> graph arc via pad2orig)
     seen = np.zeros(g.num_arcs, bool)
     for d in range(8):
         lo = int(sg.lo[d])
         hi = int(sg.lo[d + 1]) if d + 1 < 8 else g.num_states
-        n_arcs = int(g.row_ptr[hi] - g.row_ptr[lo])
-        a0 = int(sg.arc_off[d])
-        assert not seen[a0:a0 + n_arcs].any()
-        seen[a0:a0 + n_arcs] = True
-        np.testing.assert_array_equal(
-            sg.packed[d, :n_arcs, 2], g.nextstate[a0:a0 + n_arcs])
-        np.testing.assert_array_equal(
-            sg.packed[d, :n_arcs, 1], g.pdf[a0:a0 + n_arcs])
-        # local row_ptr reproduces the global out-degrees
         n_states = hi - lo
-        local_deg = np.diff(sg.row_ptr[d])[:n_states]
+        # local tile_ptr reproduces the per-state tile counts
+        local_tiles = np.diff(sg.tile_ptr[d])[:n_states]
+        glob_deg = np.diff(g.row_ptr)[lo:hi]
+        np.testing.assert_array_equal(local_tiles, -(-glob_deg // md))
+        assert (np.diff(sg.tile_ptr[d])[n_states:] == 0).all()
+        n_tiles = int(sg.tile_ptr[d, n_states])
+        flat = sg.tiles[d, :n_tiles].reshape(-1, 3)
+        pad_ids = (int(sg.tile_off[d]) * md
+                   + np.arange(n_tiles * md))
+        orig = sg.pad2orig[pad_ids]
+        real = orig >= 0
+        assert not seen[orig[real]].any()
+        seen[orig[real]] = True
+        np.testing.assert_array_equal(flat[real, 1], g.pdf[orig[real]])
+        np.testing.assert_array_equal(flat[real, 2],
+                                      g.nextstate[orig[real]])
         np.testing.assert_array_equal(
-            local_deg, np.diff(g.row_ptr)[lo:hi])
-        # padded states beyond the range have zero degree
-        assert (np.diff(sg.row_ptr[d])[n_states:] == 0).all()
+            flat[real, 0].view(np.float32), g.weight[orig[real]])
+        # padding slots carry BIG weights (can never win)
+        assert (flat[~real, 0].view(np.float32) >= 1e9).all()
     assert seen.all()
-    # arc-count balance: no shard holds more than ~2x the fair share
-    per_shard = [int(g.row_ptr[int(sg.lo[d + 1]) if d + 1 < 8 else
-                               g.num_states] - sg.arc_off[d])
-                 for d in range(8)]
-    assert max(per_shard) <= 2 * g.num_arcs // 8 + max(np.diff(g.row_ptr))
+    # tile balance: no shard holds more than ~2x the fair share
+    total_tiles = int(sg.tile_off[-1]) + int(
+        sg.tile_ptr[-1, :].max())
+    per_shard = [int(sg.tile_ptr[d].max()) for d in range(8)]
+    assert max(per_shard) <= 2 * total_tiles // 8 + int(
+        max(-(-np.diff(g.row_ptr) // md)))
 
 
 def test_sharded_exact_regime_matches_dense():
