@@ -69,9 +69,10 @@ class MinilibOptions:
     ivector_ubm_gauss: int = 64
     ivector_dim: int = 32
     ivector_period: int = 10
-    # chain LF-MMI epochs (0 = same as num_epochs); small corpora need
-    # more passes to reach a usable objf (steps/epoch ∝ corpus size)
-    chain_epochs: int = 0
+    # chain LF-MMI epochs; small corpora need many passes (steps/epoch ∝
+    # corpus size): 20 epochs (1500 steps) reach WER 0.03 vs 0.24 at 4
+    # epochs (r4 measured; the reference's chain systems never lose to CE)
+    chain_epochs: int = 20
 
 
 # ---------------------------------------------------------------------------
