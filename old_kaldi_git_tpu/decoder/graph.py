@@ -16,6 +16,7 @@ self_loop_scale defaulting to the training convention.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 from old_kaldi_git_tpu.fst import native
@@ -121,6 +122,7 @@ def mkgraph_csr(
     transition_scale: float = 1.0,
     self_loop_scale: float = 0.1,
     split_eps: bool = False,
+    fst_out: Optional[str] = None,
 ):
     """mkgraph straight to decoder CSR form, entirely on native handles
     when the C++ library is built (the only path that scales to 20k-word
@@ -146,6 +148,12 @@ def mkgraph_csr(
     if not native.available():
         hclg_py = mkgraph(lang, g, ctx_dep, tm, transition_scale,
                           self_loop_scale)
+        if fst_out:
+            from old_kaldi_git_tpu.fst.kaldi_fst_io import (
+                write_fst_kaldi_file,
+            )
+
+            write_fst_kaldi_file(fst_out, hclg_py)
         if split_eps:
             try:
                 return _split_csr_from_vector_fst(
@@ -178,6 +186,19 @@ def mkgraph_csr(
     hclg.connect()
     log.info("mkgraph: HCLG has %d states / %d arcs",
              hclg.num_states, hclg.num_arcs)
+    if fst_out:
+        # upstream on-disk HCLG.fst (OpenFst VectorFst<StdArc> bytes,
+        # reference kaldi-fst-io.cc WriteFstKaldi) straight from the raw
+        # native arrays — vectorized, seconds at million-state scale
+        from old_kaldi_git_tpu.fst.kaldi_fst_io import (
+            write_fst_kaldi_arrays,
+        )
+
+        raw = hclg.to_raw_arrays()
+        with open(fst_out, "wb") as fh:
+            write_fst_kaldi_arrays(fh, *raw)
+        log.info("mkgraph: wrote %s (%d bytes)", fst_out,
+                 os.path.getsize(fst_out))
     if split_eps:
         try:
             return fst_to_split_csr_arrays(

@@ -71,6 +71,70 @@ class AccumAmDiagGmm:
         self.tot_frames += float(w.sum())
         return like
 
+    def accumulate_corpus(
+        self, am: AmDiagGmm, feats: np.ndarray, pdf_ids: np.ndarray,
+        weights: Optional[np.ndarray] = None, chunk: int = 65536,
+    ) -> float:
+        """Vectorized whole-corpus accumulation: feats [N, D] (all frames
+        concatenated), pdf_ids [N].  Same statistics as per-utterance
+        accumulate() (fp addition order differs), without the
+        (utts × unique-pdfs) Python-loop overhead — the GMM stages'
+        accumulate phase was ~8% of minilib build wall (r4 profile).
+
+        Sorts frames by pdf and reduces each pdf segment with one einsum;
+        per-frame component loglikes use the padded [P, M, ...] natural
+        parameters gathered per frame (chunked to bound the [n, M, D]
+        intermediates)."""
+        feats = np.asarray(feats, np.float64)
+        pdf_ids = np.asarray(pdf_ids, np.int64)
+        N, D = feats.shape
+        w = (np.ones(N) if weights is None
+             else np.asarray(weights, np.float64))
+        P = am.num_pdfs
+        M = self.occ.shape[1]
+        # padded natural parameters [P, M, *]
+        gc = np.full((P, M), -np.inf)
+        miv = np.zeros((P, M, D))
+        iv = np.zeros((P, M, D))
+        for p, g in enumerate(am.pdfs):
+            m = g.num_mix
+            gc[p, :m] = g.gconsts
+            miv[p, :m] = g.means_invvars
+            iv[p, :m] = g.inv_vars
+        order = np.argsort(pdf_ids, kind="stable")
+        xs = feats[order]
+        ps = pdf_ids[order]
+        ws = w[order]
+        like = 0.0
+        post = np.empty((N, M))
+        for lo in range(0, N, chunk):
+            hi = min(N, lo + chunk)
+            x = xs[lo:hi]
+            p = ps[lo:hi]
+            comp = (gc[p]
+                    + np.einsum("nd,nmd->nm", x, miv[p])
+                    - 0.5 * np.einsum("nd,nmd->nm", x * x, iv[p]))
+            cmax = comp.max(axis=1, keepdims=True)
+            e = np.exp(comp - cmax)
+            tot = e.sum(axis=1, keepdims=True)
+            like += float(((cmax[:, 0] + np.log(tot[:, 0])) * ws[lo:hi])
+                          .sum())
+            post[lo:hi] = e / tot * ws[lo:hi, None]
+        # segment-reduce per pdf
+        seg_start = np.searchsorted(ps, np.arange(P), side="left")
+        seg_end = np.searchsorted(ps, np.arange(P), side="right")
+        for p in np.unique(ps):
+            a, b = int(seg_start[p]), int(seg_end[p])
+            pp = post[a:b]
+            x = xs[a:b]
+            m = am.pdfs[p].num_mix
+            self.occ[p, :m] += pp[:, :m].sum(axis=0)
+            self.mean_acc[p, :m] += pp[:, :m].T @ x
+            self.var_acc[p, :m] += pp[:, :m].T @ (x * x)
+        self.tot_like += like
+        self.tot_frames += float(w.sum())
+        return like
+
     def add(self, other: "AccumAmDiagGmm") -> None:
         self.occ += other.occ
         self.mean_acc += other.mean_acc

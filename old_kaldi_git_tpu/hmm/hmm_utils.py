@@ -17,6 +17,8 @@ Probability convention (documented; matches the reference's scaling scheme):
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from old_kaldi_git_tpu.fst.vector_fst import EPS, INF, Arc, VectorFst
@@ -207,7 +209,8 @@ def alignment_to_phones(tm: TransitionModel, alignment: Sequence[int]) -> List[i
 
 
 def alignment_to_pdfs(tm: TransitionModel, alignment: Sequence[int]) -> List[int]:
-    return [tm.tid_to_pdf(int(t)) for t in alignment]
+    return tm.tid_to_pdf_array()[
+        np.asarray(alignment, np.int64)].tolist()
 
 
 def convert_alignment(

@@ -128,10 +128,15 @@ class TransitionModel:
 
     # -- array exports for the TPU decoder ------------------------------------
     def tid_to_pdf_array(self) -> np.ndarray:
-        """[num_tids+1] int32; entry 0 is -1 (epsilon)."""
+        """[num_tids+1] int32; entry 0 is -1 (epsilon).  Cached — callers
+        index it per alignment frame."""
+        cached = getattr(self, "_tid_to_pdf_arr", None)
+        if cached is not None and len(cached) == self.num_tids + 1:
+            return cached
         out = np.full(self.num_tids + 1, -1, dtype=np.int32)
         for tid in range(1, self.num_tids + 1):
             out[tid] = self.tid_to_pdf(tid)
+        self._tid_to_pdf_arr = out
         return out
 
     def tid_to_phone_array(self) -> np.ndarray:
@@ -144,8 +149,10 @@ class TransitionModel:
     # -- MLE update (reference MleUpdate) --------------------------------------
     def accumulate(self, alignment: Sequence[int], stats: np.ndarray) -> np.ndarray:
         """Occupancy per tid.  stats: float64 [num_tids+1]."""
-        for tid in alignment:
-            stats[tid] += 1.0
+        ali = np.asarray(alignment, np.int64)
+        if len(ali):
+            stats += np.bincount(ali, minlength=len(stats)).astype(
+                stats.dtype)
         return stats
 
     def mle_update(self, stats: np.ndarray, floor: float = 0.01) -> float:

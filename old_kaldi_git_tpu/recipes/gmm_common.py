@@ -7,6 +7,8 @@ initialization and feature transforms differ (SURVEY.md §3.2).
 
 from __future__ import annotations
 
+import time
+
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -107,15 +109,21 @@ def gmm_training_loop(
         list(initial_alignments) if initial_alignments is not None else [None] * len(keys)
     )
 
+    audio_s = float(np.asarray(num_frames).sum()) * 0.01
+    timings = {"align": 0.0, "accumulate": 0.0, "update": 0.0}
+
     def do_align():
+        t0 = time.perf_counter()
         new_ali, _ = align_all(am, graphs, feats_padded, num_frames, vopts)
+        timings["align"] += time.perf_counter() - t0
         ok = sum(1 for a in new_ali if a is not None)
         if ok == 0:
             raise KaldiError("all alignments failed")
         for i, a in enumerate(new_ali):
             if a is not None:
                 alignments[i] = a
-        log.info("aligned %d/%d utts", ok, len(keys))
+        log.info("aligned %d/%d utts in %.1fs", ok, len(keys),
+                 time.perf_counter() - t0)
 
     if initial_alignments is None:
         do_align()
@@ -125,29 +133,51 @@ def gmm_training_loop(
     for it in range(opts.num_iters):
         if it > 0 and it in set(opts.realign_iters):
             do_align()
+        t0 = time.perf_counter()
         accs = AccumAmDiagGmm(am)
         tstats = np.zeros(tm.num_tids + 1)
-        tot_like, tot_frames = 0.0, 0
-        for i, k in enumerate(keys):
-            ali = alignments[i]
-            if ali is None:
-                continue
-            pdfs = alignment_to_pdfs(tm, ali)
-            tot_like += accs.accumulate(am, feats[k], pdfs)
-            tm.accumulate(ali, tstats)
-            tot_frames += len(ali)
+        # one vectorized pass over the concatenated corpus (reference
+        # gmm-acc-stats-ali over all jobs + gmm-sum-accs, minus the
+        # per-utterance Python overhead)
+        tid2pdf = tm.tid_to_pdf_array()
+        ali_ok = [np.asarray(alignments[i], np.int64)
+                  for i in range(len(keys)) if alignments[i] is not None]
+        if ali_ok:
+            all_ali = np.concatenate(ali_ok)
+            all_feats = np.concatenate(
+                [feats[k][: len(alignments[i])]
+                 for i, k in enumerate(keys) if alignments[i] is not None])
+            tot_like = accs.accumulate_corpus(
+                am, all_feats, tid2pdf[all_ali])
+            tm.accumulate(all_ali, tstats)
+            tot_frames = len(all_ali)
+        else:
+            tot_like, tot_frames = 0.0, 0
+        timings["accumulate"] += time.perf_counter() - t0
         log.info(
             "iter %d: avg like/frame %.4f over %d frames (%d gauss)",
             it, tot_like / max(tot_frames, 1), tot_frames, am.num_gauss,
         )
+        t0 = time.perf_counter()
         am = mle_am_diag_gmm_update(am, accs, MleDiagGmmOptions())
         tm.mle_update(tstats)
         if it < opts.max_iter_inc and am.num_gauss < opts.totgauss:
             cur_gauss = min(opts.totgauss, am.num_gauss + inc)
             am = mixup(am, cur_gauss, occs=accs.occ.sum(axis=1), seed=it)
+        timings["update"] += time.perf_counter() - t0
 
     do_align_final, _ = align_all(am, graphs, feats_padded, num_frames, vopts)
     for i, a in enumerate(do_align_final):
         if a is not None:
             alignments[i] = a
+    # per-training-stage throughput (r3 verdict: audio-s/s per stage must
+    # be a tracked metric — the GMM stages had an invisible regression
+    # surface)
+    total = sum(timings.values())
+    log.info(
+        "gmm stage timing: align %.0fs, accumulate %.0fs, update %.0fs "
+        "(%.1f audio-s/s over %.0f audio-s)",
+        timings["align"], timings["accumulate"], timings["update"],
+        audio_s / max(total, 1e-9), audio_s,
+    )
     return am, alignments

@@ -472,3 +472,60 @@ def test_wav_8bit_pcm_decode():
 
     w = read_wav_stream(_io.BytesIO(_riff(1, 8, bytes([0, 128, 255]))))
     np.testing.assert_array_equal(w.data[0], [-32768.0, 0.0, 32512.0])
+
+
+def test_fst_array_writer_matches_object_writer():
+    """write_fst_kaldi_arrays must produce byte-identical output to the
+    per-arc object writer, and read_fst_kaldi_arrays must invert it."""
+    import io
+
+    import numpy as np
+
+    from old_kaldi_git_tpu.fst.kaldi_fst_io import (
+        read_fst_kaldi_arrays,
+        write_fst_kaldi,
+        write_fst_kaldi_arrays,
+    )
+    from old_kaldi_git_tpu.fst.vector_fst import Arc, VectorFst
+
+    rng = np.random.default_rng(5)
+    S = 200
+    fst = VectorFst()
+    for _ in range(S):
+        fst.add_state()
+    fst.set_start(3)
+    for s in range(S):
+        for _ in range(int(rng.integers(0, 5))):
+            fst.add_arc(s, Arc(int(rng.integers(0, 50)),
+                               int(rng.integers(0, 50)),
+                               float(rng.normal()),
+                               int(rng.integers(0, S))))
+        if rng.random() < 0.3:
+            fst.set_final(s, float(rng.exponential()))
+    b1 = io.BytesIO()
+    write_fst_kaldi(b1, fst)
+
+    counts = np.asarray([len(a) for a in fst.arcs], np.int64)
+    row_ptr = np.zeros(S + 1, np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    il = np.asarray([a.ilabel for lst in fst.arcs for a in lst], np.int32)
+    ol = np.asarray([a.olabel for lst in fst.arcs for a in lst], np.int32)
+    w = np.asarray([a.weight for lst in fst.arcs for a in lst], np.float32)
+    ns = np.asarray([a.nextstate for lst in fst.arcs for a in lst], np.int32)
+    from old_kaldi_git_tpu.fst.vector_fst import INF
+
+    finals = np.asarray([f if f != INF else np.inf for f in fst.finals],
+                        np.float32)
+    b2 = io.BytesIO()
+    write_fst_kaldi_arrays(b2, fst.start, row_ptr, il, ol, w, ns, finals)
+    assert b1.getvalue() == b2.getvalue()
+
+    b2.seek(0)
+    start_r, rp_r, il_r, ol_r, w_r, ns_r, fin_r = read_fst_kaldi_arrays(b2)
+    assert start_r == fst.start
+    np.testing.assert_array_equal(rp_r, row_ptr)
+    np.testing.assert_array_equal(il_r, il)
+    np.testing.assert_array_equal(ol_r, ol)
+    np.testing.assert_array_equal(w_r, w)
+    np.testing.assert_array_equal(ns_r, ns)
+    np.testing.assert_array_equal(fin_r, finals)
