@@ -90,14 +90,17 @@ def _align_scan(frm, pdf, w, ns, start, loglikes, num_frames, acoustic_scale,
 
     def step(alpha, inputs):
         ll_t, t = inputs  # ll_t: [B, P]
-        # [B, A] per-arc loglikes via the one-hot Pallas gather on TPU
-        # (ops/gather_kernel.py); exact take_along_axis fallback elsewhere
+        # ALL three [B, A] per-arc lookups ride the one-hot Pallas gather
+        # on TPU (ops/gather_kernel.py; the [B, S<=~1k] alpha table fits
+        # VMEM hundreds of times over, and per-element take_along_axis
+        # gathers are the serial-unit pathology); exact take_along_axis
+        # fallback elsewhere
         ac = acoustic_scale * batched_table_gather(ll_t, pdf)
-        cand = jnp.take_along_axis(alpha, frm, axis=1) + w - ac
+        cand = batched_table_gather(alpha, frm) + w - ac
         cand = jnp.minimum(cand, BIG)
         new_alpha = jax.vmap(scatter_min)(cand, ns)
         # winner arc per (b, state)
-        hit = cand <= jnp.take_along_axis(new_alpha, ns, axis=1) + 1e-6
+        hit = cand <= batched_table_gather(new_alpha, ns) + 1e-6
         arc_idx = jnp.where(hit & (cand < BIG), jnp.arange(A)[None, :], -1)
         best_arc = jax.vmap(
             lambda idx, ns_row: jnp.full((S,), -1, jnp.int32).at[ns_row].max(idx)

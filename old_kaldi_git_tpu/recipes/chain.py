@@ -397,6 +397,12 @@ def train_chain(
     --online-ivector-dir); ChainModel.am.ivector_dim records the width so
     decode_chain can demand matching inputs."""
     opts = opts or ChainTrainOptions()
+    # the tree is built from the BASE features (reference
+    # steps/nnet3/chain/build_tree.sh uses the GMM-stage features without
+    # iVectors) — append iVectors only afterwards, for the nnet inputs
+    ctx_dep, tm, den = build_chain_objects(
+        gmm_model, alignments, lang, opts, feats=feats
+    )
     ivector_dim = 0
     if ivectors is not None:
         from old_kaldi_git_tpu.recipes.nnet3 import append_ivector_feats
@@ -404,9 +410,6 @@ def train_chain(
         feats = append_ivector_feats(feats, ivectors)
         ivector_dim = int(np.asarray(
             next(iter(ivectors.values()))).shape[-1])
-    ctx_dep, tm, den = build_chain_objects(
-        gmm_model, alignments, lang, opts, feats=feats
-    )
     keys = sorted(k for k, a in alignments.items() if a is not None and k in feats)
     sups = []
     sup_keys = []

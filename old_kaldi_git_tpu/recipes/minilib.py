@@ -766,13 +766,22 @@ def rescore_and_score(
     lattice_beam: float = 8.0,
     lattice_budget: int = 128,
     batch: int = 64,
-    num_utts: int = 64,
+    num_utts: int = 0,
+    noise: Optional[float] = None,
+    full_lm_order: int = 0,
+    compute_oracle: bool = False,
 ) -> Tuple[float, float]:
     """Config-5 shape at scale: decode with the PRUNED-trigram HCLG
     keeping lattices (bounded device records), exact-determinize, then
-    rescore pruned→UNPRUNED trigram on the compact lattices (reference
-    lattice-lmrescore-const-arpa over the fglarge LM).  Returns
-    (WER before, WER after) over `num_utts` held-out utterances."""
+    rescore pruned-trigram → FULL higher-order LM on the compact
+    lattices (reference lattice-lmrescore-const-arpa over the fglarge
+    4-gram).  Returns (WER before, WER after) over `num_utts` (0 = all)
+    held-out utterances; the full per-run numbers (incl. lattice oracle
+    WER when compute_oracle) land in `rescore_and_score.last_stats`.
+
+    noise: re-synthesize the held-out audio at this noise amplitude
+    (flagship synthesis uses 40) — raising acoustic confusability gives
+    the LM visible headroom, the r3 run's caveat."""
     from old_kaldi_git_tpu.decoder.viterbi import (
         ViterbiOptions,
         decode_batch_tokens,
@@ -781,6 +790,7 @@ def rescore_and_score(
     from old_kaldi_git_tpu.lat.lattice import (
         lattice_best_path,
         lattice_from_token_records,
+        lattice_oracle,
     )
     from old_kaldi_git_tpu.lat.rescore import lmrescore_compact_lattice
     from old_kaldi_git_tpu.lm.arpa import parse_arpa
@@ -789,24 +799,40 @@ def rescore_and_score(
     from old_kaldi_git_tpu.utils.edit_distance import compute_wer
 
     opts = opts or MinilibOptions()
-    # old LM = the pruned decode trigram; new LM = unpruned estimate
+    # old LM = the pruned decode trigram; new LM = unpruned, optionally
+    # higher-order (config 5: 4-gram fglarge role)
+    order = full_lm_order or opts.lm_order
     sents = [
         _to_words(s)
         for s in make_text(opts, opts.lm_sentences, opts.seed + 2)
     ]
-    full_lm = estimate_ngram_lm(sents, order=opts.lm_order,
-                                cutoffs=(0, 0, 1))
+    cutoffs = (0, 0, 1) + (1,) * max(0, order - 3)
+    full_lm = estimate_ngram_lm(sents, order=order, cutoffs=cutoffs)
     with gzip.open(
         os.path.join(system.workdir, "arpa.txt.gz"), "rt"
     ) as f:
         pruned_lm = parse_arpa(f.read())
 
-    feats = compute_feats(
-        {k: system.test_waves[k]
-         for k in sorted(system.test_waves)[:num_utts]})
+    test_waves = system.test_waves
+    if noise is not None:
+        test_sents = make_text(opts, opts.num_test, opts.seed + 6)
+        lex = make_lexicon(opts)
+        specs = phone_inventory(opts.num_phones)
+        durs = phone_durations(opts.num_phones)
+        rng = np.random.default_rng(opts.seed + 7)
+        test_waves = {
+            f"test_{i:04d}": synth_utterance(
+                _to_words(s), lex, specs, durs, rng, noise=noise)
+            for i, s in enumerate(test_sents)
+        }
+    keys_all = sorted(test_waves)
+    if num_utts:
+        keys_all = keys_all[:num_utts]
+    feats = compute_feats({k: test_waves[k] for k in keys_all})
     vopts = ViterbiOptions(beam=beam, max_active=max_active,
                            acoustic_scale=1.0)
     base_hyps, resc_hyps, refs = {}, {}, {}
+    oracle_errs, oracle_ref = 0, 0
     by_dur = sorted(feats, key=lambda k: feats[k].shape[0])
     for lo in range(0, len(by_dur), batch):
         chunk = by_dur[lo: lo + batch]
@@ -822,13 +848,22 @@ def rescore_and_score(
             refs[k] = list(system.test_text[k])
             if res is None or res.token_lattice is None:
                 base_hyps[k] = resc_hyps[k] = []
+                oracle_errs += len(refs[k])
+                oracle_ref += len(refs[k])
                 continue
             lat = lattice_from_token_records(system.csr, res.token_lattice)
             if lat is None:
                 base_hyps[k] = resc_hyps[k] = []
+                oracle_errs += len(refs[k])
+                oracle_ref += len(refs[k])
                 continue
             words, _t, _c = lattice_best_path(lat, 1.0, 1.0)
             base_hyps[k] = [system.lang.words[w] for w in words]
+            if compute_oracle:
+                ref_ids = [system.lang.words[w] for w in refs[k]]
+                errs, _p = lattice_oracle(lat, ref_ids)
+                oracle_errs += errs
+                oracle_ref += len(ref_ids)
             clat = determinize_lattice_pruned(lat, lattice_beam,
                                               acoustic_scale=1.0)
             resc = lmrescore_compact_lattice(
@@ -837,8 +872,19 @@ def rescore_and_score(
             resc_hyps[k] = [system.lang.words[w] for w in w2]
     before = compute_wer(refs, base_hyps)
     after = compute_wer(refs, resc_hyps)
-    log.info("minilib rescore: pruned-LM %s → full-LM %s",
-             before.report(), after.report())
+    oracle_wer = (100.0 * oracle_errs / max(oracle_ref, 1)
+                  if compute_oracle else None)
+    rescore_and_score.last_stats = {
+        "before": before.wer, "after": after.wer,
+        "oracle_wer": oracle_wer, "num_utts": len(keys_all),
+        "full_lm_order": order, "noise": noise,
+    }
+    log.info(
+        "minilib rescore (%d utts, noise %s): pruned trigram %s → full "
+        "%d-gram %s%s", len(keys_all), noise, before.report(), order,
+        after.report(),
+        f" (lattice oracle WER {oracle_wer:.2f})" if compute_oracle else "",
+    )
     return before.wer, after.wer
 
 

@@ -83,6 +83,10 @@ def test_minilib_tiny_chain_and_rescore(tiny_system):
     assert wer <= 2.0, f"tiny minilib chain WER {wer}"
 
     before, after = rescore_and_score(system, TINY, max_active=512,
-                                      num_utts=8)
-    # rescoring with the unpruned trigram must not hurt
+                                      num_utts=8, compute_oracle=True)
+    # rescoring with the unpruned trigram must not hurt, and the lattice
+    # oracle can only be at least as good as the 1-best
     assert after <= before + 1.0, (before, after)
+    stats = rescore_and_score.last_stats
+    assert stats["oracle_wer"] is not None
+    assert stats["oracle_wer"] <= before + 1e-9
