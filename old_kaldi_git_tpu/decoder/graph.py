@@ -186,6 +186,10 @@ def mkgraph_csr(
     hclg.connect()
     log.info("mkgraph: HCLG has %d states / %d arcs",
              hclg.num_states, hclg.num_arcs)
+    # one raw export serves both the on-disk write and the split-eps
+    # CSR build (each is a full copy of the arc arrays — hundreds of MB
+    # at million-state scale)
+    raw = hclg.to_raw_arrays() if (fst_out or split_eps) else None
     if fst_out:
         # upstream on-disk HCLG.fst (OpenFst VectorFst<StdArc> bytes,
         # reference kaldi-fst-io.cc WriteFstKaldi) straight from the raw
@@ -194,15 +198,13 @@ def mkgraph_csr(
             write_fst_kaldi_arrays,
         )
 
-        raw = hclg.to_raw_arrays()
         with open(fst_out, "wb") as fh:
             write_fst_kaldi_arrays(fh, *raw)
         log.info("mkgraph: wrote %s (%d bytes)", fst_out,
                  os.path.getsize(fst_out))
     if split_eps:
         try:
-            return fst_to_split_csr_arrays(
-                *hclg.to_raw_arrays(), tm.tid_to_pdf_array())
+            return fst_to_split_csr_arrays(*raw, tm.tid_to_pdf_array())
         except KaldiError as e:
             log.warning("split-eps export failed (%s); folding", e)
     return fst_to_csr_native(hclg, tm.tid_to_pdf_array())

@@ -53,7 +53,7 @@ from old_kaldi_git_tpu.decoder.viterbi import (
     results_from_arcs,
 )
 from old_kaldi_git_tpu.ops.gather_kernel import batched_table_gather
-from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
 
 log = get_logger("sharded")
 
@@ -94,7 +94,10 @@ class ShardedCsrGraph:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
 
-        key = (id(mesh), axis)
+        # keyed on the Mesh object itself (hashable), not id(mesh): an
+        # id can be reused by a new Mesh after the original is collected,
+        # which would return arrays placed for the dead mesh
+        key = (mesh, axis)
         cache = getattr(self, "_dev", None)
         if cache is not None and cache[0] == key:
             return cache[1]
@@ -110,6 +113,12 @@ def shard_graph(graph: CsrGraph, num_shards: int) -> ShardedCsrGraph:
     """Partition states into `num_shards` contiguous ranges with ~equal
     tile counts (tile storage and gather traffic are what must balance;
     state counts may be skewed)."""
+    if graph.eps_ns is not None:
+        raise KaldiError(
+            "sharded decode needs a folded-eps graph: split-eps backoff "
+            "hops are not wired into the sharded kernel yet (decoding "
+            "over emitting arcs only would silently drop backoff "
+            "transitions)")
     tg = build_tile_graph(graph)
     S = graph.num_states
     NT = tg.num_tiles
@@ -437,6 +446,10 @@ def decode_batch_tokens_sharded(
         graph = sg.graph
     else:
         sg = shard_graph(graph, N)
+    if graph.eps_ns is not None:
+        raise KaldiError(
+            "decode_batch_tokens_sharded needs a folded-eps graph "
+            "(split-eps backoff hops not wired into the sharded kernel)")
     B, T, _ = loglikes.shape
     S = graph.num_states
     K = max(4, min(opts.max_active, S))

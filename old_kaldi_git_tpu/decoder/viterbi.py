@@ -641,7 +641,7 @@ def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
 
 def _token_budget(graph: CsrGraph, K: int, md: int = 4) -> int:
     """Static TILE-expansion budget ET for the token-sparse decoder: a
-    1.5x multiple of the expected active tiles-per-state (headroom for
+    1.25x multiple of the expected active tiles-per-state (headroom for
     degree skew; overflow drops tiles from the worst-cost tokens only —
     they are cost-sorted), capped at the tile count, rounded up to a
     lane-friendly multiple.  Per-frame cost is linear in E = ET·MD

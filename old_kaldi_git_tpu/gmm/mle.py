@@ -106,7 +106,11 @@ class AccumAmDiagGmm:
         ps = pdf_ids[order]
         ws = w[order]
         like = 0.0
-        post = np.empty((N, M))
+        # the segment reduction folds into the chunk loop so only a
+        # [chunk, M] posterior block is ever materialized (a full-corpus
+        # [N, M] float64 matrix is multi-GB past minilib scale and would
+        # defeat the chunking); ps is sorted, so each pdf is a contiguous
+        # run inside any chunk
         for lo in range(0, N, chunk):
             hi = min(N, lo + chunk)
             x = xs[lo:hi]
@@ -119,18 +123,16 @@ class AccumAmDiagGmm:
             tot = e.sum(axis=1, keepdims=True)
             like += float(((cmax[:, 0] + np.log(tot[:, 0])) * ws[lo:hi])
                           .sum())
-            post[lo:hi] = e / tot * ws[lo:hi, None]
-        # segment-reduce per pdf
-        seg_start = np.searchsorted(ps, np.arange(P), side="left")
-        seg_end = np.searchsorted(ps, np.arange(P), side="right")
-        for p in np.unique(ps):
-            a, b = int(seg_start[p]), int(seg_end[p])
-            pp = post[a:b]
-            x = xs[a:b]
-            m = am.pdfs[p].num_mix
-            self.occ[p, :m] += pp[:, :m].sum(axis=0)
-            self.mean_acc[p, :m] += pp[:, :m].T @ x
-            self.var_acc[p, :m] += pp[:, :m].T @ (x * x)
+            post_c = e / tot * ws[lo:hi, None]
+            uniq, starts = np.unique(p, return_index=True)
+            ends = np.append(starts[1:], hi - lo)
+            for pdf, a, b in zip(uniq, starts, ends):
+                pp = post_c[a:b]
+                xc = x[a:b]
+                m = am.pdfs[int(pdf)].num_mix
+                self.occ[pdf, :m] += pp[:, :m].sum(axis=0)
+                self.mean_acc[pdf, :m] += pp[:, :m].T @ xc
+                self.var_acc[pdf, :m] += pp[:, :m].T @ (xc * xc)
         self.tot_like += like
         self.tot_frames += float(w.sum())
         return like

@@ -142,3 +142,25 @@ def test_sharded_mesh_axis_mismatch_raises():
     ll = rng.normal(size=(1, 5, 20)).astype(np.float32)
     with pytest.raises(ValueError):
         decode_batch_tokens_sharded(sg, ll, [5])
+
+
+def test_sharded_rejects_split_eps_graph():
+    """Split-eps graphs (eps_ns set) must be refused loudly: the sharded
+    kernel has no backoff-hop merge, so decoding one silently over
+    emitting arcs only would drop backoff transitions (r4 advisor)."""
+    rng = np.random.default_rng(4)
+    g = _random_csr(rng, S=64)
+    split = CsrGraph(
+        start=g.start, row_ptr=g.row_ptr, tid=g.tid, pdf=g.pdf,
+        weight=g.weight, nextstate=g.nextstate,
+        final_weight=g.final_weight, arc_olabels=g.arc_olabels,
+        final_olabels=g.final_olabels,
+        eps_ns=np.zeros(64, np.int32), eps_w=np.zeros(64, np.float32),
+        eps_olab=np.zeros(64, np.int32), eps_depth=1)
+    from old_kaldi_git_tpu.utils.log import KaldiError
+
+    with pytest.raises(KaldiError):
+        shard_graph(split, 2)
+    ll = rng.normal(size=(1, 5, 20)).astype(np.float32)
+    with pytest.raises(KaldiError):
+        decode_batch_tokens_sharded(split, ll, [5])
