@@ -254,7 +254,34 @@ class TdnnModel(nn.Module):
                  ng_collect: bool = False, output_stride: int = 1):
         x = feats
         env = {"input": feats, "__prev__": feats}
+        # earliest tail position from which every remaining layer is a
+        # sequential (desc-free) tdnn/tdnnf whose time offsets are all
+        # multiples of output_stride: subsampling THERE is exact, and the
+        # tail trunk runs at T/stride instead of computing every frame
+        # and discarding stride-1 of stride at the end (reference nnet3
+        # compiles only the needed frames past the stride-3 point —
+        # nnet-computation-graph.cc dependency closure over Indexes)
+        stride_at = len(self.config.layers)
+        if output_stride > 1:
+            for j in range(len(self.config.layers), 0, -1):
+                spec = self.config.layers[j - 1]
+                if getattr(spec, "input_desc", ""):
+                    break
+                if spec.kind == "tdnn":
+                    if any(o % output_stride for o in spec.offsets):
+                        break
+                elif spec.kind == "tdnnf":
+                    if spec.time_stride % output_stride:
+                        break
+                else:
+                    break
+                stride_at = j - 1
+        sub = 1  # subsampling already applied to the running sequence
         for i, spec in enumerate(self.config.layers):
+            if output_stride > 1 and i == stride_at:
+                x = x[:, ::output_stride]
+                env["__prev__"] = x
+                sub = output_stride
             desc = getattr(spec, "input_desc", "")
             if desc:
                 from old_kaldi_git_tpu.models.descriptor import (
@@ -265,14 +292,15 @@ class TdnnModel(nn.Module):
                 x, _defined = eval_descriptor(
                     parse_descriptor(desc), env, xp=jnp)
             if spec.kind == "tdnn":
+                offs = (0,) if desc else tuple(o // sub for o in spec.offsets)
                 x = ReluBatchNorm(
-                    spec.dim, (0,) if desc else spec.offsets, name=f"tdnn{i}"
+                    spec.dim, offs, name=f"tdnn{i}"
                 )(x, train=train, ng_collect=ng_collect)
             elif spec.kind == "tdnnf":
                 x = TdnnfLayer(
                     spec.dim,
                     spec.bottleneck_dim,
-                    spec.time_stride,
+                    spec.time_stride // sub,
                     spec.bypass_scale,
                     spec.dropout,
                     name=f"tdnnf{i}",
@@ -318,11 +346,13 @@ class TdnnModel(nn.Module):
             env[f"{spec.kind}{i}"] = x
             if getattr(spec, "name", ""):
                 env[spec.name] = x
-        if output_stride > 1:
+        if output_stride > sub:
             # frame-subsampled output (reference --frame-subsampling-factor
             # in nnet3-latgen-faster / chain egs): the prefinal + output
             # affines — the widest matmuls — run only at the subsampled
-            # frames instead of computing 3x and discarding 2/3
+            # frames instead of computing 3x and discarding 2/3 (when the
+            # trunk could not be subsampled earlier, i.e. stride-1 layers
+            # all the way up)
             x = x[:, ::output_stride]
         if self.config.final_hidden_dim:
             x = ReluBatchNorm(self.config.final_hidden_dim, (0,), name="prefinal")(
@@ -357,15 +387,27 @@ def make_tdnnf(
     bottleneck_dim: int = 96,
     num_layers: int = 9,
     time_stride: int = 1,
+    subsampled_stride: int = 0,
+    num_full_rate_layers: int = 3,
 ) -> TdnnConfig:
     """TDNN-F stack à la the chain tdnn_1d recipes (first layer time-stride 1,
-    layer 2 stride 0 in some recipes — we keep uniform stride for simplicity)."""
+    layer 2 stride 0 in some recipes — we keep uniform stride for simplicity).
+
+    subsampled_stride > 0 gives the chain-net stride pattern (reference
+    egs/librispeech tdnn_1d xconfig: tdnnf layers at time-stride 1 up
+    front, the rest at stride 3): tdnnf layers past num_full_rate_layers
+    use that stride, so under output_stride=subsampled_stride the trunk
+    past the switch point runs at the subsampled frame rate (TdnnModel
+    subsamples at the earliest stride-divisible tail position)."""
     layers = [TdnnLayerSpec("tdnn", hidden_dim, (-1, 0, 1))]
-    for _ in range(num_layers - 1):
+    for i in range(num_layers - 1):
+        ts = time_stride
+        if subsampled_stride and i + 1 > num_full_rate_layers:
+            ts = subsampled_stride
         layers.append(
             TdnnLayerSpec(
                 "tdnnf", hidden_dim, offsets=(0,), bottleneck_dim=bottleneck_dim,
-                time_stride=time_stride,
+                time_stride=ts,
             )
         )
     return TdnnConfig(input_dim, num_outputs, tuple(layers), final_hidden_dim=hidden_dim)

@@ -82,6 +82,11 @@ class ChainTrainOptions:
     tree_context_width: int = 1
     tree_max_leaves: int = 500
     tree_thresh: float = 100.0
+    # tdnnf layers past this index use time_stride=frame_subsampling_factor
+    # (the reference tdnn_1d chain stride pattern), letting the trunk run
+    # at the subsampled rate in decode/training; 0 = all layers stride 1
+    # (pre-r5 architecture, full-rate trunk)
+    num_full_rate_layers: int = 3
 
 
 @dataclasses.dataclass
@@ -432,6 +437,9 @@ def train_chain(
     config = make_tdnnf(
         input_dim, ctx_dep.num_pdfs, opts.hidden_dim, opts.bottleneck_dim,
         opts.num_layers,
+        subsampled_stride=(opts.frame_subsampling_factor
+                           if opts.num_full_rate_layers else 0),
+        num_full_rate_layers=opts.num_full_rate_layers,
     )
     am = AmNnet.init(config, seed=opts.seed)
     model = am.model()
@@ -659,6 +667,9 @@ def train_chain_e2e(
     config = make_tdnnf(
         input_dim, ctx_dep.num_pdfs, opts.hidden_dim, opts.bottleneck_dim,
         opts.num_layers,
+        subsampled_stride=(opts.frame_subsampling_factor
+                           if opts.num_full_rate_layers else 0),
+        num_full_rate_layers=opts.num_full_rate_layers,
     )
     am = AmNnet.init(config, seed=opts.seed)
     model = am.model()

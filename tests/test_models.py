@@ -822,3 +822,50 @@ output-layer name=output dim={P}
             pos += c
         got = np.concatenate([o for o in outs if o.size], axis=0)
         np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_trunk_subsampling_exact_and_backcompat():
+    """output_stride with the chain stride pattern (tdnnf time_stride 3
+    past the full-rate layers) subsamples the trunk EARLY — at the first
+    tail position where all remaining offsets divide the stride — and
+    must produce exactly the frames the full-rate computation selects
+    (reference nnet3 computes only the needed frames past the stride-3
+    point; r4 verdict #9)."""
+    rng = np.random.default_rng(0)
+    # T = 31 ≡ 1 (mod 3): the last frame is a selected frame, so edge
+    # clamping is identical in the subsampled and full-rate domains and
+    # the early-subsampled trunk is exact at EVERY output frame.  (With
+    # T ≡ 0 mod 3 only the final, clamped output frame differs — decode
+    # and training pad T to a stride multiple and mask, so the clamp
+    # never touches real frames.)
+    x = jnp.asarray(rng.normal(size=(2, 31, 13)).astype(np.float32))
+
+    # chain-shaped config: 1 tdnn + 5 tdnnf, last 2 at time_stride 3
+    config = make_tdnnf(13, 50, hidden_dim=32, bottleneck_dim=8,
+                        num_layers=6, subsampled_stride=3,
+                        num_full_rate_layers=3)
+    strides = [s.time_stride for s in config.layers if s.kind == "tdnnf"]
+    assert strides == [1, 1, 1, 3, 3]
+    am = AmNnet.init(config)
+    full = np.asarray(am.logits(x))            # [2, 31, 50] full rate
+    sub = np.asarray(am.logits(x, output_stride=3))
+    assert sub.shape == (2, 11, 50)
+    np.testing.assert_allclose(sub, full[:, ::3], rtol=2e-5, atol=2e-5)
+
+    # T ≡ 0 (mod 3): all but the final (edge-clamped) frame exact
+    x30 = x[:, :30]
+    full30 = np.asarray(am.logits(x30))
+    sub30 = np.asarray(am.logits(x30, output_stride=3))
+    np.testing.assert_allclose(sub30[:, :-2], full30[:, ::3][:, :-2],
+                               rtol=2e-5, atol=2e-5)
+
+    # pre-r5 architecture (all tdnnf stride 1): the tail is not
+    # stride-divisible, so the trunk runs full rate and only
+    # prefinal/output subsample — same values either way
+    config_old = make_tdnnf(13, 50, hidden_dim=32, bottleneck_dim=8,
+                            num_layers=4)
+    am_old = AmNnet.init(config_old)
+    full_old = np.asarray(am_old.logits(x))
+    sub_old = np.asarray(am_old.logits(x, output_stride=3))
+    np.testing.assert_allclose(sub_old, full_old[:, ::3],
+                               rtol=2e-5, atol=2e-5)
