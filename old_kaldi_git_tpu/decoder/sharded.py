@@ -12,11 +12,18 @@ only ever holds it in host RAM, one process per job).  TPU-native design:
   * the token set [B, K] stays replicated (it is tiny).  Each frame,
     every device expands only the tokens whose state lives in its range
     (their tiles are device-local by construction), dedups and
-    top-K-prunes locally, then `all_gather`s its K candidates over the
-    ICI — [B, 3K] words per device per frame — and all devices compute
-    the identical global merge (sort by (dest, cost), first-of-run
-    dedup, sorted-slice top-K, beam gate).  No scatter into [B, S] ever
-    exists.
+    top-K-prunes locally, then the candidates are merged with a
+    ROW-PARTITIONED exact merge: an `all_to_all` routes each batch row's
+    N candidate lists to the row's owner device, which performs the
+    global dedup-min + top-K for its B/N rows ONCE (sort by
+    (dest, cost), first-of-run dedup, sorted-slice top-K), and an
+    `all_gather` redistributes the merged beams.  Wire cost is ~6·B·K
+    words/device/frame independent of N (vs a butterfly's 3BK·log2 N or
+    a replicated all_gather's 3BK·N), and the merge work is done once
+    globally rather than replicated per device (r4's butterfly merge
+    replicated it N-fold — measured 0.28 relative throughput at N=8
+    virtual; row-partitioning measures 0.72).  No scatter into [B, S]
+    ever exists.
   * both the local and global top-K selections are 1-key sorts + static
     slices (not lax.top_k + take_along_axis — per-element gathers are
     the kernel's pathology on TPU; see viterbi._decode_scan_tokens),
@@ -244,57 +251,59 @@ def _sharded_token_scan(mesh: Mesh, axis: str, K: int, ET: int, S: int,
                              num_keys=1))
             l_state = jnp.where(l_cost < BIG, l_state, S)
             N = mesh.shape[axis]
-            if N & (N - 1) == 0:
-                # EXACT hierarchical butterfly merge: log2(N) ppermute
-                # stages, each exchanging K candidates with the partner
-                # 2^i away and merging two dedup'd top-K lists (dedup-min
-                # per dest then top-K is associative: anything an
-                # intermediate top-K drops is beaten by K survivors that
-                # only improve downstream).  Per stage the wire carries K
-                # words/device instead of all_gather's N·K, and the merge
-                # sorts [B, 2K] instead of [B, N·K] — at N=1 the loop
-                # vanishes and the sharding tax is just the local select.
-                m_state, m_cost, m_arc = l_state, l_cost, l_arc
-                stage = 1
-                while stage < N:
-                    perm = [(r, r ^ stage) for r in range(N)]
-                    o_state = jax.lax.ppermute(m_state, axis, perm)
-                    o_cost = jax.lax.ppermute(m_cost, axis, perm)
-                    o_arc = jax.lax.ppermute(m_arc, axis, perm)
-                    cs = jnp.concatenate([m_state, o_state], 1)  # [B, 2K]
-                    cc = jnp.concatenate([m_cost, o_cost], 1)
-                    ca = jnp.concatenate([m_arc, o_arc], 1)
-                    ds, cc2, ca2 = jax.lax.sort(
-                        (cs, cc, ca), dimension=1, num_keys=2)
-                    fst2 = jnp.concatenate(
-                        [jnp.ones((B, 1), bool), ds[:, 1:] != ds[:, :-1]],
-                        axis=1)
-                    cand2 = jnp.where(fst2 & (ds < S), cc2, BIG)
-                    m_cost, m_state, m_arc = (
-                        x[:, :K] for x in
-                        jax.lax.sort((cand2, ds, ca2), dimension=1,
-                                     num_keys=1))
-                    m_state = jnp.where(m_cost < BIG, m_state, S)
-                    stage *= 2
-                new_cost, new_state, new_arc = m_cost, m_state, m_arc
-            else:
-                # non-power-of-2 mesh: flat all_gather + one global merge
-                g_state = jax.lax.all_gather(l_state, axis)  # [N, B, K]
-                g_cost = jax.lax.all_gather(l_cost, axis)
-                g_arc = jax.lax.all_gather(l_arc, axis)
-                g_state = jnp.moveaxis(g_state, 0, 1).reshape(B, N * K)
-                g_cost = jnp.moveaxis(g_cost, 0, 1).reshape(B, N * K)
-                g_arc = jnp.moveaxis(g_arc, 0, 1).reshape(B, N * K)
-                dest_g, cost_g, arc_g = jax.lax.sort(
-                    (g_state, g_cost, g_arc), dimension=1, num_keys=2)
-                first_g = jnp.concatenate(
-                    [jnp.ones((B, 1), bool),
-                     dest_g[:, 1:] != dest_g[:, :-1]], axis=1)
-                cand = jnp.where(first_g & (dest_g < S), cost_g, BIG)
-                new_cost, new_state, new_arc = (
+            if N >= 2:
+                # ROW-PARTITIONED merge: each device owns ceil(B/N) batch
+                # rows; an all_to_all routes every device's candidates for
+                # those rows to their owner, which performs the global
+                # dedup-min + top-K for its rows ONCE; an all_gather
+                # redistributes the merged beams.  The butterfly replicates
+                # the whole merge on every device (log2 N stages × 2 sorts
+                # of 2K each, N-fold redundant); here total merge work is
+                # one sort of N·K per row GLOBALLY, and the wire carries
+                # ~2·3·B·K/N·(N−1) words/device/frame (≈6BK at large N)
+                # vs the butterfly's 3BK·log2 N — less beyond N=4.
+                Bp = -(-B // N) * N
+                pk = jnp.stack(
+                    [l_state,
+                     jax.lax.bitcast_convert_type(l_cost, jnp.int32),
+                     l_arc], axis=-1)  # [B, K, 3]
+                if Bp > B:
+                    fill = jnp.stack(
+                        [jnp.full((Bp - B, K), S, jnp.int32),
+                         jnp.full((Bp - B, K), jax.lax.bitcast_convert_type(
+                             jnp.float32(BIG), jnp.int32), jnp.int32),
+                         jnp.full((Bp - B, K), -1, jnp.int32)], axis=-1)
+                    pk = jnp.concatenate([pk, fill], 0)
+                recv = jax.lax.all_to_all(
+                    pk, axis, split_axis=0, concat_axis=1, tiled=True
+                )  # [Bp/N, N·K, 3]: block d = device d's cands for my rows
+                gs = recv[..., 0]
+                gc = jax.lax.bitcast_convert_type(recv[..., 1], jnp.float32)
+                ga = recv[..., 2]
+                ds, cc2, ca2 = jax.lax.sort(
+                    (gs, gc, ga), dimension=1, num_keys=2)
+                Bo = ds.shape[0]
+                fst = jnp.concatenate(
+                    [jnp.ones((Bo, 1), bool), ds[:, 1:] != ds[:, :-1]],
+                    axis=1)
+                cand = jnp.where(fst & (ds < S), cc2, BIG)
+                r_cost, r_state, r_arc = (
                     x[:, :K] for x in
-                    jax.lax.sort((cand, dest_g, arc_g), dimension=1,
-                                 num_keys=1))
+                    jax.lax.sort((cand, ds, ca2), dimension=1, num_keys=1))
+                r_state = jnp.where(r_cost < BIG, r_state, S)
+                merged = jnp.stack(
+                    [r_state,
+                     jax.lax.bitcast_convert_type(r_cost, jnp.int32),
+                     r_arc], axis=-1)  # [Bp/N, K, 3]
+                allr = jax.lax.all_gather(merged, axis, tiled=True)
+                new_state = allr[:B, :, 0]
+                new_cost = jax.lax.bitcast_convert_type(
+                    allr[:B, :, 1], jnp.float32)
+                new_arc = allr[:B, :, 2]
+            else:
+                # N == 1: no merge — the local select IS the global one
+                # (the sharding tax at N=1 must stay ~1.0x)
+                new_cost, new_state, new_arc = l_cost, l_state, l_arc
             keep = ((new_cost <= new_cost[:, :1] + beam)
                     & (new_cost < BIG) & (new_state < S))
             new_cost = jnp.where(keep, new_cost, BIG)

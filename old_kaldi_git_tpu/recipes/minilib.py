@@ -227,7 +227,8 @@ def compute_feats(waves: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def synth_set(
-    opts: MinilibOptions, sents: List[np.ndarray], prefix: str, seed: int
+    opts: MinilibOptions, sents: List[np.ndarray], prefix: str, seed: int,
+    noise: float = 40.0,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, List[str]]]:
     lex = make_lexicon(opts)
     specs = phone_inventory(opts.num_phones)
@@ -237,9 +238,32 @@ def synth_set(
     for i, s in enumerate(sents):
         words = _to_words(s)
         utt = f"{prefix}_{i:04d}"
-        waves[utt] = synth_utterance(words, lex, specs, durs, rng)
+        waves[utt] = synth_utterance(words, lex, specs, durs, rng,
+                                     noise=noise)
         text[utt] = words
     return waves, text
+
+
+# The NOISY evaluation regime (r4 verdict #2): the clean corpus decodes
+# at 0.03-0.07% WER, where quality differences between systems cannot be
+# resolved (1-2 errors in 2,868 words).  Re-synthesizing the held-out set
+# at this noise amplitude puts the CE first pass in the few-percent-WER
+# range (calibrated on chip, r5), giving chain-vs-CE, iVectors, and LM
+# rescoring measurable headroom — the only available proxy for the
+# reference's ≤0.1%-absolute-WER-delta north star on real speech
+# (egs/mini_librispeech/s5/RESULTS sits at 10-20% WER).
+NOISE_EVAL = 2400.0
+
+
+def make_test_set(
+    opts: MinilibOptions, noise: Optional[float] = None,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, List[str]]]:
+    """The held-out evaluation set: clean (synthesis default noise=40)
+    or re-synthesized at a raised noise amplitude — same sentences,
+    same rng stream, so clean and noisy rows are paired."""
+    test_sents = make_text(opts, opts.num_test, opts.seed + 6)
+    return synth_set(opts, test_sents, "test", opts.seed + 7,
+                     noise=40.0 if noise is None else noise)
 
 
 def compute_ivectors(ext, feats: Dict[str, np.ndarray],
@@ -624,8 +648,7 @@ def load_system(workdir: str, opts: Optional[MinilibOptions] = None,
         _ctx_dep, tm = pickle.load(f)
     csr = load_csr(os.path.join(workdir, "hclg.npz"))
     am = AmNnet.load(os.path.join(workdir, "final.am"))
-    test_sents = make_text(opts, opts.num_test, opts.seed + 6)
-    test_waves, test_text = synth_set(opts, test_sents, "test", opts.seed + 7)
+    test_waves, test_text = make_test_set(opts)
     return MinilibSystem(lang, tm, csr, am, test_waves, test_text, workdir)
 
 
@@ -636,8 +659,13 @@ def decode_and_score(
     acoustic_scale: float = 1.0,
     batch: int = 64,
     use_ivectors: bool = False,
+    noise: Optional[float] = None,
+    opts: Optional[MinilibOptions] = None,
 ) -> Tuple[float, float]:
     """Token-sparse decode of the test set; returns (WER %, audio seconds).
+
+    noise: decode the held-out set re-synthesized at this noise amplitude
+    instead of the clean waves (NOISE_EVAL is the standard noisy regime).
 
     Utterances are decoded in duration-sorted chunks of `batch`: the
     [T, B, K] backpointer store is the HBM hog at the 1M-state scale
@@ -651,7 +679,11 @@ def decode_and_score(
     from old_kaldi_git_tpu.utils.batching import pad_feature_batch
     from old_kaldi_git_tpu.utils.edit_distance import compute_wer
 
-    feats = compute_feats(system.test_waves)
+    test_waves, test_text = system.test_waves, system.test_text
+    if noise is not None:
+        test_waves, test_text = make_test_set(
+            opts or MinilibOptions(), noise=noise)
+    feats = compute_feats(test_waves)
     am = system.am
     if use_ivectors:
         from old_kaldi_git_tpu.ivector.extractor import IvectorExtractor
@@ -685,9 +717,9 @@ def decode_and_score(
         for k, res in zip(keys, results):
             hyps[k] = [system.lang.words[w] for w in res.words] if res else []
     stats = compute_wer(
-        {k: list(v) for k, v in system.test_text.items()}, hyps
+        {k: list(v) for k, v in test_text.items()}, hyps
     )
-    audio_s = sum(w.shape[0] for w in system.test_waves.values()) / SAMP_FREQ
+    audio_s = sum(w.shape[0] for w in test_waves.values()) / SAMP_FREQ
     log.info("minilib decode: %s over %.0f audio-s", stats.report(), audio_s)
     return stats.wer, audio_s
 
@@ -700,11 +732,12 @@ def decode_and_score_chain(
     batch: int = 64,
     use_ivectors: bool = False,
     model_name: Optional[str] = None,
+    noise: Optional[float] = None,
 ) -> Tuple[float, float]:
     """Token-sparse decode of the held-out set with the CHAIN model
     (frame-subsampling 3, acoustic scale 1.0, self-loop-scale-1.0 graph);
     returns (WER %, audio seconds).  Same chunking discipline as
-    decode_and_score."""
+    decode_and_score; noise as in decode_and_score."""
     import jax.numpy as jnp
 
     from old_kaldi_git_tpu.decoder.viterbi import (
@@ -720,9 +753,7 @@ def decode_and_score_chain(
     cm = ChainModel.load(os.path.join(workdir, mdl))
     csr = load_csr(os.path.join(workdir, "chain_hclg.npz"))
     lang = _load_lang(workdir)
-    test_sents = make_text(opts, opts.num_test, opts.seed + 6)
-    test_waves, test_text = synth_set(opts, test_sents, "test",
-                                      opts.seed + 7)
+    test_waves, test_text = make_test_set(opts, noise=noise)
     feats = compute_feats(test_waves)
     if use_ivectors:
         from old_kaldi_git_tpu.ivector.extractor import IvectorExtractor
@@ -814,17 +845,9 @@ def rescore_and_score(
         pruned_lm = parse_arpa(f.read())
 
     test_waves = system.test_waves
+    test_text = system.test_text
     if noise is not None:
-        test_sents = make_text(opts, opts.num_test, opts.seed + 6)
-        lex = make_lexicon(opts)
-        specs = phone_inventory(opts.num_phones)
-        durs = phone_durations(opts.num_phones)
-        rng = np.random.default_rng(opts.seed + 7)
-        test_waves = {
-            f"test_{i:04d}": synth_utterance(
-                _to_words(s), lex, specs, durs, rng, noise=noise)
-            for i, s in enumerate(test_sents)
-        }
+        test_waves, test_text = make_test_set(opts, noise=noise)
     keys_all = sorted(test_waves)
     if num_utts:
         keys_all = keys_all[:num_utts]
@@ -845,7 +868,7 @@ def rescore_and_score(
             system.csr, ll, nf, vopts, want_lattice=True,
             lattice_beam=lattice_beam, lattice_budget=lattice_budget)
         for k, res in zip(keys, results):
-            refs[k] = list(system.test_text[k])
+            refs[k] = list(test_text[k])
             if res is None or res.token_lattice is None:
                 base_hyps[k] = resc_hyps[k] = []
                 oracle_errs += len(refs[k])
