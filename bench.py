@@ -169,7 +169,8 @@ def run_minilib() -> dict | None:
     from old_kaldi_git_tpu.recipes import minilib as ml
 
     workdir = os.path.join(REPO, "exp", "minilib")
-    needed = ["lang.pkl", "arpa.txt.gz", "tree.pkl", "final.am", "hclg.npz"]
+    # lang.pkl is a derived cache (rebuilt in ~4 s when absent)
+    needed = ["arpa.txt.gz", "tree.pkl", "final.am", "hclg.npz"]
     if not all(os.path.exists(os.path.join(workdir, n)) for n in needed):
         return None
     system = ml.load_system(workdir, build_missing=False)

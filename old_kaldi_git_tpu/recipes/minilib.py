@@ -34,7 +34,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
 from old_kaldi_git_tpu.utils.parse_options import options_dataclass
 
 log = get_logger("minilib")
@@ -343,8 +343,7 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
                              totgauss=opts.mono_totgauss),
         )
         model.save(ctx.path("mono.mdl"))
-        with open(ctx.path("mono_ali.pkl"), "wb") as f:
-            pickle.dump(ali, f, protocol=4)
+        _dump_pkl_gz(ctx.path("mono_ali.pkl"), ali)
 
     @pipe.stage(4, "tri", produces=("tri.mdl", "tri_ali.pkl", "tree.pkl"))
     def _tri(ctx):
@@ -354,8 +353,7 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
 
         lang = _load_lang(workdir)
         mono = AmGmmModel.load(ctx.path("mono.mdl"))
-        with open(ctx.path("mono_ali.pkl"), "rb") as f:
-            mono_ali = pickle.load(f)
+        mono_ali = _load_pkl(ctx.path("mono_ali.pkl"))
         sents = make_text(opts, opts.num_train, opts.seed + 4,
                           min_len=4, max_len=11)
         waves, text = synth_set(opts, sents, "train", opts.seed + 5)
@@ -369,8 +367,7 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
             ),
         )
         model.save(ctx.path("tri.mdl"))
-        with open(ctx.path("tri_ali.pkl"), "wb") as f:
-            pickle.dump(ali, f, protocol=4)
+        _dump_pkl_gz(ctx.path("tri_ali.pkl"), ali)
         with open(ctx.path("tree.pkl"), "wb") as f:
             pickle.dump((_ctx_dep, model.tm), f, protocol=4)
 
@@ -381,8 +378,7 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
         from old_kaldi_git_tpu.recipes.nnet3 import train_tdnn
 
         tri = AmGmmModel.load(ctx.path("tri.mdl"))
-        with open(ctx.path("tri_ali.pkl"), "rb") as f:
-            ali = pickle.load(f)
+        ali = _load_pkl(ctx.path("tri_ali.pkl"))
         sents = make_text(opts, opts.num_train, opts.seed + 4,
                           min_len=4, max_len=11)
         waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
@@ -403,7 +399,7 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
     @pipe.stage(6, "hclg", produces="hclg.npz")
     def _hclg(ctx):
         csr = _build_hclg(workdir, opts)
-        save_csr(ctx.path("hclg.npz"), csr)
+        save_csr(ctx.path("hclg.npz"), csr, omit_pdf=True)
 
     @pipe.stage(9, "ivector", produces="final.ie")
     def _ivector(ctx):
@@ -436,8 +432,7 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
         from old_kaldi_git_tpu.recipes.nnet3 import train_tdnn
 
         tri = AmGmmModel.load(ctx.path("tri.mdl"))
-        with open(ctx.path("tri_ali.pkl"), "rb") as f:
-            ali = pickle.load(f)
+        ali = _load_pkl(ctx.path("tri_ali.pkl"))
         sents = make_text(opts, opts.num_train, opts.seed + 4,
                           min_len=4, max_len=11)
         waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
@@ -466,8 +461,7 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
 
         lang = _load_lang(workdir)
         tri = AmGmmModel.load(ctx.path("tri.mdl"))
-        with open(ctx.path("tri_ali.pkl"), "rb") as f:
-            ali = pickle.load(f)
+        ali = _load_pkl(ctx.path("tri_ali.pkl"))
         sents = make_text(opts, opts.num_train, opts.seed + 4,
                           min_len=4, max_len=11)
         waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
@@ -500,8 +494,7 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
 
         lang = _load_lang(workdir)
         tri = AmGmmModel.load(ctx.path("tri.mdl"))
-        with open(ctx.path("tri_ali.pkl"), "rb") as f:
-            ali = pickle.load(f)
+        ali = _load_pkl(ctx.path("tri_ali.pkl"))
         sents = make_text(opts, opts.num_train, opts.seed + 4,
                           min_len=4, max_len=11)
         waves, _text = synth_set(opts, sents, "train", opts.seed + 5)
@@ -541,13 +534,44 @@ def build_system(workdir: str, opts: Optional[MinilibOptions] = None,
         # arcs un-duplicated and the decoder hops backoff chains.
         save_csr(ctx.path("chain_hclg.npz"),
                  mkgraph_csr(lang, g, cm.ctx_dep, cm.tm,
-                             self_loop_scale=1.0, split_eps=True))
+                             self_loop_scale=1.0, split_eps=True),
+                 omit_pdf=True)
 
     pipe.run()
 
 
+def _dump_pkl_gz(path: str, obj) -> None:
+    """Alignment artifacts are committed; gzip them (same filename,
+    auto-detected on read)."""
+    with gzip.open(path, "wb", compresslevel=6) as f:
+        pickle.dump(obj, f, protocol=4)
+
+
+def _load_pkl(path: str):
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    opener = gzip.open if magic == b"\x1f\x8b" else open
+    with opener(path, "rb") as f:
+        return pickle.load(f)
+
+
 def _load_lang(workdir: str):
-    with open(os.path.join(workdir, "lang.pkl"), "rb") as f:
+    path = os.path.join(workdir, "lang.pkl")
+    if not os.path.exists(path):
+        # lang.pkl is a derived cache, deterministic from the DEFAULT
+        # MinilibOptions seeds and ~4 s to rebuild — the flagship
+        # workdir does not commit it (r4 verdict #8: one representation
+        # per object).  Non-default workdirs always create it via
+        # build_system stage 1 before anything calls _load_lang.
+        from old_kaldi_git_tpu.fst.lang import Lang, Lexicon
+
+        opts = MinilibOptions()
+        lang = Lang(Lexicon.from_dict(make_lexicon(opts)),
+                    silence_phone="SIL", sil_prob=0.5)
+        with open(path, "wb") as f:
+            pickle.dump(lang, f, protocol=4)
+        return lang
+    with open(path, "rb") as f:
         return pickle.load(f)
 
 
@@ -569,7 +593,10 @@ def _build_hclg(workdir: str, opts: MinilibOptions):
                        fst_out=os.path.join(workdir, "HCLG.fst"))
 
 
-def save_csr(path: str, csr) -> None:
+def save_csr(path: str, csr, omit_pdf: bool = False) -> None:
+    """omit_pdf drops the per-arc pdf array (derivable as
+    tid_to_pdf[tid]; ~3 MB compressed at flagship scale — r4 verdict #8
+    artifact-footprint discipline); load_csr then needs tid_to_pdf."""
     from old_kaldi_git_tpu.decoder.csr import FlatOlabels
 
     ol = csr.arc_olabels
@@ -593,10 +620,12 @@ def save_csr(path: str, csr) -> None:
         extra = dict(eps_ns=csr.eps_ns, eps_w=csr.eps_w,
                      eps_olab=csr.eps_olab,
                      eps_depth=np.int32(csr.eps_depth))
+    if not omit_pdf:
+        extra["pdf"] = csr.pdf
     np.savez_compressed(
         path,
         start=np.int32(csr.start), row_ptr=csr.row_ptr, tid=csr.tid,
-        pdf=csr.pdf, weight=csr.weight, nextstate=csr.nextstate,
+        weight=csr.weight, nextstate=csr.nextstate,
         final_weight=csr.final_weight,
         olab_off=ol.offsets, olab_val=ol.values,
         folab_off=fol.offsets, folab_val=fol.values,
@@ -604,13 +633,21 @@ def save_csr(path: str, csr) -> None:
     )
 
 
-def load_csr(path: str):
+def load_csr(path: str, tid_to_pdf: Optional[np.ndarray] = None):
     from old_kaldi_git_tpu.decoder.csr import CsrGraph, FlatOlabels
 
     z = np.load(path)
+    if "pdf" in z:
+        pdf = z["pdf"]
+    else:
+        if tid_to_pdf is None:
+            raise KaldiError(
+                f"{path} was saved without the pdf array; pass "
+                "tid_to_pdf (TransitionModel.tid_to_pdf_array())")
+        pdf = np.asarray(tid_to_pdf, np.int32)[z["tid"]]
     csr = CsrGraph(
         start=int(z["start"]),
-        row_ptr=z["row_ptr"], tid=z["tid"], pdf=z["pdf"],
+        row_ptr=z["row_ptr"], tid=z["tid"], pdf=pdf,
         weight=z["weight"], nextstate=z["nextstate"],
         final_weight=z["final_weight"],
         arc_olabels=FlatOlabels(z["olab_off"], z["olab_val"]),
@@ -646,7 +683,8 @@ def load_system(workdir: str, opts: Optional[MinilibOptions] = None,
     lang = _load_lang(workdir)
     with open(os.path.join(workdir, "tree.pkl"), "rb") as f:
         _ctx_dep, tm = pickle.load(f)
-    csr = load_csr(os.path.join(workdir, "hclg.npz"))
+    csr = load_csr(os.path.join(workdir, "hclg.npz"),
+                   tm.tid_to_pdf_array())
     am = AmNnet.load(os.path.join(workdir, "final.am"))
     test_waves, test_text = make_test_set(opts)
     return MinilibSystem(lang, tm, csr, am, test_waves, test_text, workdir)
@@ -751,7 +789,8 @@ def decode_and_score_chain(
     opts = opts or MinilibOptions()
     mdl = model_name or ("chain_ivec.mdl" if use_ivectors else "chain.mdl")
     cm = ChainModel.load(os.path.join(workdir, mdl))
-    csr = load_csr(os.path.join(workdir, "chain_hclg.npz"))
+    csr = load_csr(os.path.join(workdir, "chain_hclg.npz"),
+                   cm.tm.tid_to_pdf_array())
     lang = _load_lang(workdir)
     test_waves, test_text = make_test_set(opts, noise=noise)
     feats = compute_feats(test_waves)
