@@ -38,6 +38,69 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def verify_kernels() -> bool:
+    """Run the COMPILED Pallas lowerings against their jnp references on
+    whatever backend the bench runs on (r4 verdict #7: the local test
+    suite's compiled-TPU test is skipped off-chip, so the driver-run
+    bench is where the production kernel paths must be asserted each
+    round).  Raises AssertionError on any mismatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from old_kaldi_git_tpu.feat.compute import MfccOptions
+    from old_kaldi_git_tpu.feat.window import extract_frames
+    from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, DiagGmm
+    from old_kaldi_git_tpu.ops import (
+        fused_mfcc_from_frames,
+        fused_mfcc_reference,
+        gmm_loglikes_pallas,
+        gmm_loglikes_reference,
+        make_mfcc_weights,
+        pack_gmm_weights,
+    )
+    from old_kaldi_git_tpu.ops.gather_kernel import batched_table_gather
+
+    rng = np.random.default_rng(0)
+    # 1. one-hot loglike gather (the token-sparse decoder's hot lookup)
+    tab = jnp.asarray(rng.normal(size=(8, 2000)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 2000, size=(8, 1536)).astype(np.int32))
+    ref = jnp.take_along_axis(tab, idx, axis=1)
+    out = batched_table_gather(tab, idx)
+    if not bool((np.asarray(out) == np.asarray(ref)).all()):
+        raise AssertionError(
+            "compiled Pallas gather != take_along_axis on this backend")
+    # 2. fused MFCC (STFT-as-matmul + mel + DCT)
+    mopts = MfccOptions(use_energy=False)
+    mopts.frame_opts.dither = 0.0
+    wave = jnp.asarray((rng.normal(size=8000) * 1000).astype(np.float32))
+    frames, _ = extract_frames(wave, mopts.frame_opts)
+    weights = make_mfcc_weights(mopts)
+    got = np.asarray(fused_mfcc_from_frames(frames, weights))
+    want = np.asarray(fused_mfcc_reference(frames, weights))
+    if not np.allclose(got, want, rtol=1e-3, atol=1e-3):
+        raise AssertionError("compiled Pallas MFCC kernel != jnp reference")
+    # 3. GMM loglikes (matmul + group logsumexp)
+    pdfs = []
+    for _ in range(37):
+        m = 1 + int(rng.integers(1, 6))
+        g = DiagGmm(np.abs(rng.random(m)) + 0.1,
+                    rng.normal(size=(m, 13)) * 2,
+                    0.3 + rng.random((m, 13)))
+        g.weights = g.weights / g.weights.sum()
+        pdfs.append(g)
+    am = AmDiagGmm(pdfs)
+    feats = jnp.asarray(rng.normal(size=(200, 13)).astype(np.float32))
+    got = np.asarray(gmm_loglikes_pallas(feats, pack_gmm_weights(am)))
+    want = np.asarray(gmm_loglikes_reference(feats, am))
+    # contract: <= 0.02 nats absolute (measured 0.004 worst-case from
+    # the bf16-input group-sum matmul; the r5 fixes took this from 14
+    # nats — a real stabilizer-floor bug — and 0.23 — a stabilizer
+    # rounding asymmetry — down to rounding noise)
+    if not np.allclose(got, want, rtol=2e-3, atol=2e-2):
+        raise AssertionError("compiled Pallas GMM kernel != jnp reference")
+    return True
+
+
 def build_toy_system(num_words: int = 200, seed: int = 0):
     """Medium-vocab synthetic system: random lexicon over 30 phones,
     unigram G, mono GMM-free TDNN-F acoustic model with matching pdf count."""
@@ -242,6 +305,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     backend = jax.default_backend()
 
+    kernels_verified = verify_kernels()  # raises loudly on mismatch
     toy = run_toy()
     mini = run_minilib()
     if mini is None:
@@ -252,6 +316,7 @@ def main():
             "value": toy["toy_audio_s_per_s"],
             "unit": "audio_sec_per_sec_per_chip",
             "vs_baseline": toy["toy_audio_s_per_s"],
+            "kernels_verified": kernels_verified,
             **toy,
         }
     else:
@@ -271,6 +336,7 @@ def main():
             "vs_baseline": round(mini["value"] / 1.0, 2),
             "vs_baseline_basis": "upstream ~1x realtime per CPU core "
                                  "(recalled range 0.5-1.5, unverified)",
+            "kernels_verified": kernels_verified,
             **{k: v for k, v in mini.items() if k != "value"},
             **toy,
         }

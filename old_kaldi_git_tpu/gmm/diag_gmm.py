@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -203,7 +204,13 @@ class AmDiagGmm:
         ext = jnp.concatenate(
             [x, jnp.square(x), jnp.ones(x.shape[:-1] + (1,), x.dtype)], axis=-1
         )
-        comp = ext @ W.T  # [..., T, P*M]
+        # HIGHEST: default TPU matmul rounds inputs to bf16, costing
+        # ~0.3 nats of absolute loglike error at ~1e2 magnitudes
+        # (bench.verify_kernels vs the f64 host oracle, r5); the
+        # contraction K = 2D+1 is far below the 128-lane MXU width, so
+        # extra passes are nearly free here
+        comp = jnp.matmul(ext, W.T,
+                          precision=jax.lax.Precision.HIGHEST)
         comp = comp.reshape(comp.shape[:-1] + (P, M))
         cmax = jnp.max(comp, axis=-1, keepdims=True)
         out = cmax[..., 0] + jnp.log(

@@ -63,22 +63,62 @@ def _gmm_kernel(ext_ref, w_ref, ind_ref, out_ref, *, m_pad: int):
     out [TILE_T, LANE]: one logsumexp'd column per pdf.
 
     Group reduction = matmul with the indicator (Mosaic has no lane
-    reshapes; the MXU does this for free).  Stabilization uses the per-row
-    max over each 128-gaussian score block; values more than ~69 nats below
-    that max underflow to the floor — irrelevant at beam widths ≤ 30."""
+    reshapes; the MXU does this for free).  Stabilization is per GROUP,
+    not per 128-gaussian block: a temperature-8 indicator logsumexp
+    gives a per-group stabilizer g̃ ∈ [group-max, group-max + 8·ln 8]
+    without underflow out to ~550 nats below the block max (a
+    block-max-only stabilizer floored every pdf more than ~69 nats below
+    the block's best — caught by bench.verify_kernels, r5)."""
     per = LANE // m_pad  # pdfs produced per 128-lane score block
+
+    def dot_t(a, b):  # a [T, E] · b [LANE, E]ᵀ
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    ext_f = ext_ref[:]
+    # manual bf16x3 split: the MXU rounds f32 matmul inputs to bf16
+    # (Mosaic ignores the precision= argument), which costs ~0.2 nats of
+    # absolute score error at ~1e2 magnitudes (verify_kernels caught it
+    # against the f64 oracle, r5).  hi+lo splitting recovers ~f32
+    # accuracy at 3 passes — the "f32 via 3-pass bf16" rate the roofline
+    # already prices in.
+    ext_hi = ext_f.astype(jnp.bfloat16).astype(jnp.float32)
+    ext_lo = ext_f - ext_hi
     for j in range(m_pad):
         w_blk = w_ref[j * LANE : (j + 1) * LANE, :]
-        scores = jax.lax.dot_general(
-            ext_ref[:], w_blk,
+        w_hi = w_blk.astype(jnp.bfloat16).astype(jnp.float32)
+        w_lo = w_blk - w_hi
+        scores = (dot_t(ext_hi, w_hi) + dot_t(ext_hi, w_lo)
+                  + dot_t(ext_lo, w_hi))  # [TILE_T, LANE]
+        m = jnp.max(scores, axis=1, keepdims=True)
+        sm = scores - m
+        # per-group stabilizer: 8·log Σ_group exp(sm/8) ≥ group max,
+        # ≤ group max + 8·ln 8 ≈ +16.6 — so the exp below never
+        # overflows and its dominant term never underflows
+        f = jnp.exp(sm * 0.125)
+        gf = jnp.dot(f, ind_ref[:, :per],
+                     preferred_element_type=jnp.float32)  # [T, per]
+        glog = 8.0 * jnp.log(jnp.maximum(gf, 1e-30))
+        gb = jax.lax.dot_general(  # broadcast stabilizer back to lanes
+            glog, ind_ref[:, :per],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [TILE_T, LANE]
-        m = jnp.max(scores, axis=1, keepdims=True)
-        e = jnp.exp(scores - m)
-        gs = jnp.dot(e, ind_ref[:, :per], preferred_element_type=jnp.float32)
+        )  # [T, LANE]
+        e = jnp.exp(sm - gb)
+        gs = jnp.dot(e, ind_ref[:, :per],
+                     preferred_element_type=jnp.float32)
+        # add back EXACTLY the stabilizer that was subtracted: gb is
+        # what the exponent saw (glog after the broadcast matmul's bf16
+        # input rounding — up to 0.2 nats off glog at 1e2 magnitudes);
+        # gb itself is bf16-representable, so this compaction matmul is
+        # exact and the stabilizer cancels to the last bit.  Using glog
+        # here instead left the rounding delta in the output
+        # (verify_kernels, r5).
+        gb_c = jnp.dot(gb, ind_ref[:, :per],
+                       preferred_element_type=jnp.float32) * (1.0 / m_pad)
         out_ref[:, j * per : (j + 1) * per] = (
-            jnp.log(jnp.maximum(gs, 1e-30)) + m
+            jnp.log(jnp.maximum(gs, 1e-30)) + m + gb_c
         )
 
 
