@@ -248,11 +248,17 @@ def synth_set(
 # at 0.03-0.07% WER, where quality differences between systems cannot be
 # resolved (1-2 errors in 2,868 words).  Re-synthesizing the held-out set
 # at this noise amplitude puts the CE first pass in the few-percent-WER
-# range (calibrated on chip, r5), giving chain-vs-CE, iVectors, and LM
-# rescoring measurable headroom — the only available proxy for the
-# reference's ≤0.1%-absolute-WER-delta north star on real speech
-# (egs/mini_librispeech/s5/RESULTS sits at 10-20% WER).
-NOISE_EVAL = 2400.0
+# range, giving chain-vs-CE, iVectors, and LM rescoring measurable
+# headroom — the only available proxy for the reference's
+# ≤0.1%-absolute-WER-delta north star on real speech
+# (egs/mini_librispeech/s5/RESULTS sits at 10-20% WER).  Calibrated on
+# chip r5: CE WER 4.3% at noise 400 (the cliff is sharp — 0.07% at the
+# synthesis default 40, ~71% at 800 where the formant signal drowns).
+NOISE_EVAL = 400.0
+
+
+_test_set_cache: Dict[tuple, tuple] = {}
+_feat_cache: Dict[tuple, Dict[str, np.ndarray]] = {}
 
 
 def make_test_set(
@@ -260,10 +266,31 @@ def make_test_set(
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, List[str]]]:
     """The held-out evaluation set: clean (synthesis default noise=40)
     or re-synthesized at a raised noise amplitude — same sentences,
-    same rng stream, so clean and noisy rows are paired."""
-    test_sents = make_text(opts, opts.num_test, opts.seed + 6)
-    return synth_set(opts, test_sents, "test", opts.seed + 7,
-                     noise=40.0 if noise is None else noise)
+    same rng stream, so clean and noisy rows are paired.  Cached per
+    (num_test, seed, noise): bench.py evaluates several systems on the
+    same sets."""
+    key = (opts.num_test, opts.seed, opts.num_words, opts.num_phones,
+           noise)
+    if key not in _test_set_cache:
+        test_sents = make_text(opts, opts.num_test, opts.seed + 6)
+        _test_set_cache[key] = synth_set(
+            opts, test_sents, "test", opts.seed + 7,
+            noise=40.0 if noise is None else noise)
+    return _test_set_cache[key]
+
+
+def _test_feats(opts: MinilibOptions, noise: Optional[float],
+                waves: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Cached front-end for the held-out set (the MFCC+CMVN+deltas pass
+    over 256 utterances is the bench's per-system fixed cost).  The key
+    fingerprints the actual wave dict so tiny test systems that share
+    default opts can't collide with the flagship set."""
+    first = min(waves) if waves else ""
+    key = (opts.num_test, opts.seed, noise, len(waves), first,
+           waves[first].shape[0] if waves else 0)
+    if key not in _feat_cache:
+        _feat_cache[key] = compute_feats(waves)
+    return _feat_cache[key]
 
 
 def compute_ivectors(ext, feats: Dict[str, np.ndarray],
@@ -721,7 +748,7 @@ def decode_and_score(
     if noise is not None:
         test_waves, test_text = make_test_set(
             opts or MinilibOptions(), noise=noise)
-    feats = compute_feats(test_waves)
+    feats = _test_feats(opts or MinilibOptions(), noise, test_waves)
     am = system.am
     if use_ivectors:
         from old_kaldi_git_tpu.ivector.extractor import IvectorExtractor
@@ -793,7 +820,7 @@ def decode_and_score_chain(
                    cm.tm.tid_to_pdf_array())
     lang = _load_lang(workdir)
     test_waves, test_text = make_test_set(opts, noise=noise)
-    feats = compute_feats(test_waves)
+    feats = _test_feats(opts, noise, test_waves)
     if use_ivectors:
         from old_kaldi_git_tpu.ivector.extractor import IvectorExtractor
         from old_kaldi_git_tpu.recipes.nnet3 import append_ivector_feats
@@ -890,7 +917,10 @@ def rescore_and_score(
     keys_all = sorted(test_waves)
     if num_utts:
         keys_all = keys_all[:num_utts]
-    feats = compute_feats({k: test_waves[k] for k in keys_all})
+    if num_utts:
+        feats = compute_feats({k: test_waves[k] for k in keys_all})
+    else:
+        feats = _test_feats(opts, noise, test_waves)
     vopts = ViterbiOptions(beam=beam, max_active=max_active,
                            acoustic_scale=1.0)
     base_hyps, resc_hyps, refs = {}, {}, {}
