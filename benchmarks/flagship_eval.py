@@ -103,7 +103,8 @@ def main():
     # all utterances, with lattice oracle WER
     t0 = time.perf_counter()
     before, after = ml.rescore_and_score(
-        system, noise=NOISE, full_lm_order=4, compute_oracle=True)
+        system, noise=NOISE, full_lm_order=4, compute_oracle=True,
+        max_active=1024)
     stats = ml.rescore_and_score.last_stats
     print(json.dumps({
         "row": "rescore_noisy", "before_wer": round(before, 3),

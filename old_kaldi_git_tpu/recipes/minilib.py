@@ -859,10 +859,15 @@ def rescore_and_score(
     system: MinilibSystem,
     opts: Optional[MinilibOptions] = None,
     beam: float = 14.0,
-    max_active: int = 2048,
+    max_active: int = 1024,
     lattice_beam: float = 8.0,
-    lattice_budget: int = 128,
-    batch: int = 64,
+    # 0 = auto (2·max_active records/frame).  The budget must scale with
+    # K: the noisy regime floods the per-dest lattice band, and L=128
+    # dropped parts of the Viterbi backbone itself (measured r5: 1-best
+    # degraded 3.6%→7.8% WER at K=2048/L=128; at the auto budget the
+    # rebuilt lattice's best path equals the decoder's on 64/64 utts)
+    lattice_budget: int = 0,
+    batch: int = 16,
     num_utts: int = 0,
     noise: Optional[float] = None,
     full_lm_order: int = 0,
