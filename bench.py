@@ -228,7 +228,10 @@ def run_toy() -> dict:
 
 def run_minilib() -> dict | None:
     """Flagship: token-sparse decode of the 20k-word trigram system with
-    measured WER (round-2 verdict ask #1)."""
+    measured WER in BOTH evaluation regimes (clean + noisy; r4 verdict
+    #2 — at clean-corpus 0.03-0.07% WER nothing quality-related can be
+    resolved, so every system also reports WER at minilib.NOISE_EVAL
+    where the CE first pass sits at a few percent)."""
     from old_kaldi_git_tpu.recipes import minilib as ml
 
     workdir = os.path.join(REPO, "exp", "minilib")
@@ -238,21 +241,32 @@ def run_minilib() -> dict | None:
         return None
     system = ml.load_system(workdir, build_missing=False)
     S, A = system.csr.num_states, system.csr.num_arcs
+    NOISE = ml.NOISE_EVAL
 
-    # headline at the reference-like operating point (max_active=2048;
-    # upstream decode.sh default is 7000), plus the measured-equal-WER
-    # fast point K=512 (max-active sweep is standard decode tuning)
+    # headline operating point: K=1024, B=128 — the r5 K-vs-WER sweep
+    # measured WER flat from K=2048 down to K=512 in BOTH regimes
+    # (clean 0.07%, noisy 3.56% at every K), so the headline moves to
+    # the fastest WER-neutral point with a 2x safety margin over K=512
+    # (upstream decode.sh defaults to max-active 7000 for arbitrary
+    # corpora; K=2048 rides along as the conservative row)
     out = {}
-    for tag, K in (("", 2048), ("k512_", 512)):
-        wer, audio_s = ml.decode_and_score(system, max_active=K)  # warmup
+    for tag, K, B in (("", 1024, 128), ("k2048_", 2048, 64),
+                      ("k512_", 512, 128)):
+        wer, audio_s = ml.decode_and_score(
+            system, max_active=K, batch=B)  # warmup
         wall = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            wer, audio_s = ml.decode_and_score(system, max_active=K)
+            wer, audio_s = ml.decode_and_score(system, max_active=K,
+                                               batch=B)
             wall = min(wall, time.perf_counter() - t0)
         out[f"{tag}value"] = round(audio_s / wall, 2)
         out[f"{tag}wer"] = round(wer, 2)
+    out["k2048_audio_s_per_s"] = out.pop("k2048_value")
     out["k512_audio_s_per_s"] = out.pop("k512_value")
+    nwer, _ = ml.decode_and_score(system, max_active=1024, batch=128,
+                                  noise=NOISE)
+    out["noisy_wer"] = round(nwer, 2)
     # chain LF-MMI decode (config-4 shape at scale: frame-subsampling 3,
     # self-loop-scale-1.0 split-eps graph) when its artifacts are present
     if all(os.path.exists(os.path.join(workdir, n))
@@ -265,6 +279,8 @@ def run_minilib() -> dict | None:
             wall = min(wall, time.perf_counter() - t0)
         out["chain_audio_s_per_s"] = round(audio_c / wall, 2)
         out["chain_wer"] = round(wer_c, 2)
+        nwer_c, _ = ml.decode_and_score_chain(workdir, noise=NOISE)
+        out["noisy_chain_wer"] = round(nwer_c, 2)
     # online-iVector systems (reference mini_librispeech recipe standard;
     # config-2/3/4 adaptation parity) when their artifacts are present
     if all(os.path.exists(os.path.join(workdir, n))
@@ -277,6 +293,9 @@ def run_minilib() -> dict | None:
         out["ce_ivec_audio_s_per_s"] = round(
             audio_i / (time.perf_counter() - t0), 2)
         out["ce_ivec_wer"] = round(wer_i, 2)
+        nwer_i, _ = ml.decode_and_score(
+            system, max_active=2048, use_ivectors=True, noise=NOISE)
+        out["noisy_ce_ivec_wer"] = round(nwer_i, 2)
     if all(os.path.exists(os.path.join(workdir, n))
            for n in ("final.ie", "chain_ivec.mdl", "chain_hclg.npz")):
         wer_ci, audio_ci = ml.decode_and_score_chain(
@@ -287,6 +306,19 @@ def run_minilib() -> dict | None:
         out["chain_ivec_audio_s_per_s"] = round(
             audio_ci / (time.perf_counter() - t0), 2)
         out["chain_ivec_wer"] = round(wer_ci, 2)
+        nwer_ci, _ = ml.decode_and_score_chain(
+            workdir, use_ivectors=True, noise=NOISE)
+        out["noisy_chain_ivec_wer"] = round(nwer_ci, 2)
+    # config-5: full 4-gram lattice rescoring at the noisy operating
+    # point (64 utterances bounds the bench wall; the full-set numbers
+    # are in BASELINE.md), with lattice oracle WER
+    before, after = ml.rescore_and_score(
+        system, noise=NOISE, full_lm_order=4, compute_oracle=True,
+        num_utts=64)
+    stats = ml.rescore_and_score.last_stats
+    out["rescore_before_wer"] = round(before, 2)
+    out["rescore_after_wer"] = round(after, 2)
+    out["rescore_oracle_wer"] = round(stats["oracle_wer"], 2)
     return {
         **out,
         "states": S,
@@ -324,7 +356,8 @@ def main():
             "metric": (
                 "minilib decode audio-seconds/s/chip + WER (20k words, "
                 f"pruned trigram, {mini['states']} states, {mini['arcs']} "
-                f"arcs, token-sparse max_active=2048, backend={backend})"
+                f"arcs, token-sparse max_active=1024 batch=128, "
+                f"backend={backend})"
             ),
             "value": mini["value"],
             "unit": "audio_sec_per_sec_per_chip",
