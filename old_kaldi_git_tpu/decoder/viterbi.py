@@ -702,6 +702,44 @@ def _eps_walk_words(graph: CsrGraph, u: int, v: int):
     return words if u == v else None
 
 
+def _arc_src(graph: CsrGraph) -> np.ndarray:
+    """arc id → source state (cached per graph)."""
+    frm = getattr(graph, "_arc_src_cache", None)
+    if frm is None or len(frm) != graph.num_arcs:
+        frm = np.repeat(
+            np.arange(graph.num_states, dtype=np.int64),
+            graph.out_degree().astype(np.int64))
+        graph._arc_src_cache = frm
+    return frm
+
+
+def split_words_for_arc_seq(
+    graph: CsrGraph, arc_seq: np.ndarray, end_state: int
+) -> Optional[List[int]]:
+    """Word labels for a split-eps winning EMIT-arc chain ending at
+    end_state: emit-arc olabels plus the backoff words recovered by
+    walking the unique eps chain between each arc's target and the next
+    arc's source (the kernel records only the emit arc + the post-hop
+    token state).  None if a hop walk fails (decoder/host
+    inconsistency).  Shared by the batch and streaming hosts."""
+    frm = _arc_src(graph)
+    nf = len(arc_seq)
+    words: List[int] = []
+    pre = _eps_walk_words(graph, graph.start, int(frm[arc_seq[0]]))
+    if pre is None:
+        return None
+    words.extend(pre)
+    for t in range(nf):
+        a = int(arc_seq[t])
+        words.extend(graph.arc_olabels[a])
+        tgt = (int(frm[arc_seq[t + 1]]) if t + 1 < nf else int(end_state))
+        hop_words = _eps_walk_words(graph, int(graph.nextstate[a]), tgt)
+        if hop_words is None:
+            return None
+        words.extend(hop_words)
+    return words
+
+
 def _results_from_arcs_split(
     graph: CsrGraph,
     arcs: np.ndarray,  # [T, B] winning EMIT arc ids (-1 = dead frame)
@@ -711,13 +749,8 @@ def _results_from_arcs_split(
     num_frames: np.ndarray,
 ) -> List[Optional[DecodeResult]]:
     """Host tail for SPLIT-EPS decodes: like results_from_arcs, but word
-    labels on backoff arcs are recovered by walking the unique eps chain
-    between each frame's arc target and the next frame's arc source (the
-    kernel records only the emit arc + the post-hop token state)."""
+    labels on backoff arcs are recovered via split_words_for_arc_seq."""
     B = arcs.shape[1]
-    frm = np.repeat(
-        np.arange(graph.num_states, dtype=np.int64),
-        graph.out_degree().astype(np.int64))
     results: List[Optional[DecodeResult]] = []
     for b in range(B):
         nf_b = int(num_frames[b])
@@ -733,28 +766,9 @@ def _results_from_arcs_split(
                 words=[], alignment=np.zeros(0, np.int32),
                 cost=float(costs[b])))
             continue
-        words: List[int] = []
-        ok = True
-        # eps prefix from the start state to the first arc's source
-        pre = _eps_walk_words(graph, graph.start, int(frm[arc_seq[0]]))
-        if pre is None:
-            ok = False
-        else:
-            words.extend(pre)
-        for t in range(nf_b):
-            if not ok:
-                break
-            a = int(arc_seq[t])
-            o = graph.arc_olabels[a]
-            words.extend(o)
-            tgt = (int(frm[arc_seq[t + 1]]) if t + 1 < nf_b
-                   else int(end_states[b]))
-            hop_words = _eps_walk_words(graph, int(graph.nextstate[a]), tgt)
-            if hop_words is None:
-                ok = False
-            else:
-                words.extend(hop_words)
-        if not ok:
+        words = split_words_for_arc_seq(graph, arc_seq,
+                                        int(end_states[b]))
+        if words is None:
             log.warning("split-eps backtrace walk failed for utt %d", b)
             results.append(None)
             continue

@@ -54,7 +54,7 @@ def _chunk_update(frm, pdf, w, ns, alpha, bps_buf, bpa_buf, ll, t0, nvalid,
 from old_kaldi_git_tpu.feat.compute import Mfcc, MfccOptions
 from old_kaldi_git_tpu.feat.functions import DeltaFeaturesOptions, compute_deltas
 from old_kaldi_git_tpu.feat.window import num_frames as count_frames
-from old_kaldi_git_tpu.utils.log import get_logger
+from old_kaldi_git_tpu.utils.log import KaldiError, get_logger
 
 log = get_logger("online")
 
@@ -246,9 +246,21 @@ class StreamingTokenDecoder:
         endpoint_rules: Optional[List[EndpointRule]] = None,
         max_frames: int = 6000,
         chunk_quantum: int = 32,
+        frame_subsampling_factor: int = 1,
     ):
+        """frame_subsampling_factor > 1 streams a CHAIN model (reference
+        online2 decoding of chain systems): features are fed at the
+        input rate, am_loglikes_fn maps the [1, W, D] window to
+        [1, W/fsf, P] subsampled loglikes (AmNnet.logits with
+        output_stride), and the search advances one graph frame per fsf
+        input frames over the self-loop-scale-1.0 split-eps graph.
+        Split-eps graphs are supported directly: the per-frame backoff
+        hop merge and the eps-closure seeding match the batch kernel
+        (viterbi._decode_scan_tokens), so streaming == batch stays exact.
+        """
         from old_kaldi_git_tpu.decoder.viterbi import (
             _decode_scan_tokens,
+            _eps_hop_table,
             _token_budget,
         )
 
@@ -257,16 +269,24 @@ class StreamingTokenDecoder:
         self.opts = opts or ViterbiOptions()
         self.silence_phones = set(int(p) for p in silence_phones)
         self.tid_to_phone = tid_to_phone
-        self.frame_shift = frame_shift
-        self.lctx = am_left_context
+        self.fsf = int(frame_subsampling_factor)
+        if self.fsf < 1:
+            raise KaldiError("frame_subsampling_factor must be >= 1")
+        if chunk_quantum % self.fsf:
+            raise KaldiError(
+                "chunk_quantum must be a multiple of "
+                "frame_subsampling_factor (chunks advance whole "
+                "subsampled frames)")
+        # endpointing clocks in INPUT seconds; search frames cover fsf
+        # input frames each
+        self.frame_shift = frame_shift * self.fsf
+        # left context rounded up to the subsample grid so the AM
+        # window's stride phase matches the batch evaluation exactly
+        self.lctx = -(-am_left_context // self.fsf) * self.fsf
         self.rctx = am_right_context
         self.rules = endpoint_rules or default_endpoint_rules()
         from old_kaldi_git_tpu.decoder.csr import build_tile_graph
 
-        if graph.eps_ns is not None:
-            raise KaldiError(
-                "StreamingTokenDecoder needs a folded-eps graph "
-                "(split-eps streaming not yet wired)")
         self.K = max(4, min(self.opts.max_active, graph.num_states))
         tg = build_tile_graph(graph)
         self._tg = tg
@@ -279,8 +299,21 @@ class StreamingTokenDecoder:
         self._frm = jnp.asarray(tg.frm_pad)
         self._fw = np.where(
             np.isfinite(graph.final_weight), graph.final_weight, BIG)
-        # AM window: fixed length so every chunk hits one compiled program
-        self._W = -(-(self.lctx + chunk_quantum + self.rctx) // 16) * 16
+        self._eps_hops, self._D = (None, 0)
+        self._seeds = [(graph.start, 0.0)]
+        if graph.eps_ns is not None:
+            self._eps_hops, self._D = _eps_hop_table(graph)
+            # start state's eps closure seeds the initial token set (the
+            # kernel's hop merge only runs after each frame's expansion)
+            u, c = graph.start, 0.0
+            while graph.eps_ns[u] >= 0 and len(self._seeds) <= self._D:
+                c += float(graph.eps_w[u])
+                u = int(graph.eps_ns[u])
+                self._seeds.append((u, c))
+        # AM window: fixed length so every chunk hits one compiled
+        # program; a multiple of 16·fsf keeps the subsample grid aligned
+        self._W = (-(-(self.lctx + chunk_quantum + self.rctx)
+                     // (16 * self.fsf)) * 16 * self.fsf)
         self._fused = self._build_fused()
         self.reset()
 
@@ -293,22 +326,24 @@ class StreamingTokenDecoder:
         latency, not compute, dominates single-stream streaming there)."""
         am = self.am
         scan = self._scan
-        q = self.chunk_quantum
+        qs = self.chunk_quantum // self.fsf  # search frames per chunk
         K, E, S = self.K, self.E, self.graph.num_states
         start = self.graph.start
         ac = float(self.opts.acoustic_scale)
         beam = float(self.opts.beam)
         tile_ptr, tiles = self._tile_ptr, self._tiles
+        eps_hops, D = self._eps_hops, self._D
 
         @partial(jax.jit, donate_argnums=(4, 5, 6, 7))
         def fused(feat_ctx, t_off, n_valid, t0, tok_state, tok_cost,
                   bps, bpa):
-            ll = am(feat_ctx)[0]  # [W, P]
+            ll = am(feat_ctx)[0]  # [W/fsf, P] (subsampled for chain)
             P = ll.shape[1]
-            ll_new = jax.lax.dynamic_slice(ll, (t_off, 0), (q, P))[None]
+            ll_new = jax.lax.dynamic_slice(ll, (t_off, 0), (qs, P))[None]
             out = scan(tile_ptr, tiles, start, ll_new,
                        jnp.reshape(n_valid, (1,)).astype(jnp.int32),
-                       ac, beam, K, E, S, 0, 0.0, (tok_state, tok_cost))
+                       ac, beam, K, E, S, 0, 0.0, (tok_state, tok_cost),
+                       eps_hops, D)
             ts, tc, bp_s, bp_a = out[0], out[1], out[2], out[3]
             bps = jax.lax.dynamic_update_slice(bps, bp_s, (t0, 0, 0))
             bpa = jax.lax.dynamic_update_slice(bpa, bp_a, (t0, 0, 0))
@@ -317,14 +352,18 @@ class StreamingTokenDecoder:
         return fused
 
     def reset(self) -> None:
-        self._tok_state = jnp.full((1, self.K), -1, jnp.int32).at[:, 0].set(
-            self.graph.start)
-        self._tok_cost = jnp.full((1, self.K), BIG, jnp.float32).at[
-            :, 0].set(0.0)
+        ts0 = np.full((1, self.K), -1, np.int32)
+        tc0 = np.full((1, self.K), BIG, np.float32)
+        for i, (s_i, c_i) in enumerate(self._seeds[: self.K]):
+            ts0[:, i] = s_i
+            tc0[:, i] = c_i
+        self._tok_state = jnp.asarray(ts0)
+        self._tok_cost = jnp.asarray(tc0)
         self._feat_buf = np.zeros((0, 0), np.float32)
         self._frames_decoded = 0
-        self._bps_buf = jnp.full((self.max_frames, 1, self.K), -1, jnp.int32)
-        self._bpa_buf = jnp.full((self.max_frames, 1, self.K), -1, jnp.int32)
+        rows = -(-self.max_frames // self.fsf)
+        self._bps_buf = jnp.full((rows, 1, self.K), -1, jnp.int32)
+        self._bpa_buf = jnp.full((rows, 1, self.K), -1, jnp.int32)
 
     def advance(self, new_feats: np.ndarray, final: bool = False) -> None:
         """Feed newly finalized feature frames (same hold-back contract as
@@ -337,6 +376,12 @@ class StreamingTokenDecoder:
         avail = len(self._feat_buf) if self._feat_buf.size else 0
         total = avail if final else max(
             self._frames_decoded, avail - self.rctx)
+        if not final:
+            # only advance whole subsampled frames mid-stream so the AM
+            # window's stride phase stays aligned with the batch path
+            total = (self._frames_decoded
+                     + ((total - self._frames_decoded) // self.fsf)
+                     * self.fsf)
         n_new = total - self._frames_decoded
         if n_new <= 0:
             return
@@ -364,7 +409,8 @@ class StreamingTokenDecoder:
                 window = window[: self._W]
             (self._tok_state, self._tok_cost, self._bps_buf,
              self._bpa_buf) = self._fused(
-                jnp.asarray(window[None]), fd - lo, take, fd,
+                jnp.asarray(window[None]), (fd - lo) // self.fsf,
+                -(-take // self.fsf), fd // self.fsf,
                 self._tok_state, self._tok_cost,
                 self._bps_buf, self._bpa_buf)
             self._frames_decoded = fd + take
@@ -374,11 +420,13 @@ class StreamingTokenDecoder:
     def _backtrace(self) -> Tuple[List[int], List[int]]:
         if self._frames_decoded == 0:
             return [], []
+        nf_s = -(-self._frames_decoded // self.fsf)  # search frames
         tok_state = np.asarray(self._tok_state)[0]
         tok_cost = np.asarray(self._tok_cost)[0]
         cb = np.where(tok_state >= 0, tok_cost, BIG)
         total = cb + self._fw[np.maximum(tok_state, 0)]
-        if total.min() >= BIG:
+        use_final = bool(total.min() < BIG)
+        if not use_final:
             total = cb
         slot = int(np.argmin(total))
         state = int(tok_state[slot])
@@ -388,16 +436,27 @@ class StreamingTokenDecoder:
             _backtrace_scan(
                 self._bps_buf, self._bpa_buf, self._frm,
                 jnp.asarray([state], np.int32),
-                jnp.asarray([self._frames_decoded], np.int32),
+                jnp.asarray([nf_s], np.int32),
             )
-        )[: self._frames_decoded, 0]
+        )[:nf_s, 0]
         if (arcs < 0).any():
             return [], []
         # padded tile-slot ids -> original graph arc ids
         arcs = self._tg.pad2orig[arcs]
-        words: List[int] = []
-        for a in arcs:
-            words.extend(self.graph.arc_olabels[a])
+        if self.graph.eps_ns is not None:
+            from old_kaldi_git_tpu.decoder.viterbi import (
+                split_words_for_arc_seq,
+            )
+
+            words = split_words_for_arc_seq(self.graph, arcs, state)
+            if words is None:
+                return [], []
+        else:
+            words = []
+            for a in arcs:
+                words.extend(self.graph.arc_olabels[a])
+        if use_final:
+            words = words + list(self.graph.final_olabels[state])
         tids = [int(self.graph.tid[a]) for a in arcs]
         return words, tids
 

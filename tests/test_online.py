@@ -221,3 +221,127 @@ def test_streaming_token_decoder_matches_batch():
     dec.advance(silence)
     assert dec.endpoint_detected()
     assert [lang.words[w] for w in dec.best_words()] == ["no"]
+
+
+def _backoff_split_system(seed=7, S=40, P=12):
+    """The synthetic backoff-shaped graph from
+    tests/test_decoder.py::test_split_eps_decode_matches_folded, as
+    (folded CSR, split CSR, tid_to_pdf)."""
+    from old_kaldi_git_tpu.decoder.csr import (
+        fst_to_csr,
+        fst_to_split_csr_arrays,
+    )
+    from old_kaldi_git_tpu.fst.vector_fst import Arc, INF, VectorFst
+
+    rng = np.random.default_rng(seed)
+    fst = VectorFst()
+    for _ in range(S):
+        fst.add_state()
+    fst.start = 0
+    for s in range(S):
+        for _ in range(3):
+            tid = int(rng.integers(1, P + 1))
+            fst.add_arc(s, Arc(tid, int(rng.integers(0, 5)),
+                               float(rng.exponential(0.5)),
+                               int(rng.integers(0, S))))
+        if s % 3 != 2 and s + 1 < S:
+            fst.add_arc(s, Arc(0, int(rng.integers(0, 3)),
+                               float(rng.exponential(0.3)), s + 1))
+    for s in range(0, S, 5):
+        fst.set_final(s, float(rng.exponential(0.2)))
+    tid_to_pdf = np.arange(P + 1, dtype=np.int32)
+    tid_to_pdf[1:] = np.arange(P)
+    folded = fst_to_csr(fst, tid_to_pdf)
+    n = fst.num_states
+    counts = np.asarray([len(a) for a in fst.arcs], np.int64)
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    il = np.zeros(int(row_ptr[-1]), np.int32)
+    ol = np.zeros_like(il)
+    w = np.zeros(len(il), np.float32)
+    ns = np.zeros_like(il)
+    i = 0
+    for lst in fst.arcs:
+        for a in lst:
+            il[i], ol[i], w[i], ns[i] = (a.ilabel, a.olabel, a.weight,
+                                         a.nextstate)
+            i += 1
+    finals = np.asarray([f if f != INF else np.inf for f in fst.finals],
+                        np.float32)
+    split = fst_to_split_csr_arrays(
+        fst.start, row_ptr.astype(np.int32), il, ol, w, ns, finals,
+        tid_to_pdf)
+    return folded, split, tid_to_pdf
+
+
+def test_streaming_split_eps_matches_batch():
+    """StreamingTokenDecoder over a SPLIT-EPS (backoff-shaped, chain-style)
+    graph == batch decode for any chunking: the per-frame hop merge, the
+    start-state eps-closure seeding, and the host backoff-word walk all
+    match the batch kernel (r5 — split-eps streaming was a guarded gap)."""
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch_tokens
+    from old_kaldi_git_tpu.online.streaming import StreamingTokenDecoder
+
+    _folded, split, tid_to_pdf = _backoff_split_system()
+    P = 12
+    rng = np.random.default_rng(3)
+    T = 25
+    ll = rng.normal(size=(T, P)).astype(np.float32)
+    vopts = ViterbiOptions(beam=1e9, max_active=64, acoustic_scale=0.7)
+    batch = decode_batch_tokens(split, ll[None], [T], vopts)[0]
+    assert batch is not None
+
+    for chunks in ([5] * 5, [1] * T, [T], [7, 3, T]):
+        dec = StreamingTokenDecoder(
+            split, lambda f: jnp.asarray(f),
+            silence_phones=[],
+            tid_to_phone=np.zeros(split.tid.max() + 1, np.int32),
+            opts=vopts,
+        )
+        lo = 0
+        for n in chunks:
+            dec.advance(ll[lo: lo + n], final=lo + n >= T)
+            lo += n
+            if lo >= T:
+                break
+        words, tids = dec._backtrace()
+        assert words == batch.words, chunks
+        assert tids == list(batch.alignment), chunks
+
+
+def test_streaming_frame_subsampling_matches_batch():
+    """frame_subsampling_factor=3 (chain streaming): features fed at the
+    input rate with a subsampling AM == batch decode over the subsampled
+    loglikes, for any input-rate chunking."""
+    from old_kaldi_git_tpu.decoder.viterbi import decode_batch_tokens
+    from old_kaldi_git_tpu.online.streaming import StreamingTokenDecoder
+
+    _folded, split, _t2p = _backoff_split_system()
+    P = 12
+    rng = np.random.default_rng(4)
+    T_in = 75  # input frames; 25 subsampled
+    ll_full = rng.normal(size=(T_in, P)).astype(np.float32)
+    ll_sub = ll_full[::3]
+    vopts = ViterbiOptions(beam=1e9, max_active=64, acoustic_scale=0.7)
+    batch = decode_batch_tokens(split, ll_sub[None], [len(ll_sub)],
+                                vopts)[0]
+    assert batch is not None
+
+    for chunks in ([30, 30, 15], [T_in], [10] * 8):
+        dec = StreamingTokenDecoder(
+            split, lambda f: jnp.asarray(f)[:, ::3],
+            silence_phones=[],
+            tid_to_phone=np.zeros(split.tid.max() + 1, np.int32),
+            opts=vopts,
+            frame_subsampling_factor=3,
+            chunk_quantum=30,
+        )
+        lo = 0
+        for n in chunks:
+            dec.advance(ll_full[lo: lo + n], final=lo + n >= T_in)
+            lo += n
+            if lo >= T_in:
+                break
+        words, tids = dec._backtrace()
+        assert words == batch.words, chunks
+        assert tids == list(batch.alignment), chunks
