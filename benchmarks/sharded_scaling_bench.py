@@ -2,8 +2,9 @@
 
 Runs the graph-sharded token-sparse decoder (decoder/sharded.py) over
 N = 1/2/4/8 devices on a fixed synthetic HCLG and a fixed utterance
-batch, recording per-shard arc storage, per-frame all_gather volume, and
-wall time.
+batch, recording per-shard arc storage, per-frame merge wire volume
+(row-partitioned merge: all_to_all + all_gather, ~6BK(N-1)/N words per
+device), and wall time.
 
 HONESTY NOTE on the wall-clock column: with
 XLA_FLAGS=--xla_force_host_platform_device_count=8 the "devices" are
@@ -132,7 +133,7 @@ def main():
             "tiles_per_shard": int(plan.tiles_per_shard),
             "shard_tile_mb": round(
                 plan.tiles_per_shard * plan.md * 12 / 1e6, 1),
-            "gather_words_per_frame_per_dev": 3 * K * B,
+            "merge_wire_words_per_frame_per_dev": int(2 * 3 * B * K * (n - 1) / max(n, 1)),
             "wall_s": round(best, 3),
             "rel_throughput": round(tp / base_tp, 3),
             "decoded": f"{ok}/{B}",
