@@ -519,6 +519,36 @@ def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
         cost = base_cost + w_arc - acoustic_scale * ll_arc
         dest = jnp.where(valid, ns_arc, S)  # sentinel sorts last
         cost = jnp.where(valid, jnp.minimum(cost, BIG), BIG)
+        Ew = E
+        if L and D:
+            # SPLIT-EPS lattice mode: extend EVERY emit candidate by its
+            # <= D eps hops BEFORE any selection (at (1+D)x sort width).
+            # Lattice records must see arcs into post-hop dests, and
+            # selecting over the extended set is exactly the folded
+            # computation order — the cheaper two-stage hop merge below
+            # (kept-top-K first, then hops) is best-path-exact but
+            # cannot attribute records to hop destinations.
+            d1 = jnp.clip(dest, 0, eps_hops.shape[0] - 1)
+            hop = jnp.take(eps_hops, d1, axis=0)  # [B, E, D, 2]
+            h_w = jax.lax.bitcast_convert_type(hop[..., 0], jnp.float32)
+            h_ns = hop[..., 1]
+            ok_h = (dest[:, :, None] < S) & (h_w < BIG) \
+                & (cost[:, :, None] < BIG)
+            h_cost = jnp.where(
+                ok_h, jnp.minimum(cost[:, :, None] + h_w, BIG), BIG)
+            h_state = jnp.where(ok_h, h_ns, S)
+            dest = jnp.concatenate([dest, h_state.reshape(B, E * D)], 1)
+            cost = jnp.concatenate([cost, h_cost.reshape(B, E * D)], 1)
+            arc = jnp.concatenate(
+                [arc, jnp.broadcast_to(
+                    arc[:, :, None], (B, E, D)).reshape(B, E * D)], 1)
+            k_of = jnp.concatenate(
+                [k_of, jnp.broadcast_to(
+                    k_of[:, :, None], (B, E, D)).reshape(B, E * D)], 1)
+            ll_arc = jnp.concatenate(
+                [ll_arc, jnp.broadcast_to(
+                    ll_arc[:, :, None], (B, E, D)).reshape(B, E * D)], 1)
+            Ew = E * (1 + D)
         # the lattice path needs the source slot and acoustic score of each
         # candidate post-sort; only pay the extra sort operands when L > 0
         if L:
@@ -540,7 +570,8 @@ def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
         if L:
             sort_in = (cand, dest_s, arc_s,
                        jnp.broadcast_to(
-                           jnp.arange(E, dtype=jnp.int32)[None, :], (B, E)))
+                           jnp.arange(Ew, dtype=jnp.int32)[None, :],
+                           (B, Ew)))
             new_cost, new_state, new_arc, sel = (
                 x[:, :K] for x in
                 jax.lax.sort(sort_in, dimension=1, num_keys=1))
@@ -549,7 +580,7 @@ def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
                 x[:, :K] for x in
                 jax.lax.sort((cand, dest_s, arc_s), dimension=1,
                              num_keys=1))
-        if D:
+        if D and not L:
             # SPLIT-EPS backoff hops (reference ProcessNonemitting for
             # backoff-shaped graphs, csr.fst_to_split_csr_arrays): each
             # token contributes its <= D precomputed eps-closure states
@@ -601,14 +632,14 @@ def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
         # ---- bounded lattice-arc emission (GetRawLattice on device) ----
         # winner of each sorted dest run sits at the run's first slot
         run_start = jax.lax.cummax(
-            jnp.where(first, jnp.arange(E, dtype=jnp.int32)[None, :], 0),
-            axis=1)  # [B, E]
+            jnp.where(first, jnp.arange(Ew, dtype=jnp.int32)[None, :], 0),
+            axis=1)  # [B, Ew]
         winner = jnp.take_along_axis(cost_s, run_start, 1)
         # surviving-token slot of each dest: scatter the kept slot index
         # at its winner's sorted position (top_k positions are distinct)
         slot_ids = jnp.where(
             keep, jnp.arange(K, dtype=jnp.int32)[None, :], -1)
-        slot_of = jnp.full((B, E), -1, jnp.int32).at[
+        slot_of = jnp.full((B, Ew), -1, jnp.int32).at[
             jnp.arange(B)[:, None], sel].max(slot_ids)
         dst_slot = jnp.take_along_axis(slot_of, run_start, 1)
         flag = (
@@ -623,6 +654,11 @@ def _decode_scan_tokens(tile_ptr, tiles, start, loglikes,
             jnp.where(ok, jnp.take_along_axis(dst_slot, pick, 1), -1),
             jnp.where(ok, jnp.take_along_axis(arc_s, pick, 1), -1),
             jnp.where(ok, -jnp.take_along_axis(ll_s, pick, 1), 0.0),
+            # post-hop destination STATE of each record: the split-eps
+            # host walk (arc target -> this state) recovers backoff
+            # words/weights; redundant for folded graphs but kept for
+            # one record format
+            jnp.where(ok, jnp.take_along_axis(dest_s, pick, 1), -1),
         )
         return out_state, out_cost, (bp_state, bp_arc, bp_cost) + lat
 
@@ -686,20 +722,28 @@ def _eps_hop_table(graph: CsrGraph):
     return dev
 
 
-def _eps_walk_words(graph: CsrGraph, u: int, v: int):
-    """Word labels along the (unique) backoff chain u -> v; None if v is
-    not reachable within eps_depth hops (decoder/host inconsistency)."""
+def eps_walk(graph: CsrGraph, u: int, v: int):
+    """(word labels, total weight) along the (unique) backoff chain
+    u -> v; None if v is not reachable within eps_depth hops
+    (decoder/host inconsistency)."""
     words: List[int] = []
+    w = 0.0
     for _ in range(graph.eps_depth + 1):
         if u == v:
-            return words
+            return words, w
         nxt = int(graph.eps_ns[u])
         if nxt < 0:
             return None
         if graph.eps_olab[u]:
             words.append(int(graph.eps_olab[u]))
+        w += float(graph.eps_w[u])
         u = nxt
-    return words if u == v else None
+    return (words, w) if u == v else None
+
+
+def _eps_walk_words(graph: CsrGraph, u: int, v: int):
+    out = eps_walk(graph, u, v)
+    return None if out is None else out[0]
 
 
 def _arc_src(graph: CsrGraph) -> np.ndarray:
@@ -807,10 +851,6 @@ def decode_batch_tokens(
     split = graph.eps_ns is not None
     L = 0
     if want_lattice:
-        if split:
-            raise KaldiError(
-                "lattice generation needs a folded-eps graph "
-                "(split-eps export is best-path only)")
         L = lattice_budget or min(E, max(512, 2 * K))
         L = min(E, (L + 127) // 128 * 128)
     num_frames = np.asarray(num_frames, np.int32)
@@ -876,7 +916,8 @@ def decode_batch_tokens(
             graph, arcs, end_states, use_final, costs, num_frames,
         )
     if want_lattice:
-        lat_src, lat_dst, lat_arc, lat_ac = (np.asarray(a) for a in out[5:])
+        lat_src, lat_dst, lat_arc, lat_ac, lat_ds = (
+            np.asarray(a) for a in out[5:])
         lat_arc = np.where(
             lat_arc >= 0, tg.pad2orig[np.maximum(lat_arc, 0)], -1)
         for b, res in enumerate(results):
@@ -886,6 +927,7 @@ def decode_batch_tokens(
             res.token_lattice = TokenLattice(
                 lat_src[:nf_b, b], lat_dst[:nf_b, b], lat_arc[:nf_b, b],
                 lat_ac[:nf_b, b], tok_state_h[b], tok_cost_h[b],
+                lat_ds[:nf_b, b],
             )
     return results
 
@@ -903,6 +945,9 @@ class TokenLattice:
     ac: np.ndarray        # [T, L] float32 unscaled acoustic costs
     final_states: np.ndarray  # [K] last-frame token state ids (-1 dead)
     final_costs: np.ndarray   # [K] their forward costs
+    # post-hop destination state per record (-1 = empty); split-eps
+    # lattices walk arc-target -> dst_state for backoff words/weights
+    dst_state: Optional[np.ndarray] = None  # [T, L] int32
 
 
 @dataclasses.dataclass

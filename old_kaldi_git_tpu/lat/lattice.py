@@ -196,13 +196,51 @@ def lattice_from_token_records(graph: CsrGraph, rec) -> Optional[Lattice]:
             st = d[slot] = lat.add_state(time=t)
         return st
 
+    split = graph.eps_ns is not None
+    if split and rec.dst_state is None:
+        return None  # split records require the post-hop dest states
+    seeds = []
+    if split:
+        # the initial token set is the start state's eps closure (slot
+        # k = k-th closure state); t=0 records must carry the seed
+        # walk's words/weight from the true start state
+        u = graph.start
+        seeds.append(u)
+        for _ in range(graph.eps_depth):
+            nxt = int(graph.eps_ns[u])
+            if nxt < 0:
+                break
+            seeds.append(nxt)
+            u = nxt
     for t in range(T):
         arcs_t = rec.arc[t]
         live = np.nonzero(arcs_t >= 0)[0]
         srcs, dsts, acs = rec.src_slot[t], rec.dst_slot[t], rec.ac[t]
         for i in live:
+            a = int(arcs_t[i])
+            pre_words, pre_w = [], 0.0
+            hop_words, hop_w = [], 0.0
+            if split:
+                # backoff words/weights along arc-target -> record dest
+                from old_kaldi_git_tpu.decoder.viterbi import eps_walk
+
+                walk = eps_walk(graph, int(graph.nextstate[a]),
+                                int(rec.dst_state[t][i]))
+                if walk is None:
+                    continue  # inconsistent record; drop the arc
+                hop_words, hop_w = walk
+                if t == 0:
+                    k = int(srcs[i])
+                    if k >= len(seeds):
+                        continue
+                    seed_walk = eps_walk(graph, graph.start, seeds[k])
+                    if seed_walk is None:
+                        continue
+                    pre_words, pre_w = seed_walk
             _emit(lat, graph, get(t - 1, int(srcs[i])),
-                  get(t, int(dsts[i])), int(arcs_t[i]), float(acs[i]))
+                  get(t, int(dsts[i])), a, float(acs[i]),
+                  pre_words=pre_words,
+                  extra_words=hop_words, extra_gc=hop_w + pre_w)
 
     any_final = False
     last = slot_state[T - 1]
@@ -223,12 +261,16 @@ def lattice_from_token_records(graph: CsrGraph, rec) -> Optional[Lattice]:
     return lat
 
 
-def _emit(lat: Lattice, graph: CsrGraph, src: int, dst: int, arc_id: int, ac: float):
+def _emit(lat: Lattice, graph: CsrGraph, src: int, dst: int, arc_id: int,
+          ac: float, extra_words=(), extra_gc: float = 0.0,
+          pre_words=()):
     """Add a lattice arc for closed-graph arc arc_id, expanding multi-word
-    output label chains."""
-    words = graph.arc_olabels[arc_id]
+    output label chains; pre_words/extra_words/extra_gc fold a split-eps
+    seed/backoff chain's labels and weight into the same lattice arc."""
+    words = list(pre_words) + list(graph.arc_olabels[arc_id]) \
+        + list(extra_words)
     tid = int(graph.tid[arc_id])
-    gc = float(graph.weight[arc_id])
+    gc = float(graph.weight[arc_id]) + float(extra_gc)
     if len(words) <= 1:
         lat.arcs[src].append(
             LatticeArc(tid, words[0] if words else 0, gc, ac, dst)

@@ -409,3 +409,58 @@ def test_lattice_oracle_depth_post():
     for frame in posts:
         tot = sum(p for _, p in frame)
         assert 0.0 < tot <= 1.0 + 1e-4
+
+
+def test_split_eps_lattice_matches_folded():
+    """Lattice generation over a SPLIT-EPS (backoff-shaped) graph must
+    agree with the folded-closure graph's lattices: same 1-best
+    words/alignment/cost from the rebuilt lattices, and the same oracle
+    error counts (r5 — split-eps lattices were a guarded gap; the kernel
+    extends every emit candidate by its eps hops before selection, and
+    the host walk folds backoff words/weights into the lattice arcs)."""
+    import numpy as np
+
+    from old_kaldi_git_tpu.decoder.viterbi import (
+        ViterbiOptions,
+        decode_batch_tokens,
+    )
+    from old_kaldi_git_tpu.lat.lattice import (
+        lattice_best_path,
+        lattice_from_token_records,
+        lattice_oracle,
+    )
+    from tests.test_online import _backoff_split_system
+
+    folded, split, _t2p = _backoff_split_system()
+    P = 12
+    rng = np.random.default_rng(11)
+    ll = rng.normal(size=(3, 25, P)).astype(np.float32)
+    nf = np.asarray([25, 17, 9], np.int32)
+    o = ViterbiOptions(beam=1e9, max_active=64, acoustic_scale=0.7)
+    rf = decode_batch_tokens(folded, ll, nf, o, want_lattice=True,
+                             lattice_beam=1e9)
+    rs = decode_batch_tokens(split, ll, nf, o, want_lattice=True,
+                             lattice_beam=1e9)
+    checked = 0
+    for a, b in zip(rf, rs):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        assert b.words == a.words
+        assert np.array_equal(b.alignment, a.alignment)
+        assert b.cost == pytest.approx(a.cost, abs=1e-3)
+        la = lattice_from_token_records(folded, a.token_lattice)
+        lb = lattice_from_token_records(split, b.token_lattice)
+        assert la is not None and lb is not None
+        wa, ta, ca = lattice_best_path(la, 1.0, 1.0)
+        wb, tb, cb = lattice_best_path(lb, 1.0, 1.0)
+        assert list(wb) == list(wa) == list(a.words)
+        assert list(tb) == list(ta)
+        assert cb == pytest.approx(ca, abs=1e-3)
+        # oracle agreement on an arbitrary "reference"
+        ref = list(a.words[:2]) + [3]
+        ea, _ = lattice_oracle(la, ref)
+        eb, _ = lattice_oracle(lb, ref)
+        assert ea == eb
+        checked += 1
+    assert checked >= 2
