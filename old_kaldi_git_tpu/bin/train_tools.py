@@ -256,7 +256,8 @@ def _batch_align(model, graphs_rspec, feats_rspec, ali_wspec,
         loglikes = np.zeros(
             (len(keys), padded.shape[1], model.am.num_pdfs), np.float32)
     else:
-        loglikes = np.asarray(model.am.loglikes_batch(padded))
+        # device-resident: align_batch consumes them on device
+        loglikes = model.am.loglikes_batch(padded)
     vopts = ViterbiOptions(beam=beam, acoustic_scale=acoustic_scale)
     alis, scores = align_batch(csr, loglikes, num_frames, vopts)
     ok = 0

@@ -116,6 +116,45 @@ def _align_scan(frm, pdf, w, ns, start, loglikes, num_frames, acoustic_scale,
     return alpha_final, best_arcs
 
 
+@partial(jax.jit, static_argnames=("num_states",))
+def _align_and_backtrace(frm, tid, pdf, w, ns, start, final, loglikes,
+                         num_frames, acoustic_scale, num_states):
+    """Fused alignment: forward scan + end-state selection + backtrace in
+    ONE program, so only [T, B] transition-ids (plus [B] scores) ever cross
+    the device link.  The naive split (host backtrace over D2H'd winner
+    arcs) ships the full [T, B, S] tensor — tens of MB per corpus chunk
+    over a tunnel measured at ~7 MB/s, which made the transfer (not the
+    scan) the dominant cost of every GMM align stage.
+
+    Returns (scores [B], tids [T, B] with -1 on inactive frames,
+    ok [T, B] backtrace-success flags per active frame)."""
+    T = loglikes.shape[1]
+    alpha_final, best_arcs = _align_scan(
+        frm, pdf, w, ns, start, loglikes, num_frames, acoustic_scale,
+        num_states)
+    tot = alpha_final + final  # [B, S]
+    end_state = jnp.argmin(tot, axis=1).astype(jnp.int32)
+    scores = jnp.take_along_axis(tot, end_state[:, None], 1)[:, 0]
+
+    def bstep(state, inputs):
+        ba_t, t = inputs  # [B, S]
+        arc = jnp.take_along_axis(ba_t, state[:, None], 1)[:, 0]
+        in_range = t < num_frames
+        good = in_range & (arc >= 0)
+        a_cl = jnp.maximum(arc, 0)[:, None]
+        tid_out = jnp.where(
+            good, jnp.take_along_axis(tid, a_cl, 1)[:, 0], -1)
+        new_state = jnp.where(
+            good, jnp.take_along_axis(frm, a_cl, 1)[:, 0], state)
+        # ok is False only where an ACTIVE frame had no winner arc
+        ok = good | ~in_range
+        return new_state, (tid_out, ok)
+
+    _, (tids, ok) = jax.lax.scan(
+        bstep, end_state, (best_arcs, jnp.arange(T)), reverse=True)
+    return scores, tids, ok
+
+
 def align_batch(
     graphs: Sequence[CsrGraph],
     loglikes: np.ndarray,
@@ -131,41 +170,35 @@ def align_batch(
     frm, tid, pdf, w, ns, start, final, S, A = _pad_graphs(graphs)
     B, T, _ = loglikes.shape
     num_frames = np.asarray(num_frames, np.int32)
-    alpha_final, best_arcs = _align_scan(
-        jnp.asarray(frm), jnp.asarray(pdf), jnp.asarray(w), jnp.asarray(ns),
-        jnp.asarray(start), jnp.asarray(loglikes, jnp.float32),
+    dev_scores, dev_tids, dev_ok = _align_and_backtrace(
+        jnp.asarray(frm), jnp.asarray(tid), jnp.asarray(pdf),
+        jnp.asarray(w), jnp.asarray(ns), jnp.asarray(start),
+        jnp.asarray(final), jnp.asarray(loglikes, jnp.float32),
         jnp.asarray(num_frames), float(opts.acoustic_scale), S,
     )
-    alpha_final = np.asarray(alpha_final)
-    best_arcs = np.asarray(best_arcs)  # [T, B, S]
+    # only [B] + 2x[T, B] cross the device link (the winner-arc tensor is
+    # [T, B, S] and stays on device; see _align_and_backtrace)
+    h_scores = np.asarray(dev_scores)
+    h_tids = np.asarray(dev_tids)  # [T, B]
+    h_ok = np.asarray(dev_ok)
 
     alignments: List[Optional[np.ndarray]] = []
     scores: List[float] = []
-    for b, g in enumerate(graphs):
-        tot = alpha_final[b, : g.num_states] + final[b, : g.num_states]
-        s = int(np.argmin(tot))
-        score = float(tot[s])
+    for b in range(B):
+        score = float(h_scores[b])
+        nf = int(num_frames[b])
         if score >= BIG:
             log.warning("alignment failed for utterance %d", b)
             alignments.append(None)
             scores.append(np.inf)
             continue
-        tids = []
-        state = s
-        for t in range(int(num_frames[b]) - 1, -1, -1):
-            arc = int(best_arcs[t, b, state])
-            if arc < 0:
-                tids = None
-                break
-            tids.append(int(tid[b, arc]))
-            state = int(frm[b, arc])
-        if tids is None:
+        if not bool(h_ok[:nf, b].all()):
             log.warning("backtrace failed for utterance %d", b)
             alignments.append(None)
             scores.append(np.inf)
-        else:
-            alignments.append(np.asarray(tids[::-1], np.int32))
-            scores.append(score)
+            continue
+        alignments.append(np.ascontiguousarray(h_tids[:nf, b]))
+        scores.append(score)
     return alignments, scores
 
 

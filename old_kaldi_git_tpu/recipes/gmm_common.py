@@ -83,8 +83,10 @@ def align_all(
         hi = min(B, lo + max_batch)
         # bucket the time dim to multiples of 64 so chunks share compiles
         t_max = min(T, -(-int(num_frames[lo:hi].max()) // 64) * 64)
-        ll = np.asarray(
-            am.loglikes_batch(feats_padded[lo:hi, :t_max]))
+        # keep the loglikes DEVICE-resident: np.asarray here cost a
+        # [b, T, P] D2H + H2D round trip (~120 MB/chunk over a tunneled
+        # link) before the fused align kernel consumed them again
+        ll = am.loglikes_batch(feats_padded[lo:hi, :t_max])
         a, s = align_batch(graphs[lo:hi], ll, num_frames[lo:hi], vopts)
         alis.extend(a)
         scores.extend(s)

@@ -353,3 +353,91 @@ def test_split_eps_decode_matches_folded():
         assert b.cost == pytest.approx(a.cost, abs=1e-3)
         assert b.words == a.words
         assert np.array_equal(b.alignment, a.alignment)
+
+
+def test_fused_align_matches_host_backtrace():
+    """The fused on-device align+backtrace (_align_and_backtrace) must
+    reproduce the reference host walk over _align_scan's [T,B,S] winner
+    arcs exactly (scores, per-frame tids, and failure flags)."""
+    import jax.numpy as jnp
+
+    from old_kaldi_git_tpu.decoder.csr import CsrGraph
+    from old_kaldi_git_tpu.decoder.viterbi import (
+        BIG,
+        _align_and_backtrace,
+        _align_scan,
+        _pad_graphs,
+    )
+
+    rng = np.random.default_rng(7)
+    P = 11
+    graphs = []
+    for _ in range(5):
+        S = int(rng.integers(3, 12))
+        # linear-ish random graph with self-loops (training-graph shape)
+        row_ptr = [0]
+        tid, pdf, w, ns = [], [], [], []
+        for s in range(S):
+            deg = 2 if s + 1 < S else 1
+            # self loop
+            tid.append(int(rng.integers(1, 40)))
+            pdf.append(int(rng.integers(0, P)))
+            w.append(float(rng.random()))
+            ns.append(s)
+            if s + 1 < S:
+                tid.append(int(rng.integers(1, 40)))
+                pdf.append(int(rng.integers(0, P)))
+                w.append(float(rng.random()))
+                ns.append(s + 1)
+            row_ptr.append(row_ptr[-1] + deg)
+        final = np.full(S, np.inf, np.float32)
+        final[S - 1] = 0.5
+        graphs.append(CsrGraph(
+            start=0,
+            row_ptr=np.asarray(row_ptr, np.int32),
+            tid=np.asarray(tid, np.int32), pdf=np.asarray(pdf, np.int32),
+            weight=np.asarray(w, np.float32),
+            nextstate=np.asarray(ns, np.int32),
+            final_weight=final,
+            arc_olabels=[(0,)] * len(tid),
+            final_olabels=[()] * S))
+    B = len(graphs)
+    T = 16
+    loglikes = rng.normal(size=(B, T, P)).astype(np.float32)
+    nf = np.asarray([16, 13, 16, 5, 9], np.int32)
+    frm, tid, pdf, w, ns, start, final, S, A = _pad_graphs(graphs)
+    args = (jnp.asarray(frm), jnp.asarray(pdf), jnp.asarray(w),
+            jnp.asarray(ns), jnp.asarray(start))
+    alpha_final, best_arcs = _align_scan(
+        *args, jnp.asarray(loglikes), jnp.asarray(nf), 1.0, S)
+    alpha_final = np.asarray(alpha_final)
+    best_arcs = np.asarray(best_arcs)
+    d_scores, d_tids, d_ok = _align_and_backtrace(
+        jnp.asarray(frm), jnp.asarray(tid), jnp.asarray(pdf),
+        jnp.asarray(w), jnp.asarray(ns), jnp.asarray(start),
+        jnp.asarray(final), jnp.asarray(loglikes), jnp.asarray(nf), 1.0, S)
+    d_scores, d_tids, d_ok = map(np.asarray, (d_scores, d_tids, d_ok))
+    for b, g in enumerate(graphs):
+        tot = alpha_final[b, : g.num_states] + final[b, : g.num_states]
+        s = int(np.argmin(tot))
+        score = float(tot[s])
+        if score >= BIG:
+            assert d_scores[b] >= BIG
+            continue
+        assert d_scores[b] == pytest.approx(score, rel=1e-6)
+        # reference host walk
+        tids_ref, state, failed = [], s, False
+        for t in range(int(nf[b]) - 1, -1, -1):
+            arc = int(best_arcs[t, b, state])
+            if arc < 0:
+                failed = True
+                break
+            tids_ref.append(int(tid[b, arc]))
+            state = int(frm[b, arc])
+        if failed:
+            assert not d_ok[: int(nf[b]), b].all()
+            continue
+        assert d_ok[: int(nf[b]), b].all()
+        assert d_tids[: int(nf[b]), b].tolist() == tids_ref[::-1]
+        # frames beyond nf are inactive
+        assert (d_tids[int(nf[b]):, b] == -1).all()
