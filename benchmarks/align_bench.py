@@ -49,8 +49,9 @@ def make_graphs(rng):
     graphs = []
     for _ in range(B):
         # keep S comfortably under the utterance frame count so every
-        # utterance is alignable (a length-S chain needs >= S frames)
-        S = int(S_TARGET * (0.5 + 0.5 * rng.random()))
+        # utterance is alignable (a length-S chain needs >= S frames;
+        # num_frames is drawn in [0.75, 1.0]*T below)
+        S = int(S_TARGET * (0.3 + 0.4 * rng.random()))
         row_ptr = [0]
         tid, pdf, w, ns = [], [], [], []
         for s in range(S):

@@ -199,7 +199,10 @@ def fst_to_csr_native(nfst, tid_to_pdf: np.ndarray) -> CsrGraph:
         final_olabels=FlatOlabels(folab_off, folab_val),
     )
     csr._olabel_mask = (olab_off[1:] > olab_off[:-1])
-    log.info(
+    # per-utterance training graphs would spam one line each: only the
+    # shared decode-graph scale is worth an info line
+    lvl = log.info if csr.num_arcs >= 100_000 else log.debug
+    lvl(
         "csr(native): %d states, %d arcs (max out-degree %d)",
         csr.num_states, csr.num_arcs, csr.max_out_degree,
     )

@@ -238,10 +238,15 @@ class NativeFst:
         self._h = handle
 
     def __del__(self):
-        lib = _load()
-        if lib is not None and getattr(self, "_h", None):
-            lib.okt_fst_destroy(self._h)
-            self._h = None
+        try:
+            lib = _load()
+            if lib is not None and getattr(self, "_h", None):
+                lib.okt_fst_destroy(self._h)
+                self._h = None
+        except Exception:
+            # interpreter teardown: module globals (ctypes, _load) may
+            # already be gone; leaking the handle at exit is fine
+            pass
 
     @property
     def num_states(self) -> int:

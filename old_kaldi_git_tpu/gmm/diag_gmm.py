@@ -177,7 +177,17 @@ class AmDiagGmm:
         """
         if self._stacked is None:
             P = self.num_pdfs
+            # bucket the mixture dim to the next power of two: every GMM
+            # training iteration mixes up (num_mix grows a little each
+            # time), and an exact-max M would change the [P*M, 2D+1]
+            # operand shape — and thus force a fresh XLA compile through
+            # the (slow, queued) tunneled compile service — at EVERY
+            # iteration.  Padded rows carry gconst -1e30 so they vanish
+            # in the logsumexp regardless of M.  (Measured: mono align
+            # walls grew 13 s → 40-116 s per pass purely from these
+            # recompiles.)
             M = max(p.num_mix for p in self.pdfs)
+            M = 1 << (M - 1).bit_length()
             D = self.dim
             W = np.full((P, M, 2 * D + 1), 0.0, dtype=np.float64)
             mask = np.zeros((P, M), dtype=bool)

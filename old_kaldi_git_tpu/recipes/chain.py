@@ -650,8 +650,7 @@ def train_chain_e2e(
     tid2pdf = tm.tid_to_pdf_array()
     graphs = [
         normalize_numerator_csr(
-            fst_to_csr(compiler.compile_graph_from_text(transcripts[k]),
-                       tid2pdf),
+            compiler.compile_csr_from_text(transcripts[k]),
             tm, den)
         for k in keys
     ]

@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+
 from old_kaldi_git_tpu.decoder.graph import GraphCompiler
 from old_kaldi_git_tpu.fst.lang import Lang
 from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, AmGmmModel
@@ -70,7 +70,7 @@ def train_mono(
     compiler = GraphCompiler(lang, ctx_dep, tm)
     tid2pdf = tm.tid_to_pdf_array()
     graphs = [
-        fst_to_csr(compiler.compile_graph_from_text(transcripts[k]), tid2pdf)
+        compiler.compile_csr_from_text(transcripts[k])
         for k in keys
     ]
     am, alignments = gmm_training_loop(

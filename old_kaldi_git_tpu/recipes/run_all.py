@@ -186,11 +186,7 @@ def build_pipeline(workdir: str, stage: int = 0) -> Pipeline:
         hyp_texts = {k: v for k, v in hyps.items() if v}
         gc = GraphCompiler(lang, tree, model.tm)
         keys, fp, nf = pad_feats({k: test_lda[k] for k in hyp_texts})
-        graphs = [
-            fst_to_csr(gc.compile_graph_from_text(hyp_texts[k]),
-                       model.tm.tid_to_pdf_array())
-            for k in keys
-        ]
+        graphs = [gc.compile_csr_from_text(hyp_texts[k]) for k in keys]
         alis, _ = align_all(model.am, graphs, fp, nf,
                             ViterbiOptions(beam=32.0))
         ali_map = {k: a for k, a in zip(keys, alis) if a is not None}

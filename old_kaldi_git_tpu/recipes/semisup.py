@@ -34,7 +34,7 @@ from old_kaldi_git_tpu.chain.e2e import (
 )
 from old_kaldi_git_tpu.chain.loss import ChainLossOptions
 from old_kaldi_git_tpu.chain.semisup import lattice_to_numerator
-from old_kaldi_git_tpu.decoder.csr import CsrGraph, fst_to_csr
+from old_kaldi_git_tpu.decoder.csr import CsrGraph
 from old_kaldi_git_tpu.decoder.graph import GraphCompiler
 from old_kaldi_git_tpu.decoder.viterbi import ViterbiOptions, decode_batch
 from old_kaldi_git_tpu.fst.lang import Lang
@@ -171,8 +171,7 @@ def train_chain_semisup(
     sup_keys = sorted(k for k in sup_transcripts if k in sup_feats)
     sup_graphs = [
         normalize_numerator_csr(
-            fst_to_csr(compiler.compile_graph_from_text(sup_transcripts[k]),
-                       tid2pdf),
+            compiler.compile_csr_from_text(sup_transcripts[k]),
             tm, den)
         for k in sup_keys
     ]

@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+
 from old_kaldi_git_tpu.decoder.graph import GraphCompiler
 from old_kaldi_git_tpu.gmm.diag_gmm import AmDiagGmm, AmGmmModel, DiagGmm
 from old_kaldi_git_tpu.hmm.hmm_utils import alignment_to_pdfs, convert_alignment
@@ -125,7 +125,7 @@ def train_deltas(
     compiler = GraphCompiler(lang, ctx_dep, tm)
     tid2pdf = tm.tid_to_pdf_array()
     graphs = [
-        fst_to_csr(compiler.compile_graph_from_text(transcripts[k]), tid2pdf)
+        compiler.compile_csr_from_text(transcripts[k])
         for k in keys
     ]
     init_ali = [conv_ali.get(k) for k in keys]
@@ -195,7 +195,7 @@ def train_lda_mllt(
     compiler = GraphCompiler(lang, ctx_dep, tm)
     tid2pdf = tm.tid_to_pdf_array()
     graphs = [
-        fst_to_csr(compiler.compile_graph_from_text(transcripts[k]), tid2pdf)
+        compiler.compile_csr_from_text(transcripts[k])
         for k in keys
     ]
     alignments = [conv_ali.get(k) for k in keys]
@@ -283,7 +283,7 @@ def train_sat(
     compiler = GraphCompiler(lang, ctx_dep, tm)
     tid2pdf = tm.tid_to_pdf_array()
     graphs = [
-        fst_to_csr(compiler.compile_graph_from_text(transcripts[k]), tid2pdf)
+        compiler.compile_csr_from_text(transcripts[k])
         for k in keys
     ]
     alignments = [conv_ali.get(k) for k in keys]

@@ -441,3 +441,44 @@ def test_fused_align_matches_host_backtrace():
         assert d_tids[: int(nf[b]), b].tolist() == tids_ref[::-1]
         # frames beyond nf are inactive
         assert (d_tids[int(nf[b]):, b] == -1).all()
+
+
+def test_native_csr_compile_matches_python_path():
+    """GraphCompiler.compile_csr_from_text (handle-resident native
+    pipeline, L converted once) must produce graphs equivalent to the
+    Python-path fst_to_csr(compile_graph_from_text(...)): identical
+    state/arc counts and identical alignments + scores."""
+    from old_kaldi_git_tpu.decoder.csr import fst_to_csr
+    from old_kaldi_git_tpu.decoder.graph import GraphCompiler
+
+    lang, topo, cd, tm = _toy_system()
+    gc = GraphCompiler(lang, cd, tm)
+    tid2pdf = tm.tid_to_pdf_array()
+    transcripts = [["yes"], ["no"], ["yes", "no"], ["no", "yes", "no"]]
+    g_old = [fst_to_csr(gc.compile_graph_from_text(t), tid2pdf)
+             for t in transcripts]
+    g_new = [gc.compile_csr_from_text(t) for t in transcripts]
+    for a, b in zip(g_old, g_new):
+        assert (a.num_states, a.num_arcs) == (b.num_states, b.num_arcs)
+
+    def phone_ids(words):
+        m = {"yes": ["Y", "EH", "S"], "no": ["N", "OW"]}
+        return [lang.phones[p] for w in words for p in m[w]]
+
+    lls = [_simulate_loglikes(tm, cd, lang, phone_ids(t), frames_per_phone=6)
+           for t in transcripts]
+    T = max(l.shape[0] for l in lls)
+    B = len(lls)
+    loglikes = np.full((B, T, cd.num_pdfs), -20.0, np.float32)
+    nf = np.zeros(B, np.int32)
+    for i, l in enumerate(lls):
+        loglikes[i, : l.shape[0]] = l
+        nf[i] = l.shape[0]
+    a1, s1 = align_batch(g_old, loglikes, nf,
+                         ViterbiOptions(acoustic_scale=1.0))
+    a2, s2 = align_batch(g_new, loglikes, nf,
+                         ViterbiOptions(acoustic_scale=1.0))
+    for i in range(B):
+        assert a1[i] is not None and a2[i] is not None
+        assert np.array_equal(a1[i], a2[i])
+        assert s1[i] == pytest.approx(s2[i], abs=1e-3)
