@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     from old_kaldi_git_tpu.recipes import minilib as ml
+    from old_kaldi_git_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from old_kaldi_git_tpu.recipes.gmm_common import GmmTrainOptions
     from old_kaldi_git_tpu.recipes.mono import MonoTrainOptions, train_mono
     from old_kaldi_git_tpu.recipes.triphone import train_deltas

@@ -11,6 +11,7 @@ all frames × all pdfs is one matmul + masked logsumexp on the MXU
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -209,24 +210,7 @@ class AmDiagGmm:
     def loglikes_batch(self, feats: jnp.ndarray) -> jnp.ndarray:
         """[..., T, D] float → [..., T, num_pdfs] loglikes (jit-able)."""
         W, mask, M = self.stacked()
-        P = self.num_pdfs
-        x = feats
-        ext = jnp.concatenate(
-            [x, jnp.square(x), jnp.ones(x.shape[:-1] + (1,), x.dtype)], axis=-1
-        )
-        # HIGHEST: default TPU matmul rounds inputs to bf16, costing
-        # ~0.3 nats of absolute loglike error at ~1e2 magnitudes
-        # (bench.verify_kernels vs the f64 host oracle, r5); the
-        # contraction K = 2D+1 is far below the 128-lane MXU width, so
-        # extra passes are nearly free here
-        comp = jnp.matmul(ext, W.T,
-                          precision=jax.lax.Precision.HIGHEST)
-        comp = comp.reshape(comp.shape[:-1] + (P, M))
-        cmax = jnp.max(comp, axis=-1, keepdims=True)
-        out = cmax[..., 0] + jnp.log(
-            jnp.sum(jnp.exp(comp - cmax), axis=-1)
-        )
-        return out
+        return _loglikes_stacked(feats, W, self.num_pdfs)
 
     def loglikes_numpy(self, feats: np.ndarray) -> np.ndarray:
         """CPU oracle for tests: [T, D] → [T, num_pdfs]."""
@@ -290,3 +274,23 @@ class AmGmmModel:
             if not iof.init_kaldi_input_stream(f):
                 raise KaldiError("AmGmmModel.load: expected binary stream")
             return AmGmmModel.read(f)
+
+
+@partial(jax.jit, static_argnames=("P",))
+def _loglikes_stacked(x: jnp.ndarray, W: jnp.ndarray, P: int) -> jnp.ndarray:
+    """AmDiagGmm.loglikes_batch body as ONE fused program (a GMM align
+    pass calls this per corpus chunk; eager per-op dispatch over a
+    tunneled backend costs more than the compute)."""
+    M = W.shape[0] // P
+    ext = jnp.concatenate(
+        [x, jnp.square(x), jnp.ones(x.shape[:-1] + (1,), x.dtype)], axis=-1
+    )
+    # HIGHEST: default TPU matmul rounds inputs to bf16, costing
+    # ~0.3 nats of absolute loglike error at ~1e2 magnitudes
+    # (bench.verify_kernels vs the f64 host oracle, r5); the
+    # contraction K = 2D+1 is far below the 128-lane MXU width, so
+    # extra passes are nearly free here
+    comp = jnp.matmul(ext, W.T, precision=jax.lax.Precision.HIGHEST)
+    comp = comp.reshape(comp.shape[:-1] + (P, M))
+    cmax = jnp.max(comp, axis=-1, keepdims=True)
+    return cmax[..., 0] + jnp.log(jnp.sum(jnp.exp(comp - cmax), axis=-1))

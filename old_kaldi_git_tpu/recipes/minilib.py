@@ -208,11 +208,18 @@ def compute_feats(waves: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     CHUNK = 128
     for c0 in range(0, len(keys), CHUNK):
         chunk = keys[c0 : c0 + CHUNK]
-        mlen = max(waves[k].shape[0] for k in chunk)
-        batch = np.zeros((len(chunk), mlen), np.float32)
+        # pad every chunk to the GLOBAL max length: per-chunk max lengths
+        # give each chunk a distinct shape, and each distinct shape is a
+        # separate XLA compile through the tunneled compile service
+        # (minutes under co-tenant load) — far more than the padded FLOPs
+        mlen = max_len
+        # pad the batch dim as well (the tail chunk would otherwise be
+        # its own compiled shape)
+        rows = CHUNK if len(keys) > CHUNK else len(chunk)
+        batch = np.zeros((rows, mlen), np.float32)
         for i, k in enumerate(chunk):
             batch[i, : waves[k].shape[0]] = waves[k]
-        feats = np.asarray(mfcc(jnp.asarray(batch)))
+        feats = np.asarray(mfcc(jnp.asarray(batch)))[: len(chunk)]
         nf = np.asarray([mfcc.num_frames(waves[k].shape[0]) for k in chunk])
         T = feats.shape[1]
         idx = np.minimum(np.arange(T)[None, :], (nf - 1)[:, None])
@@ -220,6 +227,8 @@ def compute_feats(waves: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         mask = (np.arange(T)[None, :] < nf[:, None]).astype(np.float32)
         mean = (feats * mask[:, :, None]).sum(1) / nf[:, None]
         feats = feats - mean[:, None, :]
+        if feats.shape[0] < rows:  # keep the deltas shape chunk-invariant
+            feats = np.pad(feats, ((0, rows - feats.shape[0]), (0, 0), (0, 0)))
         deltas = np.asarray(compute_deltas(jnp.asarray(feats.astype(np.float32))))
         for i, k in enumerate(chunk):
             out[k] = deltas[i, : nf[i]].astype(np.float32)
