@@ -94,22 +94,43 @@ class AmNnet:
         p = np.maximum(p / p.sum(), 1e-8)
         self.log_priors = np.log(p).astype(np.float32)
 
+    def _jit_eval(self, kind: str, stride: int):
+        """Cached jitted evaluators: un-jitted flax `apply` dispatches
+        every layer op eagerly, and on a tunneled backend the per-op
+        dispatch costs more than the model compute.  Keyed by
+        (kind, stride); `log_priors` rides as a traced argument so
+        set_priors_* needs no cache invalidation."""
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        key = (kind, stride)
+        if key not in cache:
+            model = self.model()
+            if kind == "logits":
+                def f(variables, x):
+                    return model.apply(variables, x, train=False,
+                                       output_stride=stride)
+            else:
+                def f(variables, x, lp):
+                    logits = model.apply(variables, x, train=False,
+                                         output_stride=stride)
+                    out = jax.nn.log_softmax(logits, axis=-1)
+                    return out if lp is None else out - lp
+            cache[key] = jax.jit(f)
+        return cache[key]
+
     def logits(self, feats: jnp.ndarray, output_stride: int = 1
                ) -> jnp.ndarray:
         """output_stride > 1 evaluates the prefinal/output layers only at
         every stride-th frame (reference frame-subsampling decode for
         chain models) — [B, ceil(T/stride), num_pdfs]."""
-        model = self.model()
-        return model.apply(self.variables, feats, train=False,
-                           output_stride=output_stride)
+        return self._jit_eval("logits", output_stride)(
+            self.variables, jnp.asarray(feats, jnp.float32))
 
     def loglikes_batch(self, feats: jnp.ndarray) -> jnp.ndarray:
         """[B, T, D] → [B, T, num_pdfs] pseudo-loglikes (log-softmax − prior)."""
-        logits = self.logits(jnp.asarray(feats, jnp.float32))
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        if self.log_priors is not None:
-            logp = logp - jnp.asarray(self.log_priors)
-        return logp
+        lp = (None if self.log_priors is None
+              else jnp.asarray(self.log_priors))
+        return self._jit_eval("loglikes", 1)(
+            self.variables, jnp.asarray(feats, jnp.float32), lp)
 
     def loglikes_batch_chunked(
         self, feats: jnp.ndarray, chunk: int = 150,
